@@ -1,0 +1,72 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes via the no-op sink so timing covers the full plan
+(scan → shuffle → result) without driver-side collect overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fitness_nutrition_data_pipeline_spark.queries import all_specs
+from fitness_nutrition_data_pipeline_spark.session import get_spark
+
+HEADLINE = [
+    "star_join_topk",
+    "recent_window_topk",
+    "daily_rollup_sum",
+    "window_dedup_first_seen",
+    "entity_resolution_profiles",
+    "scan_filter_project",
+    "vocab_inventory",
+    "minhash_lsh_buckets",
+    "simhash_signatures",
+    "ngram_jaccard_pairs",
+    "embedding_knn_bruteforce",
+    "doc_quality_score",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    specs = all_specs()
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # query, not session cold-start.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = specs[name].builder
+        t0 = time.time()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,355 @@
+"""Large-scale training-data operators (BASELINE.json north star): exact
+and near dedup (MinHash+LSH, SimHash, n-gram Jaccard), embedding
+similarity search (brute-force top-k + centroid/IVF assignment).
+
+Portability contract: every hash is md5 (identical hex in Spark and
+DuckDB), every float reduction is an in-order fold over doubles, and every
+ranking is on rounded values with explicit id tie-breaks — so each op stays
+hash-verifiable against the oracle while the Spark plan remains the one
+you would run at 100 TB (explode → partial-agg → shuffle-on-key; no
+driver-side loops, no UDFs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+N_MINHASH = 8  # permutations
+N_BANDS = 4  # LSH bands (rows_per_band = 2)
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_summary",
+    """
+    SELECT count(*) AS total_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts,
+           count(*) - CAST(count(DISTINCT md5(text)) AS BIGINT) AS duplicate_docs
+    FROM documents
+    """,
+    doc="Exact dedup via content-hash groupBy — map-side partial agg, one "
+    "shuffle on the hash; at 100 TB this is the standard first dedup pass.",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = F.md5("text")
+    return d.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(h).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("duplicate_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (candidate pairs = adjacent doc_ids, same-source)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_jaccard_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1])) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))), 4)
+               AS jaccard,
+           CASE WHEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+                THEN 1 ELSE 0 END AS is_near_dup
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="n-gram (2-shingle) Jaccard similarity on candidate pairs — the "
+    "verify stage of near-dedup. Candidates here are adjacent doc_ids; at "
+    "scale candidates come from LSH buckets (minhash_lsh_buckets) so the "
+    "quadratic compare only runs within buckets.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.array_size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    sh = d.select("doc_id", shingles.alias("shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.array_size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.array_size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(jac, 4).alias("jaccard"),
+            F.when(jac >= 0.5, 1).otherwise(0).alias("is_near_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    sig_cols = ",\n             ".join(
+        f"min(md5('s{k}|' || shingle)) AS sig{k}" for k in range(N_MINHASH)
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1]))) AS shingle
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT band_id, band_key, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM bands
+    GROUP BY band_id, band_key
+    HAVING count(*) >= 2
+    """
+
+
+@register(
+    "minhash_lsh_buckets",
+    _minhash_oracle(),
+    doc="MinHash (8 perms, min over md5('s<k>|'||shingle)) + LSH banding "
+    "(4 bands × 2 rows): shingle-explode → per-doc min-agg → band-key "
+    "groupBy. Buckets with ≥2 docs are the near-dup candidate sets; the "
+    "shuffle is on band_key so the pairwise verify never goes quadratic "
+    "globally — the canonical 100 TB near-dedup plan.",
+)
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.array_size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sigs = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"sig{k}")
+            for k in range(N_MINHASH)
+        ]
+    )
+    stack_args = ", ".join(
+        f"{b}, md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(N_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_args})").alias("band_id", "band_key"),
+    )
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, md5-nibble-parity — portable across engines)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    odd = "('" + "','".join(_ODD_HEX) + "')"
+    bit_sums = ",\n             ".join(
+        f"CASE WHEN sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {odd} "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END AS bit{i}"
+        for i in range(16)
+    )
+    bits_total = " + ".join(f"bit{i}" for i in range(16))
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits_total} AS BIGINT) AS simhash16
+    FROM bits
+    """
+
+
+@register(
+    "simhash_signatures",
+    _simhash_oracle(),
+    doc="SimHash (16-bit): per-token md5 nibble parity votes, sign-summed "
+    "per bit, assembled into an integer signature — token-explode + one "
+    "16-expression groupBy, all codegen'd. Hamming-close signatures = "
+    "near-dups; production variant uses 64-bit xxhash64 (same plan shape).",
+)
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+    md5c = F.md5("tok")
+    bit_aggs = []
+    for i in range(16):
+        vote = F.when(F.substring(md5c, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        bit_aggs.append(
+            F.when(F.sum(vote) > 0, F.lit(1 << i)).otherwise(F.lit(0)).alias(f"bit{i}")
+        )
+    bits = toks.groupBy("doc_id").agg(*bit_aggs)
+    total = bits.columns[1]
+    expr = F.col("bit0")
+    for i in range(1, 16):
+        expr = expr + F.col(f"bit{i}")
+    return bits.select("doc_id", expr.cast("long").alias("simhash16"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    """In-order double-precision cosine of two array<double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
+
+
+@register(
+    "embedding_knn_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+             round({_COS_SQL.format(a="q.q_emb", b="e.emb")}, 6) AS cosine_sim
+      FROM q JOIN e ON e.vec_id >= 5
+    )
+    SELECT q_id, neighbor_id, neighbor_label, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
+    "score every candidate JVM-side (zip_with fold, no UDF), per-query "
+    "row_number top-k. At 100 TB the candidate side stays partitioned and "
+    "only k rows per query cross the final shuffle.",
+)
+def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
+    )
+    cand = e.where(F.col("vec_id") >= 5)
+    scored = cand.join(F.broadcast(q)).select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(_cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id", "neighbor_label", "cosine_sim")
+    )
+
+
+@register(
+    "embedding_centroid_assign",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) AS cosine_sim
+      FROM e JOIN c ON true
+    ),
+    best AS (
+      SELECT vec_id, centroid_id, cosine_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cosine_sim DESC, centroid_id) AS rn
+      FROM scored
+    )
+    SELECT centroid_id, count(*) AS n_assigned,
+           round(avg(cosine_sim), 6) AS avg_sim
+    FROM best WHERE rn = 1
+    GROUP BY centroid_id
+    """,
+    doc="IVF-style coarse quantization: assign every vector to its nearest "
+    "of k centroids (broadcast) — the scale path for ANN: probe only the "
+    "matching centroid's partition instead of the full corpus.",
+)
+def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    c = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    scored = e.join(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("emb"), F.col("c_emb")), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), "centroid_id")
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return best.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.round(F.avg("cosine_sim"), 6).alias("avg_sim"),
+    )

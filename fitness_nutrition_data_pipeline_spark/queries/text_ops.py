@@ -1,0 +1,214 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline surface (BASELINE.json north star): tokenization,
+quality scoring, language ID, fingerprinting, vocabulary inventory.
+
+All hot-path logic is JVM-side Column expressions (split/regexp/array
+functions) — no Python UDFs — so the same code whole-stage-codegens on a
+real cluster. Hashing uses md5 (identical hex output in Spark and DuckDB)
+so every op stays oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+# Marker words per language for the n-gram/stopword scorer. On the synthetic
+# corpus these verify the *computation* (the driver's `lang` column is
+# metadata, not derivable from the text).
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "un"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "vocab_inventory",
+    r"""
+    SELECT word,
+           count(*) AS total_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_frequency
+    FROM (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS word
+      FROM documents
+    ) t
+    WHERE word <> ''
+    GROUP BY word
+    """,
+    doc="Multi-value blob → explode → distinct inventory: the "
+    "_clean_text_list + blob-dim pattern (main_etl_pipeline.py:129-135, "
+    "473-482; F1/A3) as split+explode+groupBy.",
+)
+def vocab_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("total_occurrences"),
+            F.countDistinct("doc_id").alias("doc_frequency"),
+        )
+    )
+
+
+@register(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT)
+               AS bpe_ish_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
+    "(alnum runs / single punct) — north-star text-analysis op, all "
+    "JVM-side via split/regexp_extract_all.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.array_size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.array_size(
+            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0))
+        ).alias("bpe_ish_tokens"),
+        "n_chars",
+    )
+
+
+@register(
+    "doc_quality_score",
+    r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n,
+             string_split_regex(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           round(CAST(length(array_to_string(toks, '')) AS DOUBLE)
+                 / len(toks), 4) AS avg_token_len,
+           round(CAST(len(list_filter(toks,
+                     t -> t IN ('the','a','an','of','and','or','is','to','in')))
+                   AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+           CASE WHEN len(toks) >= 10
+                 AND CAST(len(list_filter(toks,
+                     t -> t IN ('the','a','an','of','and','or','is','to','in')))
+                   AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.6
+                THEN 1 ELSE 0 END AS passes_quality
+    FROM feats
+    """,
+    doc="Heuristic document quality scoring (length / avg token length / "
+    "stopword ratio + pass flag) — the C4/Gopher-style filter re-expressed "
+    "as pure Column algebra; north-star text op.",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_toks = F.array_size(toks)
+    # stopword ratio must count duplicates → filter, not set-intersect
+    stop_count = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.round(stop_count.cast("double") / n_toks, 4)
+    return d.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.length(F.array_join(toks, "")).cast("double") / n_toks, 4
+        ).alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(
+            (n_toks >= 10)
+            & (stop_count.cast("double") / n_toks).between(0.01, 0.6),
+            1,
+        )
+        .otherwise(0)
+        .alias("passes_quality"),
+    )
+
+
+@register(
+    "lang_id_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+             CAST(len(list_filter(t, x -> x IN ('le','la','de','et','un'))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS s_de
+      FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           s_en, s_es, s_fr, s_de
+    FROM scores
+    """,
+    doc="Language ID via per-language marker-word scoring with a "
+    "deterministic argmax (fixed tie order en>es>fr>de) — north-star text "
+    "op; on real corpora the marker lists widen, the plan is identical.",
+)
+def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), r"\s+")
+    def _count_in(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.array_size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {
+        lang: _count_in(markers).cast("long").alias(f"s_{lang}")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), *scores.values())
+    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
+    predicted = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return scored.select(
+        "doc_id", "labeled_lang", predicted.alias("predicted_lang"), "s_en", "s_es", "s_fr", "s_de"
+    )
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT md5(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS fingerprint,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Document fingerprinting: normalize (lower, collapse non-alnum) → "
+    "md5 → group = exact-dup clusters with first-seen canonical "
+    "(north-star dedup building block; md5 is identical across engines).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "))
+    return d.groupBy(fp.alias("fingerprint")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )

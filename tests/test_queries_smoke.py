@@ -1,0 +1,71 @@
+"""Smoke + invariant tests for every registered query at sf0.001.
+
+The full value-level oracle check runs in tools/verify_queries.py (and the
+driver's own gate at sf0.01); here we pin cheap invariants that catch
+regressions fast: every query plans and executes, row counts are sane, and
+operator-specific properties hold.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import all_specs
+
+SPECS = all_specs()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_runs(spark, sf_dir, name):
+    df = SPECS[name].builder(spark, sf_dir)
+    assert df.columns, name
+    assert df.count() >= 0
+
+
+def test_every_query_has_doc():
+    for name, spec in SPECS.items():
+        assert spec.doc, f"{name} missing doc"
+
+
+def test_oracle_coverage():
+    """Every query should carry a DuckDB oracle unless fundamentally non-SQL."""
+    missing = [n for n, s in SPECS.items() if s.oracle is None]
+    assert missing == [], f"queries without oracle: {missing}"
+
+
+def test_date_dimension_shape(spark, sf_dir):
+    df = SPECS["date_dimension"].builder(spark, sf_dir)
+    assert df.count() == 366  # 2016 is a leap year
+    row = df.where(F.col("full_date") == "2016-01-04").first()
+    assert row.day_of_week == 0  # Monday, pandas convention
+    assert row.day_name == "Monday"
+    assert row.date_key == 20160104
+
+
+def test_surrogate_keys_dense(spark, sf_dir):
+    df = SPECS["surrogate_key_assignment"].builder(spark, sf_dir)
+    keys = [r.segment_key for r in df.collect()]
+    assert keys == list(range(1, len(keys) + 1))
+
+
+def test_pk_check_consistency(spark, sf_dir):
+    row = SPECS["pk_uniqueness_check"].builder(spark, sf_dir).first()
+    assert row.total_rows == row.unique_keys + row.duplicate_keys
+
+
+def test_knn_returns_k_per_query(spark, sf_dir):
+    df = SPECS["embedding_knn_bruteforce"].builder(spark, sf_dir)
+    per_q = {r.q_id: r.n for r in df.groupBy("q_id").agg(F.count("*").alias("n")).collect()}
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(v == 3 for v in per_q.values())
+
+
+def test_jaccard_bounds(spark, sf_dir):
+    df = SPECS["ngram_jaccard_pairs"].builder(spark, sf_dir)
+    row = df.agg(F.min("jaccard").alias("lo"), F.max("jaccard").alias("hi")).first()
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_simhash_within_16_bits(spark, sf_dir):
+    df = SPECS["simhash_signatures"].builder(spark, sf_dir)
+    row = df.agg(F.min("simhash16").alias("lo"), F.max("simhash16").alias("hi")).first()
+    assert 0 <= row.lo and row.hi < (1 << 16)

@@ -1,0 +1,102 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on sf0.01 Spark-side, the matching
+``oracle_sql()`` via DuckDB over the same parquet, and compares:
+row count, column names, and an order-insensitive value compare
+(columns sorted by name, rows sorted, values normalized).
+
+Usage: python tools/verify_queries.py [name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+from fitness_nutrition_data_pipeline_spark.queries import all_specs  # noqa: E402
+from fitness_nutrition_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, bool):
+        return str(v).lower()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return sorted(c for c in cols), out
+
+
+def main(names=None):
+    spark = get_spark("verify_queries")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    specs = all_specs()
+    if names:
+        specs = {n: specs[n] for n in names}
+    n_pass = n_fail = n_weak = 0
+    for name, spec in specs.items():
+        t0 = time.time()
+        try:
+            sdf = spec.builder(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if spec.oracle is None:
+            print(f"WEAK {name}: rows={len(srows)} (no oracle)")
+            n_weak += 1
+            continue
+        try:
+            orc = con.execute(spec.oracle)
+            ocols = [d[0] for d in orc.description]
+            orows = orc.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sr = norm_rows(scols, srows)
+        oc, orw = norm_rows(ocols, orows)
+        dt = time.time() - t0
+        if sc != oc:
+            print(f"FAIL {name}: schema mismatch spark={sc} duck={oc}")
+            n_fail += 1
+        elif len(sr) != len(orw):
+            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(orw)}")
+            n_fail += 1
+        elif sr != orw:
+            diffs = [(a, b) for a, b in zip(sr, orw) if a != b][:3]
+            print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(sr,orw) if a!=b])} rows) e.g. {diffs}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: rows={len(sr)} ({dt:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:] or None))
