@@ -1,0 +1,89 @@
+"""Warehouse load layer (SURVEY §2.1 S4-S5).
+
+The reference DDL-replays db_schema.sql into MySQL and appends via to_sql
+in dependency order (main_etl_pipeline.py:714-794). Spark-natively the
+warehouse is parquet: overwrite ≙ DROP/CREATE (db_schema.sql:10-27), the
+same Dims→Bridges→Facts order, each table registered as a view for the
+validation corpus / downstream SQL. An optional JDBC mirror keeps MySQL
+parity where a server exists.
+
+Scale notes (100 TB posture, encoded here even though local data is tiny):
+- facts support partitionBy (DateKey) so date-window queries prune
+  partitions at the scan;
+- fact surrogate keys are ``monotonically_increasing_id`` — unique without
+  any coordination or shuffle (the AUTO_INCREMENT equivalent; dense 1..N
+  would force a global ordering for no analytical benefit).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
+
+LOAD_ORDER = [
+    "Dim_Date", "Dim_User", "Dim_FitnessGoal", "Dim_FitnessType",
+    "Dim_HealthCondition", "Dim_Exercise", "Dim_Diet", "Dim_FoodItem",
+    "Dim_MetricType", "Dim_WorkoutType", "Dim_MealType",
+    "Bridge_User_HealthCondition", "Bridge_User_WorkoutPreference",
+    "Bridge_User_DietPreference",
+    "Fact_UserSnapshot", "Fact_WorkoutSession", "Fact_HealthMetric",
+    "Fact_NutritionLog",
+]
+
+FACT_SURROGATES = {
+    "Fact_UserSnapshot": "SnapshotKey",
+    "Fact_WorkoutSession": "SessionKey",
+    "Fact_HealthMetric": "MetricKey",
+    "Fact_NutritionLog": "LogKey",
+}
+
+PARTITIONED_FACTS = ("Fact_WorkoutSession", "Fact_HealthMetric", "Fact_NutritionLog")
+
+
+def load_warehouse(
+    spark: SparkSession,
+    warehouse: dict[str, DataFrame],
+    warehouse_dir: str,
+    *,
+    partition_facts: bool = False,
+    register_views: bool = True,
+) -> dict[str, str]:
+    """Write all tables in dependency order; returns table → path."""
+    paths: dict[str, str] = {}
+    for name in LOAD_ORDER:
+        if name not in warehouse:
+            logger.warning("table %s not found in transformed data, skipping", name)
+            if register_views:
+                # drop any stale view from a previous run in this session —
+                # overwrite ≙ DROP/CREATE applies to absent tables too
+                spark.catalog.dropTempView(name)
+            continue
+        df = warehouse[name]
+        if name in FACT_SURROGATES:
+            df = df.withColumn(FACT_SURROGATES[name], F.monotonically_increasing_id())
+        path = os.path.join(warehouse_dir, name.lower())
+        writer = df.write.mode("overwrite")
+        if partition_facts and name in PARTITIONED_FACTS:
+            writer = writer.partitionBy("DateKey")
+        writer.parquet(path)
+        paths[name] = path
+        if register_views:
+            spark.read.parquet(path).createOrReplaceTempView(name)
+    return paths
+
+
+def mirror_to_jdbc(
+    warehouse: dict[str, DataFrame], url: str, properties: dict[str, str]
+) -> None:
+    """Optional MySQL-parity sink (S4): append in dependency order via JDBC
+    (reference main_etl_pipeline.py:752-794)."""
+    for name in LOAD_ORDER:
+        if name in warehouse:
+            warehouse[name].write.format("jdbc").option("url", url).option(
+                "dbtable", name.lower()
+            ).options(**properties).mode("append").save()

@@ -1,0 +1,77 @@
+"""Surrogate-key assignment that scales.
+
+The reference assigns keys with a sequential counter while iterating rows
+(main_etl_pipeline.py:172, 192-193, 261-263, 297-299). The naive Spark
+translation — ``row_number()`` over a global (unpartitioned) window — is
+correct but funnels every row through ONE task: fine for small dims,
+a non-starter for a 100 TB fact or a billion-profile resolution.
+
+``assign_sequential_ids`` keeps the same dense 1..N, order-defined
+semantics with no global window: range-repartition on the order columns
+(so partitions are globally ordered), number rows inside each partition,
+and add per-partition offsets computed from a tiny per-partition count
+(driver-side, one row per partition — metadata, not data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PART = "__part_id"
+_LOCAL = "__local_rn"
+
+
+def with_order_index(df: DataFrame, name: str = "_row_idx") -> DataFrame:
+    """Attach a monotonically increasing index preserving datasource row
+    order within each file/partition.
+
+    For single-file inputs (the reference's CSVs) this reproduces pandas'
+    row index. At scale, prefer an explicit ordering column in the data —
+    file row order is only meaningful per file.
+    """
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def assign_sequential_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    key_col: str,
+    *,
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add dense sequential ids ``start..start+N-1`` ordered by
+    ``order_cols``, without a single-task global sort window.
+
+    Plan: repartitionByRange(order_cols) → per-partition row_number →
+    + broadcast per-partition offsets. The only driver-side data is one
+    count per partition.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        _PART, F.spark_partition_id()
+    )
+    w = Window.partitionBy(_PART).orderBy(*[F.col(c) for c in order_cols])
+    local = parted.withColumn(_LOCAL, F.row_number().over(w))
+
+    # One row per partition — tiny, safe to collect.
+    counts = sorted(
+        (r[_PART], r["cnt"])
+        for r in local.groupBy(_PART).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, start
+    for pid, cnt in counts:
+        offsets[pid] = acc
+        acc += cnt
+    spark = df.sparkSession
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], schema=f"{_PART} int, __offset long"
+        )
+    )
+    return (
+        local.join(offsets_df, _PART)
+        .withColumn(key_col, (F.col(_LOCAL) - 1 + F.col("__offset")).cast("long"))
+        .drop(_PART, _LOCAL, "__offset")
+    )

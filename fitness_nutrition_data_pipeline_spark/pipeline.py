@@ -1,0 +1,106 @@
+"""Pipeline orchestrator (SURVEY §3.1) — the reference's
+``run_full_etl_pipeline`` skeleton (main_etl_pipeline.py:947-976) with the
+eager pandas stages replaced by lazy DataFrame DAGs materialized per
+output table at load time.
+
+Stage map:
+  extract  → sources/fitness.extract_all          (:956-959)
+  transform→ resolution + dimensions + bridges + facts (:961-962)
+  load     → load.load_warehouse (parquet ≙ MySQL) (:964-966)
+  validate → validation.validate_warehouse         (:968-969)
+  report   → report.write_report                   (:970)
+
+The staging profile plan is cached once and consumed by dims, bridges,
+facts and the snapshot — the reference re-reads the same in-memory frame
+five times (main_etl_pipeline.py:366, 475, 487, 518, 639).
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.config import PipelineConfig
+from fitness_nutrition_data_pipeline_spark.load import load_warehouse
+from fitness_nutrition_data_pipeline_spark.operators.resolution import resolve_users
+from fitness_nutrition_data_pipeline_spark.plans.bridges import build_bridges
+from fitness_nutrition_data_pipeline_spark.plans.dimensions import build_dimensions
+from fitness_nutrition_data_pipeline_spark.plans.facts import build_facts
+from fitness_nutrition_data_pipeline_spark.report import build_report, write_report
+from fitness_nutrition_data_pipeline_spark.sources.fitness import extract_all
+from fitness_nutrition_data_pipeline_spark.validation import validate_warehouse
+
+logger = logging.getLogger(__name__)
+
+
+class FitnessWarehousePipeline:
+    def __init__(self, spark: SparkSession, cfg: PipelineConfig | None = None):
+        self.spark = spark
+        self.cfg = cfg or PipelineConfig()
+        self.sources: dict[str, object] = {}
+        self.staging: DataFrame | None = None
+        self.mapping: DataFrame | None = None
+        self.warehouse: dict[str, DataFrame] = {}
+
+    # -- stages ------------------------------------------------------------
+
+    def extract(self, sources: dict[str, object] | None = None) -> dict[str, object]:
+        self.sources = sources if sources is not None else extract_all(self.spark, self.cfg)
+        return self.sources
+
+    def transform(self) -> dict[str, DataFrame]:
+        fitbit = self.sources.get("fitbit") or {}
+        fitbit_ids: DataFrame | None = None
+        for df in fitbit.values():
+            if "Id" in df.columns:
+                ids = df.select("Id")
+                fitbit_ids = ids if fitbit_ids is None else fitbit_ids.unionByName(ids)
+
+        staging, mapping = resolve_users(
+            self.sources.get("mendeley_health"),
+            self.sources.get("gym_members"),
+            fitbit_ids,
+            self.cfg,
+        )
+        self.staging = staging.cache()
+        self.mapping = mapping.cache()
+
+        dims = build_dimensions(
+            self.spark, self.staging, self.sources.get("nutrition"), self.cfg
+        )
+        bridges = build_bridges(self.staging, dims)
+        facts = build_facts(
+            self.spark, self.sources, self.staging, self.mapping, dims, self.cfg
+        )
+        self.warehouse = {**dims, **bridges, **facts}
+        return self.warehouse
+
+    def load(self, *, partition_facts: bool = False) -> dict[str, str]:
+        return load_warehouse(
+            self.spark,
+            self.warehouse,
+            self.cfg.warehouse_dir,
+            partition_facts=partition_facts,
+        )
+
+    def validate(self):
+        return validate_warehouse(self.spark)
+
+    # -- end-to-end --------------------------------------------------------
+
+    def run(self, sources: dict[str, object] | None = None) -> dict:
+        self.extract(sources)
+        self.transform()
+        self.load()
+        results = self.validate()
+        n_mapped = self.mapping.count() if self.mapping is not None else 0
+        report = build_report(results, list(self.sources.keys()), n_mapped)
+        write_report(report, self.cfg.output_dir)
+        logger.info(
+            "ETL complete | records: %s | score: %.1f/100",
+            report["total_records"],
+            report["validation"]["quality_score"],
+        )
+        return report

