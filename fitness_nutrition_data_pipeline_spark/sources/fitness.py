@@ -102,7 +102,9 @@ FITBIT_FILES: dict[str, tuple[str, T.StructType]] = {
 def _read_csv(
     spark: SparkSession, path: str, schema: T.StructType | None = None
 ) -> DataFrame:
-    reader = spark.read.option("header", True)
+    # escape='"' → RFC4180 doubled-quote escaping (what pandas/csv write);
+    # Spark's default backslash-escape silently corrupts quoted fields.
+    reader = spark.read.option("header", True).option("escape", '"')
     if schema is not None:
         reader = reader.schema(schema)
     else:
