@@ -90,28 +90,48 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quadratic compare only runs within buckets.",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Explode-join-aggregate instead of whole-array intersect on a
+    # self-join: |intersection| comes from an equi-join on (shingle,
+    # adjacent ids) with map-side partial counts, |union| from per-doc
+    # sizes. This is the plan that survives scale — work is proportional
+    # to matching shingles, shuffled by shingle, never quadratic in
+    # array length.
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower("text"), r"\s+")
+    # zip_with over two slices, NOT element_at inside transform: a lambda
+    # that indexes the source array re-evaluates the split per element
+    # (O(n^2) per doc); slices evaluate it O(1) times per row.
+    n = F.array_size(toks)
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.array_size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
     )
     sh = d.select("doc_id", shingles.alias("shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = F.array_size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.array_size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
-    jac = inter.cast("double") / union
-    return (
-        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(jac, 4).alias("jaccard"),
-            F.when(jac >= 0.5, 1).otherwise(0).alias("is_near_dup"),
-        )
+    sizes = sh.select("doc_id", F.array_size("shingles").alias("n_sh"))
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+
+    a_sz = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
+    b_sz = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
+    pairs = a_sz.join(b_sz, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+
+    ea = exploded.select(F.col("doc_id").alias("doc_id_a"), "shingle")
+    eb = exploded.select(F.col("doc_id").alias("doc_id_b"), "shingle")
+    inter = (
+        ea.join(eb, (F.col("doc_id_b") == F.col("doc_id_a") + 1) & (ea["shingle"] == eb["shingle"]))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))
+    )
+    return pairs.join(inter, ["doc_id_a", "doc_id_b"], "left").select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(jac, 4).alias("jaccard"),
+        F.when(jac >= 0.5, 1).otherwise(0).alias("is_near_dup"),
     )
 
 
@@ -120,10 +140,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sig_exprs_sql() -> list[str]:
+    """8 minhash signatures from 2 md5 evaluations: each md5 is 128 bits,
+    sliced into four 32-bit (8-hex-char) windows; lexicographic min over
+    hex ≡ numeric min. Quarters the hash cost vs one md5 per permutation
+    with the same plan shape."""
+    exprs = []
+    for k in range(N_MINHASH):
+        seed, window = divmod(k, 4)
+        exprs.append(f"min(substr(md5('s{seed}|' || shingle), {window * 8 + 1}, 8)) AS sig{k}")
+    return exprs
+
+
 def _minhash_oracle() -> str:
-    sig_cols = ",\n             ".join(
-        f"min(md5('s{k}|' || shingle)) AS sig{k}" for k in range(N_MINHASH)
-    )
+    sig_cols = ",\n             ".join(_sig_exprs_sql())
     band_selects = "\n      UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
         for b in range(N_BANDS)
@@ -164,19 +194,24 @@ def _minhash_oracle() -> str:
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split(F.lower("text"), r"\s+")
+    # zip_with over two slices, NOT element_at inside transform: a lambda
+    # that indexes the source array re-evaluates the split per element
+    # (O(n^2) per doc); slices evaluate it O(1) times per row.
+    n = F.array_size(toks)
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.array_size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
         )
     )
     exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    sigs = exploded.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"s{k}|"), F.col("shingle")))).alias(f"sig{k}")
-            for k in range(N_MINHASH)
-        ]
-    )
+    sig_aggs = []
+    for k in range(N_MINHASH):
+        seed, window = divmod(k, 4)
+        h = F.md5(F.concat(F.lit(f"s{seed}|"), F.col("shingle")))
+        sig_aggs.append(F.min(F.substring(h, window * 8 + 1, 8)).alias(f"sig{k}"))
+    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
     stack_args = ", ".join(
         f"{b}, md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(N_BANDS)
     )
