@@ -43,6 +43,7 @@ def all_specs() -> dict[str, QuerySpec]:
     from fitness_nutrition_data_pipeline_spark.queries import (  # noqa: F401
         llm_ops,
         relational,
+        relational2,
         text_ops,
     )
 

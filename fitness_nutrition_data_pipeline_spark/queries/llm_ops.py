@@ -226,6 +226,90 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_flags_oracle() -> str:
+    sig_cols = ",\n             ".join(_sig_exprs_sql())
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return rf"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1]))) AS shingle
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    mins AS (
+      SELECT band_id, band_key, min(doc_id) AS bucket_min
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT b.doc_id,
+           CAST(max(CASE WHEN b.doc_id > m.bucket_min THEN 1 ELSE 0 END) AS INT)
+               AS is_dup_candidate
+    FROM bands b JOIN mins m USING (band_id, band_key)
+    GROUP BY b.doc_id
+    """
+
+
+@register(
+    "minhash_dedup_flags",
+    _dedup_flags_oracle(),
+    doc="LSH dedup decision without pairwise expansion: per-bucket min "
+    "doc_id is the canonical survivor; any doc above a bucket minimum is a "
+    "near-dup candidate. Linear in corpus size (agg + broadcast-join), "
+    "never quadratic — the decision stage of the 100 TB near-dedup plan.",
+)
+def minhash_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), r"\s+")
+    # zip_with over two slices, NOT element_at inside transform: a lambda
+    # that indexes the source array re-evaluates the split per element
+    # (O(n^2) per doc); slices evaluate it O(1) times per row.
+    n = F.array_size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    )
+    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sig_aggs = []
+    for k in range(N_MINHASH):
+        seed, window = divmod(k, 4)
+        h = F.md5(F.concat(F.lit(f"s{seed}|"), F.col("shingle")))
+        sig_aggs.append(F.min(F.substring(h, window * 8 + 1, 8)).alias(f"sig{k}"))
+    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
+    stack_args = ", ".join(
+        f"{b}, md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(N_BANDS)
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.expr(f"stack({N_BANDS}, {stack_args})").alias("band_id", "band_key"),
+    )
+    mins = bands.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("bucket_min"))
+    return (
+        bands.join(mins, ["band_id", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.when(F.col("doc_id") > F.col("bucket_min"), 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("is_dup_candidate")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (16-bit, md5-nibble-parity — portable across engines)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,293 @@
+"""Advanced relational operators — pivot, rollup / grouping sets,
+sessionization, per-group top-n, semi/anti joins, set ops, percentiles,
+running windows. These extend SURVEY §2.4-2.5 beyond the reference's own
+surface so the engine covers the full analytical toolkit at parity with
+what its MySQL corpus could grow into.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "pivot_status_counts",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="groupBy().pivot() wide reshape — Catalyst rewrites to one pass of "
+    "conditional aggregates (the oracle spells that rewrite out).",
+)
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce("O", F.lit(0)).alias("n_open"),
+        F.coalesce("F", F.lit(0)).alias("n_finished"),
+        F.coalesce("P", F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "rollup_qty",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag → flag+status → grand total) in one "
+    "shuffle via Expand — no per-level re-scan.",
+)
+def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="GROUPING SETS — two independent aggregation keys in one Expand "
+    "pass instead of a UNION ALL of scans.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+    doc="Sessionization: 30-min-gap session breaks via lag + running sum of "
+    "start flags, then per-session aggregates — the standard event-stream "
+    "pattern; one shuffle on user_id, windows stay within partitions.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    starts = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(gap > 1800000000, 1).when(gap.isNull(), 1).otherwise(0).alias("is_start"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = starts.withColumn("session_no", F.sum("is_start").over(w2))
+    return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+
+
+@register(
+    "topn_per_group",
+    """
+    SELECT p_brand, p_partkey, p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part
+    ) t WHERE rn <= 2
+    """,
+    doc="Per-group top-n via ranked window — partitioned (no global sort); "
+    "Catalyst pushes the rn<=2 filter into the window as a group limit.",
+)
+def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT SEMI join (EXISTS): customers with at least one order — "
+    "returns each left row at most once, no fan-out, dim side streams.",
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+    SELECT 'intersect' AS op, count(*) AS n FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey FROM orders
+    )
+    UNION ALL
+    SELECT 'except', count(*) FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT set semantics (dedup + membership) — planned as "
+    "semi/anti joins after aggregate, not materialized sets.",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.where(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    ordered = o.select(F.col("o_custkey").alias("k"))
+    inter = rich.intersect(ordered).agg(
+        F.lit("intersect").alias("op"), F.count(F.lit(1)).alias("n")
+    )
+    exc = rich.exceptAll(ordered).distinct().agg(
+        F.lit("except").alias("op"), F.count(F.lit(1)).alias("n")
+    )
+    return inter.unionAll(exc)
+
+
+@register(
+    "percentile_stats",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median / p95) per group — "
+    "percentile() in Spark ≡ quantile_cont in DuckDB (linear "
+    "interpolation). The approx path at 100 TB is approx_percentile with "
+    "the same plan shape.",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(CAST(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2)
+               AS running_revenue
+    FROM orders
+    WHERE o_custkey < 50
+    """,
+    doc="Running (cumulative) aggregate per customer ordered by time — "
+    "rows-frame window; partition-local, no global sort.",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 50)
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    )
+
+
+@register(
+    "monthly_customer_spend",
+    """
+    SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
+           round(avg(o_totalprice), 2) AS avg_order
+    FROM orders
+    GROUP BY o_custkey, date_trunc('month', o_orderdate)
+    ORDER BY total_spend DESC, o_custkey, month
+    LIMIT 10
+    """,
+    doc="Monthly per-user aggregates + top-k — the 'monthly AVG calories/"
+    "protein per user LIMIT 10' smoke test (validation.sql:375-385) on the "
+    "synthetic schema.",
+)
+def monthly_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            "o_custkey",
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_order"),
+        )
+        .orderBy(F.desc("total_spend"), "o_custkey", "month")
+        .limit(10)
+    )

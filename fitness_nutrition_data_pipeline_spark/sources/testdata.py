@@ -34,9 +34,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # (spark.sql.legacy.parquet.nanosAsLong) — restore a real timestamp at
     # microsecond precision (matching what the DuckDB oracle sees).
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # integer division — float division loses precision (epoch-nanos
+        # exceed double's 2^53 exact-integer range)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
