@@ -34,6 +34,8 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "embedding_knn_bruteforce",
     "doc_quality_score",
+    "sessionize_events",
+    "rollup_qty",
 ]
 
 
