@@ -20,7 +20,6 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.config import PipelineConfig
 from fitness_nutrition_data_pipeline_spark.load import load_warehouse

@@ -472,3 +472,125 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.round(F.avg("cosine_sim"), 6).alias("avg_sim"),
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb, label FROM embeddings),
+    pairs AS (
+      SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+             round({_COS_SQL.format(a="a.emb", b="b.emb")}, 6) AS sim
+      FROM e a JOIN e b ON a.label = b.label AND b.vec_id > a.vec_id
+    )
+    SELECT label, count(*) AS n_pairs,
+           CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           round(max(sim), 6) AS max_sim
+    FROM pairs GROUP BY label
+    """,
+    doc="Embedding-cosine near-dup detection, blocked by label so the "
+    "pairwise compare stays within blocks (the embedding analogue of LSH "
+    "bucketing): at scale blocks come from coarse quantization and the "
+    "cross-block pair space is never materialized.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    sim = F.round(_cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    pairs = a.join(
+        b, (F.col("a.label") == F.col("b.label")) & (F.col("b.vec_id") > F.col("a.vec_id"))
+    ).select(F.col("a.label").alias("label"), sim.alias("sim"))
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("sim") >= 0.9, 1).otherwise(0)).alias("n_near_dup"),
+        F.round(F.max("sim"), 6).alias("max_sim"),
+    )
+
+
+@register(
+    "embedding_ann_ivf_probe",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT e.vec_id AS q_id, e.emb AS q_emb, assign.centroid_id
+          FROM e JOIN assign ON e.vec_id = assign.vec_id
+          WHERE e.vec_id >= 495),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS neighbor_id,
+             round({_COS_SQL.format(a="q.q_emb", b="e.emb")}, 6) AS cosine_sim
+      FROM q
+      JOIN assign cand ON cand.centroid_id = q.centroid_id AND cand.vec_id <> q.q_id
+      JOIN e ON e.vec_id = cand.vec_id
+    )
+    SELECT q_id, neighbor_id, cosine_sim
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cosine_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="IVF-probed ANN: assign all vectors to their nearest of k "
+    "centroids, then answer each query by scanning ONLY its centroid's "
+    "cluster — the scale path where brute force scans 1/k of the corpus "
+    "per query (nprobe=1). Same result contract as the brute-force "
+    "baseline, recall traded for the pruned scan.",
+)
+def embedding_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    c = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
+    )
+    scored_c = e.join(F.broadcast(c)).select(
+        "vec_id",
+        "centroid_id",
+        F.round(_cosine(F.col("emb"), F.col("c_emb")), 6).alias("c_sim"),
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), "centroid_id")
+    assign = (
+        scored_c.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    q = (
+        e.join(assign, "vec_id")
+        .where(F.col("vec_id") >= 495)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("emb").alias("q_emb"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
+    )
+    cand = assign.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("n_centroid")
+    )
+    scored = (
+        cand.join(F.broadcast(q), (F.col("n_centroid") == F.col("q_centroid"))
+                  & (F.col("neighbor_id") != F.col("q_id")))
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb")),
+              "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("q_id", "neighbor_id", "cosine_sim")
+    )
