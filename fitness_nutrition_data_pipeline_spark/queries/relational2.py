@@ -291,3 +291,29 @@ def monthly_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_spend"), "o_custkey", "month")
         .limit(10)
     )
+
+
+@register(
+    "salted_event_counts",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(CAST(sum(value) AS DOUBLE), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Skew-resistant two-stage (salted) aggregation: stage 1 groups by "
+    "(key, salt) so one hot key spreads over 16 reducers, stage 2 merges "
+    "partials. Result is identical to the direct groupBy — the oracle IS "
+    "the direct groupBy — only the shuffle distribution differs. The "
+    "manual form of what AQE skew handling does for joins.",
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("value").alias("_v")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.round(F.sum("_v"), 2).alias("total_value"),
+    )

@@ -212,3 +212,116 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc_id"),
     )
+
+
+@register(
+    "winnowing_fingerprints",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS h,
+             len(t) - 2 AS n_grams
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, n_grams
+      FROM grams
+    )
+    SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           min(fp) AS min_fingerprint
+    FROM wins WHERE pos <= n_grams - 3
+    GROUP BY doc_id
+    """,
+    doc="Winnowing document fingerprints (MOSS): 3-gram hashes → sliding "
+    "window-of-4 minima → distinct selected fingerprints per doc. Window "
+    "min is a rows-frame aggregate (partition-local, linear); guarantees "
+    "any shared run ≥ window+gram covers a shared fingerprint.",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower("text"), r"\s+")
+    n = F.array_size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.zip_with(F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                   lambda y, z: F.concat_ws(" ", y, z)),
+        lambda x, yz: F.concat_ws(" ", x, yz),
+    )
+    rows = d.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram"), (n - 2).alias("n_grams")
+    ).select("doc_id", "pos", F.substring(F.md5("gram"), 1, 8).alias("h"), "n_grams")
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wins = rows.select(
+        "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
+    )
+    return (
+        wins.where(F.col("pos") <= F.col("n_grams") - 4)  # 0-based ≙ oracle's 1-based
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fingerprint"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tfidf
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3 AND doc_id < 50
+    """,
+    doc="TF-IDF scoring + top-3 terms per document: tf and df as two "
+    "aggregations over one token explode, idf via a broadcast scalar, "
+    "ranked window per doc. Ranking on the rounded score (4dp) with a term "
+    "tie-break keeps the selection engine-independent despite ln() ulp "
+    "differences.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tfidf")
+    )
