@@ -45,9 +45,12 @@ def main() -> None:
     spark = get_spark("bench")
     specs = all_specs()
 
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not session cold-start.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM + file listings once so per-query numbers measure the
+    # query, not session cold-start or first-touch footer reads.
+    from fitness_nutrition_data_pipeline_spark.sources.testdata import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,130 @@
+"""Reusable deduplication operators (north-star dedup surface): exact,
+MinHash+LSH, SimHash, n-gram Jaccard. All md5-based so results are
+portable/verifiable; all plans linear in corpus size (explode → partial
+agg → shuffle-on-key), never globally quadratic.
+
+queries/llm_ops.py binds these to the testdata `documents` table; library
+users call them on any (id, text) DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.text import word_shingles
+
+_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def exact_dedup_summary(df: DataFrame, content_col: str) -> DataFrame:
+    """Corpus-level exact-dup stats via content hash."""
+    h = F.md5(content_col)
+    return df.agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.countDistinct(h).alias("distinct_texts"),
+        (F.count(F.lit(1)) - F.countDistinct(h)).alias("duplicate_docs"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8
+) -> DataFrame:
+    """Per-document MinHash signature columns sig0..sig{n-1}.
+
+    Hash-economical: each md5 yields four 32-bit hex windows, so n_hashes
+    signatures cost ceil(n/4) md5 evaluations per shingle (lexicographic
+    min over fixed-width hex ≡ numeric min).
+    """
+    exploded = df.select(
+        id_col, F.explode(word_shingles(text_col, 2)).alias("shingle")
+    )
+    aggs = []
+    for k in range(n_hashes):
+        seed, window = divmod(k, 4)
+        h = F.md5(F.concat(F.lit(f"s{seed}|"), F.col("shingle")))
+        aggs.append(F.min(F.substring(h, window * 8 + 1, 8)).alias(f"sig{k}"))
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, *, n_bands: int = 4) -> DataFrame:
+    """Signature → (id, band_id, band_key) rows; rows_per_band inferred
+    from the signature width."""
+    n_sigs = sum(1 for c in sigs.columns if c.startswith("sig"))
+    rows_per_band = n_sigs // n_bands
+    stack_args = ", ".join(
+        f"{b}, md5(concat({', '.join(f'sig{b * rows_per_band + r}' for r in range(rows_per_band))}))"
+        for b in range(n_bands)
+    )
+    return sigs.select(
+        id_col, F.expr(f"stack({n_bands}, {stack_args})").alias("band_id", "band_key")
+    )
+
+
+def lsh_buckets(bands: DataFrame, id_col: str, *, min_size: int = 2) -> DataFrame:
+    """Candidate near-dup buckets: band collisions with ≥ min_size docs."""
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("canonical_doc_id"))
+        .where(F.col("n_docs") >= min_size)
+    )
+
+
+def lsh_dup_flags(bands: DataFrame, id_col: str) -> DataFrame:
+    """Linear dedup decision: per-bucket min id survives; any id above a
+    bucket minimum is a near-dup candidate. No pairwise expansion."""
+    mins = bands.groupBy("band_id", "band_key").agg(F.min(id_col).alias("bucket_min"))
+    return (
+        bands.join(mins, ["band_id", "band_key"])
+        .groupBy(id_col)
+        .agg(
+            F.max(F.when(F.col(id_col) > F.col("bucket_min"), 1).otherwise(0))
+            .cast("int")
+            .alias("is_dup_candidate")
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash from md5-nibble parity votes (portable variant; swap
+    md5 for xxhash64 and width 64 for the production flavor — same plan)."""
+    toks = df.select(id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"))
+    md5c = F.md5("tok")
+    bit_aggs = []
+    for i in range(16):
+        vote = F.when(F.substring(md5c, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
+        bit_aggs.append(
+            F.when(F.sum(vote) > 0, F.lit(1 << i)).otherwise(F.lit(0)).alias(f"bit{i}")
+        )
+    bits = toks.groupBy(id_col).agg(*bit_aggs)
+    expr = F.col("bit0")
+    for i in range(1, 16):
+        expr = expr + F.col(f"bit{i}")
+    return bits.select(id_col, expr.cast("long").alias("simhash16"))
+
+
+def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """2-shingle Jaccard for (id, id+1) candidate pairs via explode-join-
+    aggregate: |∩| from an equi-join with map-side partial counts, |∪| from
+    per-doc sizes. At scale the candidate generator is LSH buckets; the
+    compare never goes globally quadratic."""
+    sh = df.select(id_col, word_shingles(text_col, 2).alias("shingles"))
+    sizes = sh.select(id_col, F.array_size("shingles").alias("n_sh"))
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+
+    a_sz = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = a_sz.join(b_sz, F.col("id_b") == F.col("id_a") + 1)
+
+    ea = exploded.select(F.col(id_col).alias("id_a"), "shingle")
+    eb = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        ea.join(eb, (F.col("id_b") == F.col("id_a") + 1) & (ea["shingle"] == eb["shingle"]))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    common = F.coalesce(F.col("n_common"), F.lit(0))
+    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    return pairs.join(inter, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", jac.alias("jaccard")
+    )

@@ -1,0 +1,120 @@
+"""Reusable embedding-similarity operators (north-star ANN surface):
+in-order double-precision cosine, brute-force top-k, centroid (IVF)
+assignment and cluster-probed search. All JVM-side (zip_with folds) —
+no UDFs; at larger dims a vectorized pandas UDF slot-in is the only
+change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """In-order fold cosine of two array<double> columns (deterministic
+    accumulation order — oracle-verifiable)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, *, k: int = 3
+) -> DataFrame:
+    """Exact top-k neighbors: broadcast the query set against the
+    partitioned corpus; only k rows per query survive the final shuffle."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    # corpus keeps its non-vector columns (labels/metadata ride along)
+    c = corpus.withColumn(vec_col, F.col(vec_col).cast("array<double>")).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    extra = [col for col in c.columns if col not in ("neighbor_id", vec_col)]
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id")).select(
+        "q_id",
+        "neighbor_id",
+        *extra,
+        F.round(cosine(F.col("q_vec"), F.col(vec_col)), 6).alias("cosine_sim"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def assign_centroids(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-centroid (IVF coarse quantization) assignment: (id,
+    centroid_id). Centroids broadcast; one pass over the corpus."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).cast("array<double>").alias("c_vec")
+    )
+    v = _as_double(vectors, id_col, vec_col)
+    scored = v.join(F.broadcast(c)).select(
+        id_col,
+        "centroid_id",
+        F.round(cosine(F.col(vec_col), F.col("c_vec")), 6).alias("c_sim"),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("c_sim"), "centroid_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "centroid_id", "c_sim")
+    )
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    assignments: DataFrame,
+    query_ids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """ANN via cluster probing (nprobe=1): each query scans only its own
+    centroid's cluster — 1/k_centroids of the corpus per query."""
+    v = _as_double(vectors, id_col, vec_col)
+    q = (
+        v.join(query_ids, id_col)
+        .join(assignments.select(id_col, "centroid_id"), id_col)
+        .select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("centroid_id").alias("q_centroid"),
+        )
+    )
+    cand = assignments.select(
+        F.col(id_col).alias("neighbor_id"), F.col("centroid_id").alias("n_centroid")
+    )
+    scored = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("n_centroid") == F.col("q_centroid"))
+            & (F.col("neighbor_id") != F.col("q_id")),
+        )
+        .join(
+            v.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("n_vec")),
+            "neighbor_id",
+        )
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+    )

@@ -1,0 +1,145 @@
+"""Reusable text-analysis operators over arbitrary DataFrames (north-star
+text surface). Pure Column-expression implementations — every function
+here whole-stage-codegens; nothing crosses into Python.
+
+The testdata-facing registered queries (queries/text_ops.py) are thin
+bindings of these operators; library users call them directly on their
+own tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def whitespace_tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), r"\s+")
+
+
+def word_shingles(col: Column | str, n: int = 2, *, distinct: bool = True) -> Column:
+    """n-word shingles of a text column.
+
+    Built with ``zip_with`` over slices — NOT ``element_at`` inside a
+    ``transform`` lambda, which re-evaluates the underlying split per
+    element (O(tokens²) per row).
+    """
+    toks = whitespace_tokens(col)
+    size = F.array_size(toks)
+    out = F.slice(toks, 1, size - (n - 1))
+    for i in range(1, n):
+        nxt = F.slice(toks, i + 1, size - (n - 1))
+        out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.array_distinct(out) if distinct else out
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace + BPE-ish regex token counts per row."""
+    return df.withColumn(
+        "ws_tokens", F.array_size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    ).withColumn(
+        "bpe_ish_tokens",
+        F.array_size(
+            F.regexp_extract_all(
+                F.lower(text_col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+            )
+        ),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] = ()
+) -> DataFrame:
+    """Length / avg-token-length / stopword-ratio features + pass flag
+    (C4/Gopher-style heuristic filter)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    n_toks = F.array_size(toks)
+    stop_count = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    ratio = stop_count.cast("double") / n_toks
+    return (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn(
+            "avg_token_len",
+            F.round(F.length(F.array_join(toks, "")).cast("double") / n_toks, 4),
+        )
+        .withColumn("stopword_ratio", F.round(ratio, 4))
+        .withColumn(
+            "passes_quality",
+            F.when((n_toks >= 10) & ratio.between(0.01, 0.6), 1).otherwise(0),
+        )
+    )
+
+
+def language_scores(
+    df: DataFrame, text_col: str, markers: dict[str, tuple[str, ...]]
+) -> DataFrame:
+    """Per-language marker-word hit counts (columns s_<lang>) + a
+    deterministic argmax ``predicted_lang`` (tie order = dict order)."""
+    toks = F.split(F.lower(text_col), r"\s+")
+
+    def count_in(words):
+        arr = F.array(*[F.lit(m) for m in words])
+        return F.array_size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
+
+    out = df
+    for lang, words in markers.items():
+        out = out.withColumn(f"s_{lang}", count_in(words))
+    langs = list(markers)
+    predicted = None
+    for i, lang in enumerate(langs[:-1]):
+        cond = None
+        for other in langs[i + 1 :]:
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        predicted = (
+            F.when(cond, lang) if predicted is None else predicted.when(cond, lang)
+        )
+    predicted = predicted.otherwise(langs[-1])
+    return out.withColumn("predicted_lang", predicted)
+
+
+def winnowing_fingerprint_summary(
+    df: DataFrame, id_col: str, text_col: str, *, gram: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing (MOSS) fingerprint selection: gram-hash sequence →
+    rows-frame window minima → distinct fingerprints per document."""
+    from pyspark.sql import Window as W
+
+    grams = word_shingles(text_col, gram, distinct=False)
+    rows = df.select(
+        id_col,
+        F.posexplode(grams).alias("pos", "gram"),
+    ).select(id_col, "pos", F.substring(F.md5("gram"), 1, 8).alias("h"))
+    counts = rows.groupBy(id_col).agg(F.max("pos").alias("_max_pos"))
+    w = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window - 1)
+    wins = rows.withColumn("fp", F.min("h").over(w)).join(counts, id_col)
+    return (
+        wins.where(F.col("pos") <= F.col("_max_pos") - (window - 1))
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("fp").alias("n_fingerprints"),
+            F.min("fp").alias("min_fingerprint"),
+        )
+    )
+
+
+def tfidf_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, tfidf) with tfidf = tf · ln(N/df), rounded 4dp so ranking
+    on it is engine-independent."""
+    toks = df.select(id_col, F.explode(whitespace_tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )

@@ -1,6 +1,11 @@
 """Large-scale training-data operators (BASELINE.json north star): exact
 and near dedup (MinHash+LSH, SimHash, n-gram Jaccard), embedding
-similarity search (brute-force top-k + centroid/IVF assignment).
+similarity search (brute-force top-k, centroid/IVF assignment, cluster-
+probed ANN, near-dup pairs).
+
+Each registered query binds reusable operators from
+``operators/dedup.py`` / ``operators/similarity.py`` to the testdata
+tables and pairs them with a DuckDB oracle.
 
 Portability contract: every hash is md5 (identical hex in Spark and
 DuckDB), every float reduction is an in-order fold over doubles, and every
@@ -13,16 +18,28 @@ driver-side loops, no UDFs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    exact_dedup_summary,
+    jaccard_on_adjacent_pairs,
+    lsh_bands,
+    lsh_buckets,
+    lsh_dup_flags,
+    minhash_signatures,
+    simhash16,
+)
+from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+    assign_centroids,
+    brute_force_topk,
+    cosine,
+    ivf_probe_topk,
+)
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
 N_MINHASH = 8  # permutations
 N_BANDS = 4  # LSH bands (rows_per_band = 2)
-
-_ODD_HEX = ("1", "3", "5", "7", "9", "b", "d", "f")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -31,6 +48,59 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL builders (shared CTE fragments)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = r"""
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1]))) AS shingle
+      FROM documents
+"""
+
+
+def _sig_exprs_sql() -> list[str]:
+    """8 minhash signatures from 2 md5 evaluations: each md5 is 128 bits,
+    sliced into four 32-bit (8-hex-char) windows; lexicographic min over
+    hex ≡ numeric min. Quarters the hash cost vs one md5 per permutation
+    with the same plan shape."""
+    exprs = []
+    for k in range(N_MINHASH):
+        seed, window = divmod(k, 4)
+        exprs.append(f"min(substr(md5('s{seed}|' || shingle), {window * 8 + 1}, 8)) AS sig{k}")
+    return exprs
+
+
+def _bands_cte() -> str:
+    sig_cols = ",\n             ".join(_sig_exprs_sql())
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
+        for b in range(N_BANDS)
+    )
+    return rf"""
+    WITH sh AS (
+      {_SHINGLE_CTE}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )"""
+
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> {a}[i] * {b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x * x))))"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -49,18 +119,12 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact dedup via content-hash groupBy — map-side partial agg, one "
     "shuffle on the hash; at 100 TB this is the standard first dedup pass.",
 )
-def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    h = F.md5("text")
-    return d.agg(
-        F.count(F.lit(1)).alias("total_docs"),
-        F.countDistinct(h).alias("distinct_texts"),
-        (F.count(F.lit(1)) - F.countDistinct(h)).alias("duplicate_docs"),
-    )
+def dedup_exact_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_summary(_docs(spark, sf_dir), "text")
 
 
 # ---------------------------------------------------------------------------
-# n-gram Jaccard near-dup (candidate pairs = adjacent doc_ids, same-source)
+# n-gram Jaccard near-dup (candidate pairs = adjacent doc_ids)
 # ---------------------------------------------------------------------------
 
 
@@ -85,53 +149,18 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
     """,
     doc="n-gram (2-shingle) Jaccard similarity on candidate pairs — the "
-    "verify stage of near-dedup. Candidates here are adjacent doc_ids; at "
-    "scale candidates come from LSH buckets (minhash_lsh_buckets) so the "
-    "quadratic compare only runs within buckets.",
+    "verify stage of near-dedup, explode-join-aggregate so work is "
+    "proportional to matching shingles. Candidates here are adjacent "
+    "doc_ids; at scale candidates come from LSH buckets "
+    "(minhash_lsh_buckets) so the compare never goes globally quadratic.",
 )
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Explode-join-aggregate instead of whole-array intersect on a
-    # self-join: |intersection| comes from an equi-join on (shingle,
-    # adjacent ids) with map-side partial counts, |union| from per-doc
-    # sizes. This is the plan that survives scale — work is proportional
-    # to matching shingles, shuffled by shingle, never quadratic in
-    # array length.
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower("text"), r"\s+")
-    # zip_with over two slices, NOT element_at inside transform: a lambda
-    # that indexes the source array re-evaluates the split per element
-    # (O(n^2) per doc); slices evaluate it O(1) times per row.
-    n = F.array_size(toks)
-    shingles = F.array_distinct(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        )
-    )
-    sh = d.select("doc_id", shingles.alias("shingles"))
-    sizes = sh.select("doc_id", F.array_size("shingles").alias("n_sh"))
-    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-
-    a_sz = sizes.select(F.col("doc_id").alias("doc_id_a"), F.col("n_sh").alias("n_a"))
-    b_sz = sizes.select(F.col("doc_id").alias("doc_id_b"), F.col("n_sh").alias("n_b"))
-    pairs = a_sz.join(b_sz, F.col("doc_id_b") == F.col("doc_id_a") + 1)
-
-    ea = exploded.select(F.col("doc_id").alias("doc_id_a"), "shingle")
-    eb = exploded.select(F.col("doc_id").alias("doc_id_b"), "shingle")
-    inter = (
-        ea.join(eb, (F.col("doc_id_b") == F.col("doc_id_a") + 1) & (ea["shingle"] == eb["shingle"]))
-        .groupBy("doc_id_a", "doc_id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.coalesce(F.col("n_common"), F.lit(0)).cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))
-    )
-    return pairs.join(inter, ["doc_id_a", "doc_id_b"], "left").select(
-        "doc_id_a",
-        "doc_id_b",
-        F.round(jac, 4).alias("jaccard"),
-        F.when(jac >= 0.5, 1).otherwise(0).alias("is_near_dup"),
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_on_adjacent_pairs(_docs(spark, sf_dir), "doc_id", "text")
+    return pairs.select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+        F.when(F.col("jaccard") >= 0.5, 1).otherwise(0).alias("is_near_dup"),
     )
 
 
@@ -140,115 +169,32 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sig_exprs_sql() -> list[str]:
-    """8 minhash signatures from 2 md5 evaluations: each md5 is 128 bits,
-    sliced into four 32-bit (8-hex-char) windows; lexicographic min over
-    hex ≡ numeric min. Quarters the hash cost vs one md5 per permutation
-    with the same plan shape."""
-    exprs = []
-    for k in range(N_MINHASH):
-        seed, window = divmod(k, 4)
-        exprs.append(f"min(substr(md5('s{seed}|' || shingle), {window * 8 + 1}, 8)) AS sig{k}")
-    return exprs
-
-
-def _minhash_oracle() -> str:
-    sig_cols = ",\n             ".join(_sig_exprs_sql())
-    band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
-        for b in range(N_BANDS)
-    )
-    return rf"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(string_split_regex(lower(text), '\s+'))),
-               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
-                    string_split_regex(lower(text), '\s+')[i+1]))) AS shingle
-      FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-             {sig_cols}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      {band_selects}
-    )
+@register(
+    "minhash_lsh_buckets",
+    _bands_cte()
+    + """
     SELECT band_id, band_key, count(*) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
     FROM bands
     GROUP BY band_id, band_key
     HAVING count(*) >= 2
-    """
+    """,
+    doc="MinHash (8 perms over md5 windows) + LSH banding (4 bands × 2 "
+    "rows): shingle-explode → per-doc min-agg → band-key groupBy. Buckets "
+    "with ≥2 docs are the near-dup candidate sets; the shuffle is on "
+    "band_key so the pairwise verify never goes quadratic globally — the "
+    "canonical 100 TB near-dedup plan.",
+)
+def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH)
+    return lsh_buckets(lsh_bands(sigs, "doc_id", n_bands=N_BANDS), "doc_id")
 
 
 @register(
-    "minhash_lsh_buckets",
-    _minhash_oracle(),
-    doc="MinHash (8 perms, min over md5('s<k>|'||shingle)) + LSH banding "
-    "(4 bands × 2 rows): shingle-explode → per-doc min-agg → band-key "
-    "groupBy. Buckets with ≥2 docs are the near-dup candidate sets; the "
-    "shuffle is on band_key so the pairwise verify never goes quadratic "
-    "globally — the canonical 100 TB near-dedup plan.",
-)
-def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower("text"), r"\s+")
-    # zip_with over two slices, NOT element_at inside transform: a lambda
-    # that indexes the source array re-evaluates the split per element
-    # (O(n^2) per doc); slices evaluate it O(1) times per row.
-    n = F.array_size(toks)
-    shingles = F.array_distinct(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        )
-    )
-    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig_aggs = []
-    for k in range(N_MINHASH):
-        seed, window = divmod(k, 4)
-        h = F.md5(F.concat(F.lit(f"s{seed}|"), F.col("shingle")))
-        sig_aggs.append(F.min(F.substring(h, window * 8 + 1, 8)).alias(f"sig{k}"))
-    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
-    stack_args = ", ".join(
-        f"{b}, md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(N_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.expr(f"stack({N_BANDS}, {stack_args})").alias("band_id", "band_key"),
-    )
-    return (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
-        .where(F.col("n_docs") >= 2)
-    )
-
-
-def _dedup_flags_oracle() -> str:
-    sig_cols = ",\n             ".join(_sig_exprs_sql())
-    band_selects = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || sig{2 * b + 1}) AS band_key FROM sigs"
-        for b in range(N_BANDS)
-    )
-    return rf"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(list_transform(
-               range(1, len(string_split_regex(lower(text), '\s+'))),
-               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
-                    string_split_regex(lower(text), '\s+')[i+1]))) AS shingle
-      FROM documents
-    ),
-    sigs AS (
-      SELECT doc_id,
-             {sig_cols}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      {band_selects}
-    ),
-    mins AS (
+    "minhash_dedup_flags",
+    _bands_cte()
+    + """
+    , mins AS (
       SELECT band_id, band_key, min(doc_id) AS bucket_min
       FROM bands GROUP BY band_id, band_key
     )
@@ -257,57 +203,15 @@ def _dedup_flags_oracle() -> str:
                AS is_dup_candidate
     FROM bands b JOIN mins m USING (band_id, band_key)
     GROUP BY b.doc_id
-    """
-
-
-@register(
-    "minhash_dedup_flags",
-    _dedup_flags_oracle(),
+    """,
     doc="LSH dedup decision without pairwise expansion: per-bucket min "
     "doc_id is the canonical survivor; any doc above a bucket minimum is a "
     "near-dup candidate. Linear in corpus size (agg + broadcast-join), "
     "never quadratic — the decision stage of the 100 TB near-dedup plan.",
 )
-def minhash_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower("text"), r"\s+")
-    # zip_with over two slices, NOT element_at inside transform: a lambda
-    # that indexes the source array re-evaluates the split per element
-    # (O(n^2) per doc); slices evaluate it O(1) times per row.
-    n = F.array_size(toks)
-    shingles = F.array_distinct(
-        F.zip_with(
-            F.slice(toks, 1, n - 1),
-            F.slice(toks, 2, n - 1),
-            lambda x, y: F.concat_ws(" ", x, y),
-        )
-    )
-    exploded = d.select("doc_id", F.explode(shingles).alias("shingle"))
-    sig_aggs = []
-    for k in range(N_MINHASH):
-        seed, window = divmod(k, 4)
-        h = F.md5(F.concat(F.lit(f"s{seed}|"), F.col("shingle")))
-        sig_aggs.append(F.min(F.substring(h, window * 8 + 1, 8)).alias(f"sig{k}"))
-    sigs = exploded.groupBy("doc_id").agg(*sig_aggs)
-    stack_args = ", ".join(
-        f"{b}, md5(concat(sig{2 * b}, sig{2 * b + 1}))" for b in range(N_BANDS)
-    )
-    bands = sigs.select(
-        "doc_id",
-        F.expr(f"stack({N_BANDS}, {stack_args})").alias("band_id", "band_key"),
-    )
-    mins = bands.groupBy("band_id", "band_key").agg(F.min("doc_id").alias("bucket_min"))
-    return (
-        bands.join(mins, ["band_id", "band_key"])
-        .groupBy("doc_id")
-        .agg(
-            F.max(
-                F.when(F.col("doc_id") > F.col("bucket_min"), 1).otherwise(0)
-            )
-            .cast("int")
-            .alias("is_dup_candidate")
-        )
-    )
+def minhash_dedup_flags_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH)
+    return lsh_dup_flags(lsh_bands(sigs, "doc_id", n_bands=N_BANDS), "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +220,7 @@ def minhash_dedup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    odd = "('" + "','".join(_ODD_HEX) + "')"
+    odd = "('1','3','5','7','9','b','d','f')"
     bit_sums = ",\n             ".join(
         f"CASE WHEN sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN {odd} "
         f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END AS bit{i}"
@@ -346,43 +250,13 @@ def _simhash_oracle() -> str:
     "16-expression groupBy, all codegen'd. Hamming-close signatures = "
     "near-dups; production variant uses 64-bit xxhash64 (same plan shape).",
 )
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
-    md5c = F.md5("tok")
-    bit_aggs = []
-    for i in range(16):
-        vote = F.when(F.substring(md5c, i + 1, 1).isin(*_ODD_HEX), 1).otherwise(-1)
-        bit_aggs.append(
-            F.when(F.sum(vote) > 0, F.lit(1 << i)).otherwise(F.lit(0)).alias(f"bit{i}")
-        )
-    bits = toks.groupBy("doc_id").agg(*bit_aggs)
-    total = bits.columns[1]
-    expr = F.col("bit0")
-    for i in range(1, 16):
-        expr = expr + F.col(f"bit{i}")
-    return bits.select("doc_id", expr.cast("long").alias("simhash16"))
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_docs(spark, sf_dir), "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------
-
-
-def _cosine(a, b):
-    """In-order double-precision cosine of two array<double> columns."""
-    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
-
-
-_COS_SQL = (
-    "list_sum(list_transform(range(1, 65), "
-    "i -> {a}[i] * {b}[i])) / "
-    "(sqrt(list_sum(list_transform({a}, x -> x * x))) * "
-    "sqrt(list_sum(list_transform({b}, x -> x * x))))"
-)
 
 
 @register(
@@ -407,25 +281,12 @@ _COS_SQL = (
     "row_number top-k. At 100 TB the candidate side stays partitioned and "
     "only k rows per query cross the final shuffle.",
 )
-def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
-    )
-    q = e.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("q_id"), F.col("emb").alias("q_emb")
-    )
-    cand = e.where(F.col("vec_id") >= 5)
-    scored = cand.join(F.broadcast(q)).select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.round(_cosine(F.col("q_emb"), F.col("emb")), 6).alias("cosine_sim"),
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("q_id", "neighbor_id", "neighbor_label", "cosine_sim")
+def embedding_knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    corpus = e.where(F.col("vec_id") >= 5).withColumnRenamed("label", "neighbor_label")
+    queries = e.where(F.col("vec_id") < 5)
+    return brute_force_topk(corpus, queries, "vec_id", "embedding", k=3).select(
+        "q_id", "neighbor_id", "neighbor_label", "cosine_sim"
     )
 
 
@@ -454,23 +315,13 @@ def embedding_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "of k centroids (broadcast) — the scale path for ANN: probe only the "
     "matching centroid's partition instead of the full corpus.",
 )
-def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    c = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
-    )
-    scored = e.join(F.broadcast(c)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(_cosine(F.col("emb"), F.col("c_emb")), 6).alias("cosine_sim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cosine_sim"), "centroid_id")
-    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
-    return best.groupBy("centroid_id").agg(
+def embedding_centroid_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < 10)
+    assign = assign_centroids(e, centroids, "vec_id", "embedding")
+    return assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.avg("cosine_sim"), 6).alias("avg_sim"),
+        F.round(F.avg("c_sim"), 6).alias("avg_sim"),
     )
 
 
@@ -493,13 +344,13 @@ def embedding_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketing): at scale blocks come from coarse quantization and the "
     "cross-block pair space is never materialized.",
 )
-def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
     )
     a = e.alias("a")
     b = e.alias("b")
-    sim = F.round(_cosine(F.col("a.emb"), F.col("b.emb")), 6)
+    sim = F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6)
     pairs = a.join(
         b, (F.col("a.label") == F.col("b.label")) & (F.col("b.vec_id") > F.col("a.vec_id"))
     ).select(F.col("a.label").alias("label"), sim.alias("sim"))
@@ -547,50 +398,9 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "per query (nprobe=1). Same result contract as the brute-force "
     "baseline, recall traded for the pruned scan.",
 )
-def embedding_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
-    )
-    c = e.where(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("c_emb")
-    )
-    scored_c = e.join(F.broadcast(c)).select(
-        "vec_id",
-        "centroid_id",
-        F.round(_cosine(F.col("emb"), F.col("c_emb")), 6).alias("c_sim"),
-    )
-    w_assign = W.partitionBy("vec_id").orderBy(F.desc("c_sim"), "centroid_id")
-    assign = (
-        scored_c.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
-    )
-    q = (
-        e.join(assign, "vec_id")
-        .where(F.col("vec_id") >= 495)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("emb").alias("q_emb"),
-            F.col("centroid_id").alias("q_centroid"),
-        )
-    )
-    cand = assign.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("centroid_id").alias("n_centroid")
-    )
-    scored = (
-        cand.join(F.broadcast(q), (F.col("n_centroid") == F.col("q_centroid"))
-                  & (F.col("neighbor_id") != F.col("q_id")))
-        .join(e.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("n_emb")),
-              "neighbor_id")
-        .select(
-            "q_id",
-            "neighbor_id",
-            F.round(_cosine(F.col("q_emb"), F.col("n_emb")), 6).alias("cosine_sim"),
-        )
-    )
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("q_id", "neighbor_id", "cosine_sim")
-    )
+def embedding_ann_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < 10)
+    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    query_ids = e.where(F.col("vec_id") >= 495).select("vec_id")
+    return ivf_probe_topk(e, assignments, query_ids, "vec_id", "embedding", k=3)

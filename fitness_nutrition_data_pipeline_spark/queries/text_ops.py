@@ -1,18 +1,28 @@
 """Text-analysis operators over the ``documents`` table — the
 training-data-pipeline surface (BASELINE.json north star): tokenization,
-quality scoring, language ID, fingerprinting, vocabulary inventory.
+quality scoring, language ID, fingerprinting, TF-IDF, winnowing,
+vocabulary inventory.
 
-All hot-path logic is JVM-side Column expressions (split/regexp/array
-functions) — no Python UDFs — so the same code whole-stage-codegens on a
-real cluster. Hashing uses md5 (identical hex output in Spark and DuckDB)
-so every op stays oracle-verifiable.
+Each registered query binds a reusable operator from
+``operators/text.py`` to the testdata schema and pairs it with a DuckDB
+oracle. All hot-path logic is JVM-side Column expressions — no Python
+UDFs; hashing uses md5 (identical hex in Spark and DuckDB) so every op
+stays oracle-verifiable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from fitness_nutrition_data_pipeline_spark.operators.text import (
+    language_scores,
+    quality_features,
+    tfidf_scores,
+    token_counts,
+    winnowing_fingerprint_summary,
+)
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
@@ -52,14 +62,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vocab_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    return (
+    # two-level aggregation instead of count(DISTINCT doc_id): the per-
+    # (word, doc) pre-aggregate replaces Spark's Expand-based distinct with
+    # two ordinary partial-agg shuffles — cheaper and skew-tolerant at scale
+    per_doc = (
         d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
         .where(F.col("word") != "")
-        .groupBy("word")
-        .agg(
-            F.count(F.lit(1)).alias("total_occurrences"),
-            F.countDistinct("doc_id").alias("doc_frequency"),
-        )
+        .groupBy("word", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return per_doc.groupBy("word").agg(
+        F.sum("_n").alias("total_occurrences"),
+        F.count(F.lit(1)).alias("doc_frequency"),
     )
 
 
@@ -78,14 +92,8 @@ def vocab_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JVM-side via split/regexp_extract_all.",
 )
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        F.array_size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        F.array_size(
-            F.regexp_extract_all(F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0))
-        ).alias("bpe_ish_tokens"),
-        "n_chars",
+    return token_counts(_docs(spark, sf_dir), "text").select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens", "n_chars"
     )
 
 
@@ -117,27 +125,8 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "as pure Column algebra; north-star text op.",
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
-    n_toks = F.array_size(toks)
-    # stopword ratio must count duplicates → filter, not set-intersect
-    stop_count = F.array_size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = F.round(stop_count.cast("double") / n_toks, 4)
-    return d.select(
-        "doc_id",
-        n_toks.alias("n_tokens"),
-        F.round(
-            F.length(F.array_join(toks, "")).cast("double") / n_toks, 4
-        ).alias("avg_token_len"),
-        stop_ratio.alias("stopword_ratio"),
-        F.when(
-            (n_toks >= 10)
-            & (stop_count.cast("double") / n_toks).between(0.01, 0.6),
-            1,
-        )
-        .otherwise(0)
-        .alias("passes_quality"),
+    return quality_features(_docs(spark, sf_dir), "text", _STOPWORDS).select(
+        "doc_id", "n_tokens", "avg_token_len", "stopword_ratio", "passes_quality"
     )
 
 
@@ -169,26 +158,9 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op; on real corpora the marker lists widen, the plan is identical.",
 )
 def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower("text"), r"\s+")
-    def _count_in(markers):
-        arr = F.array(*[F.lit(m) for m in markers])
-        return F.array_size(F.filter(toks, lambda t: F.array_contains(arr, t)))
-
-    scores = {
-        lang: _count_in(markers).cast("long").alias(f"s_{lang}")
-        for lang, markers in _LANG_MARKERS.items()
-    }
-    scored = d.select("doc_id", F.col("lang").alias("labeled_lang"), *scores.values())
-    s = {lang: F.col(f"s_{lang}") for lang in _LANG_MARKERS}
-    predicted = (
-        F.when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
-        .when(s["fr"] >= s["de"], "fr")
-        .otherwise("de")
-    )
-    return scored.select(
-        "doc_id", "labeled_lang", predicted.alias("predicted_lang"), "s_en", "s_es", "s_fr", "s_de"
+    d = _docs(spark, sf_dir).withColumnRenamed("lang", "labeled_lang")
+    return language_scores(d, "text", _LANG_MARKERS).select(
+        "doc_id", "labeled_lang", "predicted_lang", "s_en", "s_es", "s_fr", "s_de"
     )
 
 
@@ -244,31 +216,8 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any shared run ≥ window+gram covers a shared fingerprint.",
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    d = _docs(spark, sf_dir)
-    toks = F.split(F.lower("text"), r"\s+")
-    n = F.array_size(toks)
-    grams = F.zip_with(
-        F.slice(toks, 1, n - 2),
-        F.zip_with(F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
-                   lambda y, z: F.concat_ws(" ", y, z)),
-        lambda x, yz: F.concat_ws(" ", x, yz),
-    )
-    rows = d.select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram"), (n - 2).alias("n_grams")
-    ).select("doc_id", "pos", F.substring(F.md5("gram"), 1, 8).alias("h"), "n_grams")
-    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    wins = rows.select(
-        "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
-    )
-    return (
-        wins.where(F.col("pos") <= F.col("n_grams") - 4)  # 0-based ≙ oracle's 1-based
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("fp").alias("n_fingerprints"),
-            F.min("fp").alias("min_fingerprint"),
-        )
+    return winnowing_fingerprint_summary(
+        _docs(spark, sf_dir), "doc_id", "text", gram=3, window=4
     )
 
 
@@ -301,24 +250,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differences.",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    d = _docs(spark, sf_dir)
-    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .join(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4
-            ).alias("tfidf"),
-        )
-    )
+    scored = tfidf_scores(_docs(spark, sf_dir), "doc_id", "text")
     w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rn", F.row_number().over(w))
