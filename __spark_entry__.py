@@ -11,11 +11,16 @@ adapts the registry to the driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from fitness_nutrition_data_pipeline_spark.queries import all_specs
+# the driver may import this module with any cwd — anchor the package path
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fitness_nutrition_data_pipeline_spark.queries import all_specs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

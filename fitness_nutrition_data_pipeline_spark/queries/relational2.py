@@ -317,3 +317,39 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("_n").alias("n_events"),
         F.round(F.sum("_v"), 2).alias("total_value"),
     )
+
+
+@register(
+    "asof_join_last_view",
+    """
+    SELECT p.event_id, p.user_id,
+           v.event_id AS asof_event_id,
+           v.value AS asof_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of (point-in-time) join: each purchase matched to the user's "
+    "latest at-or-before view. Spark has no native ASOF JOIN; implemented "
+    "union + sort + last(ignorenulls) carry-forward (operators/asof.py) — "
+    "one shuffle on the key, linear, vs. the quadratic naive range join. "
+    "Oracle uses DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.asof import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select("event_id", "user_id", "ts", "value")
+    joined = as_of_join(
+        purchases, views, "user_id", "ts", "ts",
+        right_value_cols=["event_id", "value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_event_id").cast("long").alias("asof_event_id"),
+        F.col("asof_value").cast("double").alias("asof_value"),
+    )
