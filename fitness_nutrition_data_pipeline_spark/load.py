@@ -77,6 +77,22 @@ def load_warehouse(
     return paths
 
 
+def write_bucketed(
+    df: DataFrame, table_name: str, key: str, n_buckets: int
+) -> None:
+    """Persist a table bucketed + sorted on its join key. Joins between
+    tables bucketed the same way need NO shuffle — the disk-layout
+    equivalent of the reference's fact-FK B-tree indexes
+    (db_schema.sql:211-218), paid once at write time."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table_name)  # managed table in spark.sql.warehouse.dir
+    )
+
+
 def mirror_to_jdbc(
     warehouse: dict[str, DataFrame], url: str, properties: dict[str, str]
 ) -> None:

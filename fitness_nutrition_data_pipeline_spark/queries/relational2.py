@@ -353,3 +353,79 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_event_id").cast("long").alias("asof_event_id"),
         F.col("asof_value").cast("double").alias("asof_value"),
     )
+
+
+@register(
+    "funnel_view_purchase",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users_viewed,
+           CAST(sum(CASE WHEN last_purchase > first_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_converted,
+           round(avg(CASE WHEN last_purchase > first_view THEN 1.0 ELSE 0.0 END), 4)
+               AS conversion_rate
+    FROM firsts WHERE first_view IS NOT NULL
+    """,
+    doc="Funnel conversion (view → later purchase) via conditional min/max "
+    "per user — one shuffle on user_id, no self-join; the standard "
+    "event-funnel plan at scale.",
+)
+def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("last_purchase"),
+    )
+    converted = F.when(F.col("last_purchase") > F.col("first_view"), 1).otherwise(0)
+    return firsts.where(F.col("first_view").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_users_viewed"),
+        F.sum(converted).alias("n_converted"),
+        F.round(F.avg(converted.cast("double")), 4).alias("conversion_rate"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS act_month FROM events
+    )
+    SELECT CAST(f.cohort AS DATE) AS cohort_month,
+           CAST((year(a.act_month) - year(f.cohort)) * 12
+                + (month(a.act_month) - month(f.cohort)) AS INT) AS month_offset,
+           count(*) AS n_active_users
+    FROM activity a JOIN firsts f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention: first-seen month per user × active months → "
+    "users retained per (cohort, offset). Two aggregations + one join on "
+    "user_id; the cohort triangle every growth dashboard needs, computed "
+    "without any per-cohort scan.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("month", F.min("ts")).alias("cohort"))
+    activity = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("act_month")
+    ).distinct()
+    offset = (
+        (F.year("act_month") - F.year("cohort")) * 12
+        + (F.month("act_month") - F.month("cohort"))
+    ).cast("int")
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_month"),
+            offset.alias("month_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )

@@ -1,0 +1,42 @@
+"""Connected components: transitive closure, convergence, LSH integration."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.components import (
+    connected_components,
+    near_dup_components,
+)
+from fitness_nutrition_data_pipeline_spark.operators.dedup import lsh_bands, minhash_signatures
+
+
+def test_two_components_and_chain(spark):
+    # chain 1-2-3-4 (one component), pair 10-11, transitive via chain
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    out = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_long_path_converges(spark):
+    # path 0-1-2-...-9: needs multiple propagation rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(9)], "src long, dst long")
+    out = {r.vertex: r.component for r in connected_components(edges).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 10
+
+
+def test_near_dup_components_from_lsh(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = minhash_signatures(docs, "doc_id", "text")
+    bands = lsh_bands(sigs, "doc_id")
+    comps = near_dup_components(bands, "doc_id")
+    rows = comps.collect()
+    assert len(rows) > 0
+    # component label is always ≤ every member's id (min-label invariant)
+    assert all(r.component <= r.doc_id for r in rows)
+    # canonical members map to themselves
+    canon = {r.component for r in rows}
+    self_mapped = {r.doc_id for r in rows if r.doc_id == r.component}
+    assert canon == self_mapped
