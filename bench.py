@@ -22,6 +22,10 @@ from fitness_nutrition_data_pipeline_spark.queries import all_specs
 from fitness_nutrition_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q6_forecast_revenue",
     "star_join_topk",
     "recent_window_topk",
     "daily_rollup_sum",

@@ -84,6 +84,15 @@ def write_bucketed(
     tables bucketed the same way need NO shuffle — the disk-layout
     equivalent of the reference's fact-FK B-tree indexes
     (db_schema.sql:211-218), paid once at write time."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    # an in-memory catalog forgets the table between sessions but the
+    # managed location survives — clear it or saveAsTable refuses
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(os.path.join(wh, table_name.lower()), ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)

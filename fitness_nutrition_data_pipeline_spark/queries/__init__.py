@@ -45,6 +45,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational,
         relational2,
         text_ops,
+        tpch_like,
     )
 
     return dict(_REGISTRY)
