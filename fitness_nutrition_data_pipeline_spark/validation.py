@@ -208,4 +208,109 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
     if "Fact_NutritionLog" in present:
         run("RANGE ServingSize", "SELECT count(*) FROM Fact_NutritionLog WHERE ServingSize <= 0")
 
+    # -- remaining corpus families, executed through the S7 script runner
+    # with the reference's row classifier (check_name/violations keys →
+    # _process_validation_row semantics, main_etl_pipeline.py:902-920)
+    from fitness_nutrition_data_pipeline_spark.sql_script import run_sql_script
+
+    script = _analytical_corpus_sql(present, bounds)
+
+    def classify(row: dict) -> None:
+        name = row.get("check_name", row.get("rule", ""))
+        count = row.get(
+            "violations",
+            row.get("violation_count", row.get("orphan_count", row.get("duplicate_pk", 0))),
+        )
+        res.record(str(name), int(count or 0))
+
+    stats = run_sql_script(spark, script, process_row=classify)
+    res.checks_run += stats["failed"]  # lenient failures still count as attempted
     return res
+
+
+def _analytical_corpus_sql(present: list[str], bounds: dict[str, float]) -> str:
+    """Domain inventories (validation.sql:249-256), coverage percentages
+    (:295-325), distribution stats (:329-359) and analytical smoke tests
+    (:364-393) as one SET-var SQL script — the reference's remaining
+    check families, MySQL-isms translated (GROUP_CONCAT →
+    concat_ws/collect_set, CURRENT_DATE window → max-date anchor)."""
+    parts = [f"SET @max_workout_hours = {bounds['max_workout_hours']};"]
+    if "Dim_User" in present:
+        parts.append(
+            """
+            SELECT 'DOMAIN Gender' AS check_name, 0 AS violations,
+                   concat_ws(',', sort_array(collect_set(Gender))) AS domain_values
+            FROM Dim_User;
+            """
+        )
+        parts.append(
+            """
+            SELECT 'DOMAIN Source' AS check_name, 0 AS violations,
+                   concat_ws(',', sort_array(collect_set(Source))) AS domain_values
+            FROM Dim_User;
+            """
+        )
+    if "Fact_WorkoutSession" in present:
+        parts.append(
+            """
+            SELECT 'COVERAGE workout->user' AS check_name,
+                   CAST(sum(CASE WHEN u.UserKey IS NULL THEN 1 ELSE 0 END) AS INT) AS violations,
+                   round(avg(CASE WHEN u.UserKey IS NOT NULL THEN 1.0 ELSE 0.0 END), 4) AS coverage
+            FROM Fact_WorkoutSession f LEFT JOIN Dim_User u ON f.UserKey = u.UserKey;
+            """
+        )
+        parts.append(
+            """
+            SELECT 'STATS workout duration' AS check_name, 0 AS violations,
+                   round(min(DurationHours), 2) AS min_h,
+                   round(avg(DurationHours), 2) AS avg_h,
+                   round(max(DurationHours), 2) AS max_h
+            FROM Fact_WorkoutSession;
+            """
+        )
+        # smoke test: top-5 users by calories in the last 30 days of data
+        # (validation.sql:365-372; CURRENT_DATE → max-date anchor so the
+        # check is meaningful on any vintage of data)
+        parts.append(
+            """
+            SELECT 'SMOKE top5 calories 30d' AS check_name, 0 AS violations,
+                   f.UserKey, CAST(sum(f.CaloriesBurned) AS BIGINT) AS calories_30d
+            FROM Fact_WorkoutSession f
+            JOIN Dim_Date d ON f.DateKey = d.DateKey
+            WHERE d.FullDate >= date_sub((SELECT max(d2.FullDate)
+                                          FROM Fact_WorkoutSession f2
+                                          JOIN Dim_Date d2 ON f2.DateKey = d2.DateKey), 30)
+            GROUP BY f.UserKey ORDER BY calories_30d DESC LIMIT 5;
+            """
+        )
+    if "Fact_UserSnapshot" in present:
+        parts.append(
+            """
+            SELECT 'STATS BMI distribution' AS check_name, 0 AS violations,
+                   round(min(BMI), 2) AS min_bmi, round(avg(BMI), 2) AS avg_bmi,
+                   round(max(BMI), 2) AS max_bmi
+            FROM Fact_UserSnapshot WHERE BMI IS NOT NULL;
+            """
+        )
+    if "Fact_NutritionLog" in present:
+        parts.append(
+            """
+            SELECT 'SMOKE monthly nutrition' AS check_name, 0 AS violations,
+                   f.UserKey, d.Year, d.Month,
+                   round(avg(f.TotalCalories), 2) AS avg_calories,
+                   round(avg(f.TotalProtein), 2) AS avg_protein
+            FROM Fact_NutritionLog f JOIN Dim_Date d ON f.DateKey = d.DateKey
+            GROUP BY f.UserKey, d.Year, d.Month
+            ORDER BY f.UserKey, d.Year, d.Month LIMIT 10;
+            """
+        )
+    if "Dim_FitnessGoal" in present and "Fact_UserSnapshot" in present:
+        parts.append(
+            """
+            SELECT 'SMOKE goal distribution' AS check_name, 0 AS violations,
+                   g.GoalName, count(*) AS user_count
+            FROM Fact_UserSnapshot f JOIN Dim_FitnessGoal g ON f.GoalKey = g.GoalKey
+            GROUP BY g.GoalName ORDER BY user_count DESC;
+            """
+        )
+    return "\n".join(parts)
