@@ -90,3 +90,67 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def stream_fact_health_metric(
+    spark: SparkSession,
+    input_dir: str,
+    kind: str,
+    mapping: DataFrame,
+    dim_date: DataFrame,
+    *,
+    late_threshold: str = "1 day",
+) -> DataFrame:
+    """Streaming twin of plans/facts.build_fact_health_metric for the
+    sleep/heartrate feeds: stream-static broadcast joins resolve
+    UserKey/DateKey BEFORE the windowed aggregation (join-after-agg is
+    both restricted in streaming and the worse plan), then the same
+    1-day tumbling rollup emits Fact_HealthMetric-shaped rows.
+
+    kind: 'sleep_minutes' | 'heartrate'. The same fact table can be fed
+    from batch backfill and this stream interchangeably.
+    """
+    from fitness_nutrition_data_pipeline_spark.plans.facts import METRIC_KEYS
+
+    if kind == "sleep_minutes":
+        schema, ts_col, id_col = MINUTE_SLEEP_SCHEMA, "date", "Id"
+        metric_key, unit = METRIC_KEYS["sleep"], "hours"
+        agg = (F.sum("value") / 60).cast("double").alias("Value")
+    elif kind == "heartrate":
+        schema, ts_col, id_col = HEARTRATE_SCHEMA, "Time", "Id"
+        metric_key, unit = METRIC_KEYS["heart_rate"], "bpm"
+        agg = F.avg("Value").cast("double").alias("Value")
+    else:
+        raise ValueError(f"unknown feed kind: {kind!r}")
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 16)
+        .csv(input_dir)
+    )
+    # snapshot the static sides: the streaming analyzer rejects plans whose
+    # static lineage contains batch-only expressions (the resolution path
+    # uses monotonically_increasing_id); localCheckpoint truncates lineage
+    users = (
+        mapping.where(F.col("source") == "fitbit")
+        .select(F.col("original_id").alias("_fitbit_id"), F.col("user_key").alias("UserKey"))
+        .localCheckpoint()
+    )
+    dates = dim_date.select("DateKey", "FullDate").localCheckpoint()
+    parsed = src.withColumn("_ts", parse_us_datetime(ts_col)).where(F.col("_ts").isNotNull())
+    keyed = parsed.join(
+        F.broadcast(users), parsed[id_col].cast("string") == users["_fitbit_id"]
+    ).join(F.broadcast(dates), F.col("_ts").cast("date") == dates["FullDate"])
+    return (
+        keyed.withWatermark("_ts", late_threshold)
+        .groupBy(F.window("_ts", "1 day").alias("_w"), "UserKey", "DateKey")
+        .agg(agg)
+        .select(
+            "UserKey",
+            "DateKey",
+            F.lit(metric_key).cast("long").alias("MetricTypeKey"),
+            "Value",
+            F.lit(unit).alias("Unit"),
+        )
+    )

@@ -54,3 +54,35 @@ def test_streaming_sleep_matches_batch(spark, stream_dirs):
     # late/out-of-range 2015 row still rolls up in streaming (date filter
     # is a warehouse join concern, not an ingest concern)
     assert (101, "2015-12-30") in rows
+
+
+def test_stream_fact_health_metric_matches_batch(spark, stream_dirs):
+    """The streaming fact builder must emit exactly the rows the batch
+    builder derives from the same file."""
+    import sys
+
+    from fitness_nutrition_data_pipeline_spark.config import PipelineConfig
+    from fitness_nutrition_data_pipeline_spark.pipeline import FitnessWarehousePipeline
+    from fitness_nutrition_data_pipeline_spark.streaming.rollups import (
+        run_stream_to_memory,
+        stream_fact_health_metric,
+    )
+
+    base = stream_dirs["src"]
+    cfg = PipelineConfig(data_dir=base, fitbit_dir=f"{base}/fitbit",
+                         warehouse_dir=f"{base}/_wh_stream", output_dir=f"{base}/_out_stream")
+    p = FitnessWarehousePipeline(spark, cfg)
+    p.extract()
+    p.transform()
+
+    _stage(f"{base}/fitbit/minuteSleep_merged.csv", stream_dirs["sleep"] + "_fact")
+    sdf = stream_fact_health_metric(
+        spark, stream_dirs["sleep"] + "_fact", "sleep_minutes",
+        p.mapping, p.warehouse["Dim_Date"],
+    )
+    streamed = run_stream_to_memory(sdf, "fact_hm_stream")
+
+    batch = p.warehouse["Fact_HealthMetric"].where(F.col("MetricTypeKey") == 2)
+    batch_rows = sorted(map(tuple, batch.collect()))
+    stream_rows = sorted(map(tuple, streamed.collect()))
+    assert stream_rows == batch_rows
