@@ -429,3 +429,154 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active_users"))
     )
+
+
+@register(
+    "violations_materialization",
+    """
+    SELECT 'negative_price' AS rule,
+           CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violation_count
+    FROM orders
+    UNION ALL
+    SELECT 'quantity_out_of_range',
+           CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > 60 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orphan_order_customer',
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    """,
+    doc="Violations materialization — the reference's INSERT INTO "
+    "validation_violations SELECT ... corpus (validation.sql:409-455) as "
+    "one UNION ALL of rule/violation_count rows, ready for a sink write.",
+)
+def violations_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    neg_price = o.agg(
+        F.lit("negative_price").alias("rule"),
+        F.sum(F.when(F.col("o_totalprice") < 0, 1).otherwise(0)).alias("violation_count"),
+    )
+    qty = li.agg(
+        F.lit("quantity_out_of_range").alias("rule"),
+        F.sum(
+            F.when((F.col("l_quantity") <= 0) | (F.col("l_quantity") > 60), 1).otherwise(0)
+        ).alias("violation_count"),
+    )
+    disc = li.agg(
+        F.lit("discount_out_of_range").alias("rule"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1).otherwise(0)
+        ).alias("violation_count"),
+    )
+    orphan = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(
+            F.lit("orphan_order_customer").alias("rule"),
+            F.count(F.lit(1)).alias("violation_count"),
+        )
+    )
+    return neg_price.unionAll(qty).unionAll(disc).unionAll(orphan)
+
+
+@register(
+    "range_frame_trailing_avg",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_day,
+           round(CAST(sum(o_totalprice) OVER w AS DOUBLE), 2) AS trailing_90d_spend,
+           CAST(count(*) OVER w AS BIGINT) AS n_orders_90d
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    """,
+    doc="RANGE-frame window: trailing 90-day spend and order count per "
+    "customer — the value-based frame (vs ROWS) over an epoch-day key; "
+    "partition-local, no self-join for the sliding window.",
+)
+def range_frame_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    epoch_day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(epoch_day)
+        .rangeBetween(-90, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").cast("string").alias("order_day"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_90d_spend"),
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+    )
+
+
+@register(
+    "order_gap_analysis",
+    """
+    SELECT o_custkey, o_orderkey,
+           datediff('day', CAST(lag(o_orderdate) OVER w AS DATE),
+                    CAST(o_orderdate AS DATE)) AS days_since_prev,
+           datediff('day', CAST(o_orderdate AS DATE),
+                    CAST(lead(o_orderdate) OVER w AS DATE)) AS days_until_next,
+           CAST(first_value(o_orderdate) OVER w AS DATE) AS first_order_day
+    FROM orders
+    WHERE o_custkey < 30
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="lag/lead/first_value window family: per-customer order cadence "
+    "(days since previous / until next order, cohort anchor) — one sort "
+    "per partition serves all three functions.",
+)
+def order_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") < 30)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    day = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(day, F.lag(F.col("o_orderdate").cast("date")).over(w)).alias(
+            "days_since_prev"
+        ),
+        F.datediff(F.lead(F.col("o_orderdate").cast("date")).over(w), day).alias(
+            "days_until_next"
+        ),
+        F.first(F.col("o_orderdate").cast("date")).over(w).alias("first_order_day"),
+    )
+
+
+@register(
+    "correlated_subquery_big_spenders",
+    """
+    SELECT o.o_orderkey, o.o_custkey
+    FROM orders o
+    WHERE o.o_totalprice > (
+      SELECT avg(o2.o_totalprice) + 50000
+      FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc="Correlated scalar subquery: orders far above their customer's own "
+    "average. Catalyst decorrelates to an aggregate + self-join (SURVEY §4 "
+    "'subquery decorrelation') — no per-row subquery execution.",
+)
+def correlated_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey
+        FROM orders_corr o
+        WHERE o.o_totalprice > (
+          SELECT avg(o2.o_totalprice) + 50000
+          FROM orders_corr o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
