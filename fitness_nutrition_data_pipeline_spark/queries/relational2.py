@@ -580,3 +580,52 @@ def correlated_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFr
         )
         """
     )
+
+
+@register(
+    "stats_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(stddev_samp(l_quantity), 6) AS qty_stddev,
+           round(var_samp(l_discount), 6) AS disc_variance
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates (corr / stddev / variance) per group — "
+    "single-pass co-moment accumulation, mergeable partials, no second "
+    "scan for the means.",
+)
+def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_variance"),
+    )
+
+
+@register(
+    "user_value_trend",
+    """
+    SELECT user_id,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS value_slope_per_hour,
+           round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 2) AS value_intercept,
+           count(*) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+    doc="Per-user linear trend via regression aggregates (regr_slope / "
+    "regr_intercept over event-time hours) — the 'is this metric drifting' "
+    "primitive computed in one grouped pass, no per-user model fitting "
+    "loop.",
+)
+def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
+    hours = F.unix_micros("ts") / 3600000000.0
+    return ev.groupBy("user_id").agg(
+        F.round(F.regr_slope("value", hours), 6).alias("value_slope_per_hour"),
+        F.round(F.regr_intercept("value", hours), 2).alias("value_intercept"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
