@@ -112,3 +112,41 @@ def mirror_to_jdbc(
             warehouse[name].write.format("jdbc").option("url", url).option(
                 "dbtable", name.lower()
             ).options(**properties).mode("append").save()
+
+
+def upsert_partitions(
+    df: DataFrame, path: str, partition_col: str = "DateKey"
+) -> None:
+    """Idempotent partition-level upsert: dynamic partition overwrite
+    replaces exactly the partitions present in ``df`` and leaves the rest
+    of the table untouched — re-running a day's load is a no-op, late data
+    for a day replaces that day only. The incremental-load primitive the
+    reference lacks (it DROP/CREATEs the world every run,
+    main_etl_pipeline.py:714-750)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def split_quarantine(
+    df: DataFrame, rules: dict[str, "F.Column"]
+) -> tuple[DataFrame, DataFrame]:
+    """Quality gate at load time: rows violating any rule go to a
+    quarantine DataFrame annotated with the failed rule names; clean rows
+    pass through. One pass, no Python predicates.
+
+    rules: name → boolean Column that is True when the row VIOLATES.
+    """
+    flags = [F.when(cond, F.lit(name)) for name, cond in rules.items()]
+    annotated = df.withColumn(
+        "_violations", F.array_compact(F.array(*flags))
+    )
+    clean = annotated.where(F.array_size("_violations") == 0).drop("_violations")
+    quarantined = annotated.where(F.array_size("_violations") > 0).withColumn(
+        "violated_rules", F.concat_ws(",", "_violations")
+    ).drop("_violations")
+    return clean, quarantined
