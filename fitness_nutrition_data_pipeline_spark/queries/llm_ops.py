@@ -404,3 +404,54 @@ def embedding_ann_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignments = assign_centroids(e, centroids, "vec_id", "embedding")
     query_ids = e.where(F.col("vec_id") >= 495).select("vec_id")
     return ivf_probe_topk(e, assignments, query_ids, "vec_id", "embedding", k=3)
+
+
+@register(
+    "simhash_hamming_pairs",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id,
+             """
+    + ",\n             ".join(
+        f"CASE WHEN sum(CASE WHEN substr(md5(tok), {i + 1}, 1) IN "
+        f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) > 0 "
+        f"THEN {1 << i} ELSE 0 END AS bit{i}"
+        for i in range(16)
+    )
+    + """
+      FROM toks GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, CAST("""
+    + " + ".join(f"bit{i}" for i in range(16))
+    + """ AS BIGINT) AS simhash16 FROM bits
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming,
+           CASE WHEN bit_count(xor(a.simhash16, b.simhash16)) <= 3
+                THEN 1 ELSE 0 END AS is_near_dup
+    FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="SimHash near-dup verify: Hamming distance (bit_count of XOR) "
+    "between candidate-pair signatures — the O(1)-per-pair compare that "
+    "makes SimHash the cheapest near-dup verifier; candidates here are "
+    "adjacent ids, at scale they come from signature-prefix buckets.",
+)
+def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash16(_docs(spark, sf_dir), "doc_id", "text")
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    hamming = F.bit_count(F.col("a.simhash16").bitwiseXOR(F.col("b.simhash16")))
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.cast("int").alias("hamming"),
+            F.when(hamming <= 3, 1).otherwise(0).alias("is_near_dup"),
+        )
+    )
