@@ -128,3 +128,71 @@ def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> Data
     return pairs.join(inter, ["id_a", "id_b"], "left").select(
         "id_a", "id_b", jac.alias("jaccard")
     )
+
+
+def jaccard_on_pairs(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """2-shingle Jaccard for an arbitrary candidate-pair table
+    (columns id_a, id_b) — the verify stage fed by any candidate
+    generator (LSH buckets, blocking keys, adjacency)."""
+    sh = df.select(id_col, word_shingles(text_col, 2).alias("shingles"))
+    sizes = sh.select(id_col, F.array_size("shingles").alias("n_sh"))
+    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
+
+    p = pairs.select("id_a", "id_b")
+    ea = exploded.select(F.col(id_col).alias("id_a"), "shingle")
+    eb = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        p.join(ea, "id_a")
+        .join(eb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    a_sz = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    common = F.coalesce(F.col("n_common"), F.lit(0))
+    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    return (
+        p.join(inter, ["id_a", "id_b"], "left")
+        .join(a_sz, "id_a")
+        .join(b_sz, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+    )
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 50,
+) -> DataFrame:
+    """The full near-dedup pipeline in one call:
+    MinHash → LSH bands → candidate pairs within buckets (bucket-min
+    star pairs, capped at max_bucket_size to bound the quadratic stage) →
+    Jaccard verify → (id_a, id_b, jaccard, is_near_dup).
+
+    Every stage is linear except the in-bucket pairing, which is bounded
+    by construction — the composition that runs at 100 TB.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes)
+    bands = lsh_bands(sigs, id_col, n_bands=n_bands)
+    sized = bands.join(
+        bands.groupBy("band_id", "band_key").agg(
+            F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_min_id")
+        ),
+        ["band_id", "band_key"],
+    ).where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket_size))
+    pairs = (
+        sized.where(F.col(id_col) != F.col("_min_id"))
+        .select(F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    verified = jaccard_on_pairs(df, pairs, id_col, text_col)
+    return verified.withColumn(
+        "is_near_dup", F.when(F.col("jaccard") >= threshold, 1).otherwise(0)
+    )

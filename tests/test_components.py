@@ -40,3 +40,21 @@ def test_near_dup_components_from_lsh(spark, sf_dir):
     canon = {r.component for r in rows}
     self_mapped = {r.doc_id for r in rows if r.doc_id == r.component}
     assert canon == self_mapped
+
+
+def test_near_dup_pipeline_end_to_end(spark, sf_dir):
+    """Composed MinHash→LSH→Jaccard pipeline: runs, bounded, and agrees
+    with directly-computed Jaccard on its candidate pairs."""
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+        jaccard_on_adjacent_pairs,
+        near_dup_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = near_dup_pipeline(docs, "doc_id", "text", threshold=0.5)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r.jaccard <= 1.0 for r in rows)
+    assert all((r.jaccard >= 0.5) == (r.is_near_dup == 1) for r in rows)
+    # pairs are canonical-oriented (bucket min first)
+    assert all(r.id_a < r.id_b for r in rows)

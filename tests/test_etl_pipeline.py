@@ -163,3 +163,15 @@ def test_full_run_report(pipeline, spark):
     assert report["total_users_mapped"] == FX.EXPECTED_MAPPING
     assert report["validation"]["quality_score"] == 100.0
     assert report["table_counts"]["Dim_Date"] == 3653
+
+
+def test_partitioned_fact_load(pipeline, spark, tmp_path_factory):
+    """Facts written partitionBy(DateKey) read back identically and carry
+    the partition column for pruning."""
+    base = str(tmp_path_factory.mktemp("partwh"))
+    from fitness_nutrition_data_pipeline_spark.load import load_warehouse
+
+    paths = load_warehouse(spark, pipeline.warehouse, base, partition_facts=True)
+    ws = spark.read.parquet(paths["Fact_WorkoutSession"])
+    assert ws.count() == pipeline.warehouse["Fact_WorkoutSession"].count()
+    assert "DateKey" in ws.columns
