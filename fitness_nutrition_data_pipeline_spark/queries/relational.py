@@ -624,3 +624,25 @@ def entity_resolution_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "canonical_custkey",
         "n_members",
     )
+
+
+@register(
+    "json_props_parse",
+    r"""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+           CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_parsed
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="Semi-structured JSON column: from_json with an explicit schema "
+    "(JVM-side Jackson parse, no Python) then plain aggregation — the "
+    "properties-bag pattern every event pipeline carries.",
+)
+def json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn("_p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("_p.k")).alias("total_k"),
+        F.count(F.col("_p.k")).alias("n_parsed"),
+    )
