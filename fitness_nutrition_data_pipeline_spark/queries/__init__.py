@@ -46,6 +46,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational2,
         text_ops,
         tpch_like,
+        tpch_like2,
     )
 
     return dict(_REGISTRY)
