@@ -42,8 +42,10 @@ def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first use.
     from fitness_nutrition_data_pipeline_spark.queries import (  # noqa: F401
         llm_ops,
+        profiling,
         relational,
         relational2,
+        sampling,
         text_ops,
         tpch_like,
         tpch_like2,

@@ -1,0 +1,141 @@
+"""Data-profiling and range-join operators.
+
+Profiling is the first pass any pipeline runs over a new 100 TB drop:
+null rates, cardinalities, and value histograms decide partitioning and
+quality gates before any transform runs. Both profile queries here are
+single-scan: Spark computes every per-column statistic in one aggregate
+pass and unpivots the 1-row result with ``stack`` — the oracle re-reads
+per column, which is fine for DuckDB at sf0.01 but exactly the shape we
+avoid Spark-side (N scans of a 100 TB table vs one).
+
+The interval join demonstrates Spark's non-equi broadcast join: a tiny
+windows table broadcast against the fact, each row range-tested in the
+scan stage — no shuffle, no O(n×m) blowup beyond the broadcast loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "column_profile_orders",
+    """
+    SELECT 'o_custkey' AS col_name,
+           count(*) - count(o_custkey) AS n_nulls,
+           count(DISTINCT o_custkey) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+           count(DISTINCT o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority) FROM orders
+    """,
+    doc="Column profiling (null count + exact cardinality per column) in "
+    "ONE scan: Spark computes all statistics in a single aggregate row "
+    "and unpivots with stack(), where the naive form (the oracle) scans "
+    "once per column — the difference between 1× and N× of a 100 TB read.",
+)
+def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs.append((F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__distinct"))
+    one_row = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`" for c in cols
+    )
+    return one_row.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+    )
+
+
+@register(
+    "price_histogram",
+    """
+    SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bucket,
+           count(*) AS n_items,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS bucket_revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="Fixed-width value histogram of line-item price: floor-divide "
+    "bucketing is a pure row-local map, so the only shuffle is the "
+    "per-bucket aggregate (map-side partials make it a few dozen rows "
+    "per task regardless of input size).",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / 10000).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("bucket_revenue"),
+        )
+    )
+
+
+@register(
+    "interval_range_join",
+    """
+    WITH windows(window_name, w_start, w_end) AS (
+      VALUES ('1997-Q1-promo', TIMESTAMP '1997-01-01', TIMESTAMP '1997-01-15'),
+             ('1997-Q2-promo', TIMESTAMP '1997-04-01', TIMESTAMP '1997-04-15'),
+             ('1997-Q3-promo', TIMESTAMP '1997-07-01', TIMESTAMP '1997-07-15'),
+             ('1997-Q4-promo', TIMESTAMP '1997-10-01', TIMESTAMP '1997-10-15')
+    )
+    SELECT w.window_name,
+           count(*) AS n_shipments,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
+               AS window_revenue
+    FROM lineitem l
+    JOIN windows w ON l.l_shipdate >= w.w_start AND l.l_shipdate < w.w_end
+    GROUP BY w.window_name
+    """,
+    doc="Interval (range) join: fact timestamps against a small table of "
+    "[start, end) windows — a non-equi predicate, so Spark plans a "
+    "broadcast nested-loop join; the windows side is rows-not-bytes tiny "
+    "and the range test runs inside the scan stage, no shuffle. The "
+    "pattern behind campaign attribution / maintenance-window tagging.",
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    windows = [
+        ("1997-Q1-promo", "1997-01-01", "1997-01-15"),
+        ("1997-Q2-promo", "1997-04-01", "1997-04-15"),
+        ("1997-Q3-promo", "1997-07-01", "1997-07-15"),
+        ("1997-Q4-promo", "1997-10-01", "1997-10-15"),
+    ]
+    w = li.sparkSession.createDataFrame(
+        windows, "window_name string, w_start string, w_end string"
+    ).select(
+        "window_name",
+        F.to_timestamp("w_start").alias("w_start"),
+        F.to_timestamp("w_end").alias("w_end"),
+    )
+    return (
+        li.join(
+            F.broadcast(w),
+            (li.l_shipdate >= w.w_start) & (li.l_shipdate < w.w_end),
+        )
+        .groupBy("window_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("window_revenue"),
+        )
+    )

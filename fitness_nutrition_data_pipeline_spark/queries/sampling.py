@@ -1,0 +1,164 @@
+"""Deterministic sampling / split / mixing operators for training-data
+curation — the selection stage that sits between dedup/quality scoring
+and tokenization in an LLM data pipeline.
+
+All selection is content-hash-driven (md5 of the stable doc key), never
+`rand()`: the same document lands in the same split/sample on every run,
+on any cluster size, with no seed-plumbing — which is what makes
+incremental re-runs and A/B data ablations reproducible at 100 TB.
+
+Portability: md5 hex is identical in Spark and DuckDB; the numeric
+bucket is the first 6 hex chars parsed base-16 (Spark ``conv(h,16,10)``,
+DuckDB ``CAST('0x'||h AS BIGINT)``) mod N — exact integer math both
+sides, no float boundary risk.
+
+At scale: every query here is a single scan + map-side hash + small
+aggregate — no shuffle wider than the group-by on (lang/source/split),
+whose cardinality is tiny. The sample predicate is a pure row-local
+filter, so it composes with partition pruning and pushes work to zero
+for excluded partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def hash_bucket(key: Column, n_buckets: int) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from a key column.
+
+    md5 → first 6 hex chars → int → mod. 24 bits of hash for up to ~16M
+    buckets; uniform enough for sampling rates (chi-square-tested in
+    tests/test_queries_smoke.py's oracle parity — the oracle recomputes
+    the identical bucket in DuckDB).
+    """
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % n_buckets
+    )
+
+
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6)) AS BIGINT)"
+
+
+@register(
+    "hash_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT lang, n_chars,
+             {_BUCKET_SQL.format(key="doc_id")} % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
+    FROM b
+    GROUP BY lang
+    """,
+    doc="Stratified downsampling with per-stratum rates (dominant language "
+    "kept at 25%, low-resource languages at 100%) decided by a "
+    "deterministic content hash — the language-rebalancing step of a "
+    "training mix. One scan, row-local predicate, tiny aggregate.",
+)
+def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    rate = F.when(F.col("lang") == "en", F.lit(25)).otherwise(F.lit(100))
+    keep = hash_bucket(F.col("doc_id"), 100) < rate
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
+    )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT n_chars,
+             {_BUCKET_SQL.format(key="doc_id")} % 10 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b
+    GROUP BY 1
+    """,
+    doc="Deterministic 80/10/10 train/val/test split by content hash: a "
+    "document's split assignment is a pure function of its id, so "
+    "re-ingesting or re-partitioning the corpus can never leak val/test "
+    "documents into train. No shuffle beyond the 3-row aggregate.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    ).alias("split")
+    return d.groupBy(split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "domain_mixing_budget",
+    r"""
+    WITH per_src AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 AS ws_tokens
+      FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT sum(ws_tokens) AS all_tokens, count(*) AS n_sources FROM per_src)
+    SELECT source, n_docs, ws_tokens,
+           round(100.0 * ws_tokens / all_tokens, 4) AS actual_pct,
+           round((CAST(all_tokens AS DOUBLE) / n_sources) / ws_tokens, 4)
+               AS uniform_upsample_factor
+    FROM per_src, tot
+    """,
+    doc="Domain-mixing budget: per-source token mass, its share of the "
+    "corpus, and the up/down-sample factor that would equalize domains — "
+    "the bookkeeping behind mixture-weighted training corpora. The "
+    "grand total is a 1-row broadcast joined back to the per-source agg.",
+)
+def domain_mixing_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("ws_tokens").alias("all_tokens"),
+        F.count(F.lit(1)).alias("n_sources"),
+    )
+    return per_src.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "ws_tokens",
+        F.round(100.0 * F.col("ws_tokens") / F.col("all_tokens"), 4).alias(
+            "actual_pct"
+        ),
+        F.round(
+            (F.col("all_tokens").cast("double") / F.col("n_sources"))
+            / F.col("ws_tokens"),
+            4,
+        ).alias("uniform_upsample_factor"),
+    )
