@@ -45,6 +45,7 @@ def all_specs() -> dict[str, QuerySpec]:
         profiling,
         relational,
         relational2,
+        relational3,
         sampling,
         text_ops,
         tpch_like,

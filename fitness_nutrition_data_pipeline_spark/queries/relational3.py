@@ -1,0 +1,229 @@
+"""Relational operators, wave 3: CUBE, window ranking functions,
+edit-distance pair verify, date-spine gap fill, quality-ranked canonical
+selection. Each is a distinct plan shape the earlier waves don't cover.
+
+Scale notes: CUBE multiplies rows 4× in the Expand before the partial
+agg — still one shuffle. The window suite partitions by a low-cardinality
+key (per-partition sort, no global sort). Levenshtein is O(len²) per
+pair, so it only ever runs on *candidate* pairs (bounded count), never
+cross-corpus. The date spine is generated, not scanned — a few hundred
+rows broadcast against the fact aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "cube_revenue",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+           round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE over two keys: all four grouping sets (detail, each "
+    "marginal, grand total) in one Expand + single shuffle — vs four "
+    "separate scans. GROUPING() bits disambiguate real NULLs from "
+    "rollup NULLs.",
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        (
+            F.grouping("l_returnflag") + 2 * F.grouping("l_linestatus")
+        ).alias("gid"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    ).select("l_returnflag", "l_linestatus", "gid", "revenue", "n_items")
+
+
+@register(
+    "window_rank_suite",
+    """
+    SELECT c_custkey, c_mktsegment,
+           ntile(4) OVER w AS balance_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cum_dist,
+           rank() OVER w AS bal_rank
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="Window ranking suite (ntile / percent_rank / cume_dist / rank) "
+    "partitioned by segment: one shuffle on the partition key, per-"
+    "partition sort, all four functions evaluated in a single Window "
+    "operator pass. Deterministic via the c_custkey tie-break.",
+)
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        F.rank().over(w).alias("bal_rank"),
+    )
+
+
+@register(
+    "edit_distance_pairs",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 60) AS head FROM documents)
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           levenshtein(a.head, b.head) AS edit_dist,
+           round(1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
+                 / greatest(length(a.head), length(b.head)), 4) AS similarity
+    FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Levenshtein verify on candidate pairs (adjacent ids here; LSH "
+    "buckets at scale): edit distance is O(len²) per pair so it is "
+    "bounded to a 60-char head and only ever run on candidates, never "
+    "cross-corpus. JVM-side levenshtein — no Python in the loop.",
+)
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("head")
+    )
+    a = d.select(F.col("doc_id").alias("doc_id_a"), F.col("head").alias("head_a"))
+    b = d.select(F.col("doc_id").alias("doc_id_b"), F.col("head").alias("head_b"))
+    lev = F.levenshtein("head_a", "head_b")
+    return (
+        a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            lev.alias("edit_dist"),
+            F.round(
+                1.0
+                - lev.cast("double")
+                / F.greatest(F.length("head_a"), F.length("head_b")),
+                4,
+            ).alias("similarity"),
+        )
+    )
+
+
+@register(
+    "date_spine_gap_fill",
+    """
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1997-01-01', DATE '1997-03-31',
+                                    INTERVAL 1 DAY))::DATE AS day
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS day_revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
+           coalesce(d.day_revenue, 0.0) AS day_revenue
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    """,
+    doc="Date-spine gap filling: a generated calendar (sequence + explode, "
+    "never scanned from storage) LEFT-joined to the daily aggregate so "
+    "zero-activity days appear explicitly — the prerequisite for any "
+    "time-series model input. The spine is rows-not-bytes tiny and "
+    "broadcasts.",
+)
+def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spine = o.sparkSession.range(1).select(
+        F.explode(
+            F.sequence(
+                F.to_date(F.lit("1997-01-01")),
+                F.to_date(F.lit("1997-03-31")),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-04-01")
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("day_revenue"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("day_revenue", F.lit(0.0)).alias("day_revenue"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang, n_chars,
+             md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+')[1:20], ' ')) AS fingerprint
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY fingerprint) AS n_members
+      FROM fp
+    )
+    SELECT fingerprint, doc_id AS survivor_doc_id, lang, n_chars, n_members
+    FROM ranked WHERE rn = 1 AND n_members >= 2
+    """,
+    doc="Quality-ranked canonical selection: cluster by prefix fingerprint "
+    "(md5 of the first 20 tokens — the boilerplate/mirror-page dedup key), "
+    "keep the highest-quality member (longest, then lowest id) via "
+    "row_number over the fingerprint partition — the 'keep best, not "
+    "first' dedup policy. One shuffle on the fingerprint; skew-safe "
+    "because cluster sizes are bounded by true duplicate counts.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 20), " "
+            )
+        ).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = fp.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("fingerprint")).alias("n_members"),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("n_members") >= 2)).select(
+        "fingerprint",
+        F.col("doc_id").alias("survivor_doc_id"),
+        "lang",
+        "n_chars",
+        "n_members",
+    )
