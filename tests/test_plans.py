@@ -78,3 +78,65 @@ def test_no_cartesian_products(spark, sf_dir):
     for name in SPECS:
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "CartesianProduct" not in plan, name
+
+
+# --- wave 2/3 plan shapes -------------------------------------------------
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q4_priority_exists")
+    assert "LeftSemi" in plan
+
+
+def test_q13_preserves_outer_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q13_custdist")
+    assert "LeftOuter" in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q22_scalar_threshold_and_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q22_dormant_capital")
+    # 1-row threshold joins via broadcast; NOT EXISTS becomes anti join
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_interval_join_is_broadcast_nest_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "interval_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cube_uses_single_expand(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "cube_revenue", mode="simple")
+    assert "Expand" in plan
+    # one scan feeds all four grouping sets — no UNION of scans
+    assert plan.count("Scan parquet") == 1
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "column_profile_orders", mode="simple")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_sampling_predicate_is_row_local(spark, sf_dir):
+    # no join, no window: one scan, one aggregate exchange
+    plan = plan_of(spark, sf_dir, "hash_stratified_sample", mode="simple")
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_date_spine_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "date_spine_gap_fill")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rank_suite_single_window_pass(spark, sf_dir):
+    # all four ranking functions share one Window operator over one sort
+    plan = plan_of(spark, sf_dir, "window_rank_suite", mode="simple")
+    assert plan.count("Window") == 1

@@ -27,6 +27,12 @@ SHOWCASE = [
     ("minhash_lsh_buckets", "explode → min-agg → band groupBy (linear near-dedup)"),
     ("embedding_knn_bruteforce", "broadcast queries, JVM cosine, per-group top-k"),
     ("sessionize_events", "single shuffle on user_id; windows partition-local"),
+    ("tpch_q4_priority_exists", "EXISTS decorrelated to LEFT SEMI join"),
+    ("tpch_q16_supplier_cnt", "NOT IN as broadcast LEFT ANTI + distinct count"),
+    ("interval_range_join", "non-equi range join as BroadcastNestedLoopJoin, no shuffle"),
+    ("cube_revenue", "CUBE: one Expand, one shuffle, four grouping sets"),
+    ("column_profile_orders", "N-column profile in ONE scan (stack unpivot of 1-row agg)"),
+    ("hash_stratified_sample", "deterministic sample: row-local hash predicate, no join/window"),
 ]
 
 
