@@ -86,3 +86,76 @@ def test_stream_fact_health_metric_matches_batch(spark, stream_dirs):
     batch_rows = sorted(map(tuple, batch.collect()))
     stream_rows = sorted(map(tuple, streamed.collect()))
     assert stream_rows == batch_rows
+
+
+# --- watermarked streaming dedup ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dedup_dir(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("dedup_stream"))
+    os.makedirs(f"{base}/in", exist_ok=True)
+    # two files: transport redelivery (same event_id) across files, plus a
+    # content re-upload (new id, identical payload) in the second file
+    with open(f"{base}/in/batch1.csv", "w") as f:
+        f.write("event_id,ts,device,reading\n")
+        f.write("1,2016-04-01 10:00:00,dev1,70\n")
+        f.write("2,2016-04-01 10:01:00,dev1,72\n")
+        f.write("3,2016-04-01 10:02:00,dev2,65\n")
+    with open(f"{base}/in/batch2.csv", "w") as f:
+        f.write("event_id,ts,device,reading\n")
+        f.write("2,2016-04-01 10:01:00,dev1,72\n")  # redelivered id
+        f.write("4,2016-04-01 10:03:00,dev2,66\n")
+        f.write("5,2016-04-01 10:02:00,dev2,65\n")  # re-upload, new id
+    return f"{base}/in"
+
+
+def _read_dedup_stream(spark, path):
+    return (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, device STRING, reading DOUBLE"
+        )
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(path)
+    )
+
+
+def _drain_append(stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def test_stream_dedup_by_key(spark, dedup_dir):
+    from fitness_nutrition_data_pipeline_spark.streaming.dedup import dedup_by_key
+
+    out = _drain_append(
+        dedup_by_key(_read_dedup_stream(spark, dedup_dir), "ts", ["event_id"]),
+        "dedup_by_key_out",
+    )
+    ids = sorted(r.event_id for r in out.collect())
+    assert ids == [1, 2, 3, 4, 5]  # id 2 redelivery dropped, id 5 kept
+
+
+def test_stream_dedup_by_content(spark, dedup_dir):
+    from fitness_nutrition_data_pipeline_spark.streaming.dedup import dedup_by_content
+
+    out = _drain_append(
+        dedup_by_content(
+            _read_dedup_stream(spark, dedup_dir),
+            "ts",
+            ["ts", "device", "reading"],
+        ),
+        "dedup_by_content_out",
+    )
+    rows = out.collect()
+    # id-2 redelivery AND the id-5 content re-upload both collapse
+    assert len(rows) == 4
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
