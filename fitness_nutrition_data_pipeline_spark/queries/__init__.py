@@ -47,6 +47,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational2,
         relational3,
         sampling,
+        sketch_ops,
         text_ops,
         tpch_like,
         tpch_like2,
