@@ -35,7 +35,11 @@ def clean_text_list(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     items = F.split(F.lower(c), BLOB_SPLIT_PATTERN)
-    cleaned = F.transform(items, lambda x: F.trim(x))
+    # (?U): Python str.strip() removes Unicode whitespace (NEL, NBSP, ...);
+    # Spark's trim() only strips ASCII spaces
+    cleaned = F.transform(
+        items, lambda x: F.regexp_replace(x, r"(?U)^\s+|\s+$", "")
+    )
     non_empty = F.filter(cleaned, lambda x: x != "")
     return F.coalesce(non_empty, F.array())
 
@@ -48,7 +52,12 @@ def strip_units(col: Column | str) -> Column:
     ``pd.to_numeric(errors='coerce')`` (main_etl_pipeline.py:416-427).
     """
     c = F.col(col) if isinstance(col, str) else col
-    stripped = F.trim(F.regexp_replace(c, r"(?i)\s*(g|mg|mcg|iu|kcal)$", ""))
+    # flag parity with Python re/str.strip(): (?U) makes Java's \s match
+    # Unicode whitespace (NEL, NBSP, ...) like Python's; (?d) restricts
+    # Java's $ to \n-only line terminators (Java otherwise lets $ match
+    # before a trailing NEL/U+2028, which Python's $ does not)
+    unit_stripped = F.regexp_replace(c, r"(?idU)\s*(g|mg|mcg|iu|kcal)$", "")
+    stripped = F.regexp_replace(unit_stripped, r"(?U)^\s+|\s+$", "")
     # try_cast ≡ to_numeric(errors='coerce') under ANSI mode
     return stripped.try_cast("double")
 

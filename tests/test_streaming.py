@@ -159,3 +159,46 @@ def test_stream_dedup_by_content(spark, dedup_dir):
     # id-2 redelivery AND the id-5 content re-upload both collapse
     assert len(rows) == 4
     assert sorted(r.event_id for r in rows) == [1, 2, 3, 4]
+
+
+# --- stream-stream attribution join ---------------------------------------
+
+
+@pytest.fixture(scope="module")
+def attribution_dirs(tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ss_join"))
+    os.makedirs(f"{base}/views", exist_ok=True)
+    os.makedirs(f"{base}/purchases", exist_ok=True)
+    with open(f"{base}/views/v.csv", "w") as f:
+        f.write("event_id,ts,user_id\n")
+        f.write("10,2016-04-01 10:00:00,1\n")   # converts (10:30 purchase)
+        f.write("11,2016-04-01 08:00:00,1\n")   # too early for 10:30
+        f.write("12,2016-04-01 10:10:00,2\n")   # no purchase by user 2
+    with open(f"{base}/purchases/p.csv", "w") as f:
+        f.write("event_id,ts,user_id\n")
+        f.write("90,2016-04-01 10:30:00,1\n")
+        f.write("91,2016-04-01 12:00:00,3\n")   # user 3 never viewed
+    return base
+
+
+def test_stream_stream_attribution(spark, attribution_dirs):
+    from fitness_nutrition_data_pipeline_spark.streaming.joins import (
+        stream_stream_attribution,
+    )
+
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+
+    def src(sub):
+        return (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .csv(f"{attribution_dirs}/{sub}")
+        )
+
+    joined = stream_stream_attribution(src("views"), src("purchases"))
+    assert joined.isStreaming
+    out = _drain_append(joined, "ss_attribution_out")
+    rows = [(r.view_id, r.purchase_id, r.lag_seconds) for r in out.collect()]
+    # only view 10 is within 1h before purchase 90; views 11/12 and
+    # purchase 91 have no partner
+    assert rows == [(10, 90, 1800)]
