@@ -11,6 +11,7 @@ Usage: python tools/verify_queries.py [name ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -21,7 +22,7 @@ import duckdb  # noqa: E402
 from fitness_nutrition_data_pipeline_spark.queries import all_specs  # noqa: E402
 from fitness_nutrition_data_pipeline_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings".split()
 )
