@@ -13,7 +13,7 @@ ordered" becomes "no orders since 1999" — same anti-join plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.queries import register

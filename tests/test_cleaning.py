@@ -1,6 +1,5 @@
 """Unit tests for the cleaning Column expressions (SURVEY §2.6 F1-F3, P5)."""
 
-from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.config import FITNESS_GOALS
 from fitness_nutrition_data_pipeline_spark.functions.cleaning import (

@@ -1,8 +1,5 @@
 """Connected components: transitive closure, convergence, LSH integration."""
 
-import pytest
-from pyspark.sql import functions as F
-
 from fitness_nutrition_data_pipeline_spark.operators.components import (
     connected_components,
     near_dup_components,
@@ -45,10 +42,7 @@ def test_near_dup_components_from_lsh(spark, sf_dir):
 def test_near_dup_pipeline_end_to_end(spark, sf_dir):
     """Composed MinHash→LSH→Jaccard pipeline: runs, bounded, and agrees
     with directly-computed Jaccard on its candidate pairs."""
-    from fitness_nutrition_data_pipeline_spark.operators.dedup import (
-        jaccard_on_adjacent_pairs,
-        near_dup_pipeline,
-    )
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import near_dup_pipeline
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = near_dup_pipeline(docs, "doc_id", "text", threshold=0.5)

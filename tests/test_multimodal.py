@@ -2,7 +2,6 @@
 feature extraction and the gated decode path."""
 
 import pytest
-from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.multimodal import (
     FEATURE_DIM,

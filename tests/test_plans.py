@@ -7,7 +7,6 @@ codegen — must hold, not just correct results.
 import contextlib
 import io
 
-import pytest
 
 from fitness_nutrition_data_pipeline_spark.queries import all_specs
 

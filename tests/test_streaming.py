@@ -59,8 +59,6 @@ def test_streaming_sleep_matches_batch(spark, stream_dirs):
 def test_stream_fact_health_metric_matches_batch(spark, stream_dirs):
     """The streaming fact builder must emit exactly the rows the batch
     builder derives from the same file."""
-    import sys
-
     from fitness_nutrition_data_pipeline_spark.config import PipelineConfig
     from fitness_nutrition_data_pipeline_spark.pipeline import FitnessWarehousePipeline
     from fitness_nutrition_data_pipeline_spark.streaming.rollups import (
