@@ -227,3 +227,52 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         "n_members",
     )
+
+
+@register(
+    "incremental_ingest_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(
+               string_split_regex(lower(trim(text)), '\s+')[1:20], ' ')) AS fingerprint
+      FROM documents
+    ),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 450),
+    inc AS (SELECT * FROM fp WHERE doc_id >= 450)
+    SELECT i.doc_id, i.lang,
+           CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END AS is_novel
+    FROM inc i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+    """,
+    doc="Incremental ingest dedup: a new batch (doc_id >= 450 stands in "
+    "for today's drop) is admitted only if its content fingerprint is "
+    "absent from the historical corpus — a LEFT ANTI-shaped join against "
+    "the fingerprint store. At 100 TB the store is a bucketed table "
+    "keyed on fingerprint so each daily batch joins without reshuffling "
+    "history; here the history side is computed inline.",
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.array_join(
+                F.slice(F.split(F.lower(F.trim("text")), r"\s+"), 1, 20), " "
+            )
+        ).alias("fingerprint"),
+    )
+    hist = fp.where(F.col("doc_id") < 450).select("fingerprint").distinct()
+    inc = fp.where(F.col("doc_id") >= 450)
+    return (
+        inc.join(
+            F.broadcast(hist.withColumnRenamed("fingerprint", "h_fp")),
+            inc.fingerprint == F.col("h_fp"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("h_fp").isNull(), 1).otherwise(0).alias("is_novel"),
+        )
+    )
