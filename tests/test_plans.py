@@ -139,3 +139,9 @@ def test_rank_suite_single_window_pass(spark, sf_dir):
     # all four ranking functions share one Window operator over one sort
     plan = plan_of(spark, sf_dir, "window_rank_suite", mode="simple")
     assert plan.count("Window") == 1
+
+
+def test_incremental_dedup_broadcasts_history(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "incremental_ingest_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
