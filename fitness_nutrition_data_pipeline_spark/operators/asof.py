@@ -33,19 +33,24 @@ def as_of_join(
     value column (NULL when no right row precedes the left row).
     """
     lt = left.withColumn("_ts", F.col(left_ts)).withColumn("_side", F.lit(1))
+    # Carry ALL right value columns as ONE struct under a single
+    # last(ignorenulls) — per-column last would mix values from different
+    # right rows whenever the latest match has a NULL field, which is not
+    # ASOF semantics (the whole latest row wins, NULL fields included).
     rt = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("_rrow"),
     )
     prefixed = [f"{prefix}{c}" for c in right_value_cols]
     # align schemas for the union
     for c in left.columns:
         if c not in rt.columns and c != key:
             rt = rt.withColumn(c, F.lit(None))
-    for c in prefixed:
-        lt = lt.withColumn(c, F.lit(None))
+    lt = lt.withColumn(
+        "_rrow", F.lit(None).cast(rt.schema["_rrow"].dataType)
+    )
     unioned = lt.select(rt.columns).unionByName(rt.select(rt.columns))
 
     # right rows (side=0) sort before left rows at equal ts → ties match
@@ -55,13 +60,9 @@ def as_of_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"_carr_{c}")
-            for c in prefixed
-        ],
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_carr")
     )
     out_cols = [c for c in left.columns] + [
-        F.col(f"_carr_{c}").alias(c) for c in prefixed
+        F.col(f"_carr.{c}").alias(p) for c, p in zip(right_value_cols, prefixed)
     ]
     return carried.where(F.col("_side") == 1).select(*out_cols)

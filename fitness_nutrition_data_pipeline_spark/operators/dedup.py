@@ -116,10 +116,16 @@ def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> Data
     b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     pairs = a_sz.join(b_sz, F.col("id_b") == F.col("id_a") + 1)
 
-    ea = exploded.select(F.col(id_col).alias("id_a"), "shingle")
-    eb = exploded.select(F.col(id_col).alias("id_b"), "shingle")
+    # explicit aliases: both sides share lineage, so ea["shingle"] ==
+    # eb["shingle"] would resolve to a trivially-true self-comparison
+    ea = exploded.select(F.col(id_col).alias("id_a"), "shingle").alias("a")
+    eb = exploded.select(F.col(id_col).alias("id_b"), "shingle").alias("b")
     inter = (
-        ea.join(eb, (F.col("id_b") == F.col("id_a") + 1) & (ea["shingle"] == eb["shingle"]))
+        ea.join(
+            eb,
+            (F.col("b.id_b") == F.col("a.id_a") + 1)
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -27,9 +27,12 @@ def word_shingles(col: Column | str, n: int = 2, *, distinct: bool = True) -> Co
     """
     toks = whitespace_tokens(col)
     size = F.array_size(toks)
-    out = F.slice(toks, 1, size - (n - 1))
+    # clamp: docs with < n tokens yield an empty shingle array, not a
+    # negative slice length (F.slice throws on negative length)
+    length = F.greatest(size - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, length)
     for i in range(1, n):
-        nxt = F.slice(toks, i + 1, size - (n - 1))
+        nxt = F.slice(toks, i + 1, length)
         out = F.zip_with(out, nxt, lambda a, b: F.concat_ws(" ", a, b))
     return F.array_distinct(out) if distinct else out
 

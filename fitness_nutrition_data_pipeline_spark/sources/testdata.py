@@ -29,6 +29,11 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS); a session without this conf
+    # throws PARQUET_TYPE_ILLEGAL at the scan. The conf is runtime-settable,
+    # so set it here — load_table must work on ANY caller-provided session
+    # (e.g. a bare SparkSession.builder.getOrCreate()), not just ours.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong) — restore a real timestamp at

@@ -44,13 +44,15 @@ def dedup_by_content(
     late_threshold: str = "1 hour",
 ) -> DataFrame:
     """Drop records whose payload content repeats within the watermark
-    window, regardless of their ids: md5 over the concatenated payload
-    (null-tagged so (NULL,'a') ≠ ('a',NULL)) becomes the dedup key."""
+    window, regardless of their ids: md5 over the \x01-delimited payload
+    becomes the dedup key. The unit separator means adjacent fields can't
+    collide (("ab","c") ≠ ("a","bc")); NULL gets a multi-byte \x00-framed
+    sentinel so it can't collide with any plausible real field value."""
     fp = F.md5(
         F.concat_ws(
             "",
             *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x1f"))
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00<NULL>\x00"))
                 for c in payload_cols
             ],
         )

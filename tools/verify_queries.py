@@ -48,7 +48,17 @@ def norm_rows(cols, rows):
 
 
 def main(names=None):
-    spark = get_spark("verify_queries")
+    if os.environ.get("SPARK_GRAFT_VERIFY_BARE"):
+        # Driver-harness simulation: a default session with NONE of the
+        # repo's confs — every query must still run and hash-match.
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify_bare"
+        ).getOrCreate()
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("verify_queries")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
