@@ -19,6 +19,16 @@ from pyspark.sql import functions as F
 # or the word ' and ' (main_etl_pipeline.py:134).
 BLOB_SPLIT_PATTERN = r"[,\n]| and "
 
+# Python str.strip() / re \s whitespace set, spelled out as a Java regex
+# character class. It is NEITHER Java's (?U)\s (which misses \x1c-\x1f —
+# bidi-separator controls that str.isspace() accepts but are not Unicode
+# White_Space) nor ASCII \s. Every strip that must mirror Python text
+# semantics uses this class.
+PYSPACE_CLASS = (
+    "\\t-\\r\\x1c-\\x1f \\x85\\xa0\\u1680\\u2000-\\u200a"
+    "\\u2028\\u2029\\u202f\\u205f\\u3000"
+)
+
 
 def normalize_columns(df: DataFrame) -> DataFrame:
     """Lower-case + spaces→underscores on all column names
@@ -35,10 +45,13 @@ def clean_text_list(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     items = F.split(F.lower(c), BLOB_SPLIT_PATTERN)
-    # (?U): Python str.strip() removes Unicode whitespace (NEL, NBSP, ...);
-    # Spark's trim() only strips ASCII spaces
+    # PYSPACE_CLASS, not (?U)\s: Python str.strip() removes Unicode
+    # whitespace plus \x1c-\x1f; Spark's trim() only strips ASCII spaces
     cleaned = F.transform(
-        items, lambda x: F.regexp_replace(x, r"(?U)^\s+|\s+$", "")
+        items,
+        lambda x: F.regexp_replace(
+            x, f"^[{PYSPACE_CLASS}]+|[{PYSPACE_CLASS}]+$", ""
+        ),
     )
     non_empty = F.filter(cleaned, lambda x: x != "")
     return F.coalesce(non_empty, F.array())
@@ -52,14 +65,23 @@ def strip_units(col: Column | str) -> Column:
     ``pd.to_numeric(errors='coerce')`` (main_etl_pipeline.py:416-427).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # flag parity with Python re/str.strip(): (?U) makes Java's \s match
-    # Unicode whitespace (NEL, NBSP, ...) like Python's; (?d) restricts
-    # Java's $ to \n-only line terminators (Java otherwise lets $ match
-    # before a trailing NEL/U+2028, which Python's $ does not)
-    unit_stripped = F.regexp_replace(c, r"(?idU)\s*(g|mg|mcg|iu|kcal)$", "")
-    stripped = F.regexp_replace(unit_stripped, r"(?U)^\s+|\s+$", "")
-    # try_cast ≡ to_numeric(errors='coerce') under ANSI mode
-    return stripped.try_cast("double")
+    # PYSPACE_CLASS for Python-whitespace parity (see its doc above).
+    # (?d) restricts Java's $ to \n-only line terminators (Java otherwise
+    # lets $ match before a trailing NEL/U+2028, which Python's $ does not).
+    unit_stripped = F.regexp_replace(
+        c, f"(?id)[{PYSPACE_CLASS}]*(g|mg|mcg|iu|kcal)$", ""
+    )
+    stripped = F.regexp_replace(
+        unit_stripped, f"^[{PYSPACE_CLASS}]+|[{PYSPACE_CLASS}]+$", ""
+    )
+    # try_cast ≡ to_numeric(errors='coerce') under ANSI mode — EXCEPT that
+    # Spark's string→numeric cast trims every char ≤ 0x20 at the ends,
+    # while Python float() only tolerates true whitespace. After the strip
+    # above, any remaining edge char in \x00-\x08 / \x0e-\x1b (control,
+    # non-whitespace) would cast in Spark ('0\x08' → 0.0) but coerce to
+    # NaN in pandas — null those explicitly for parity.
+    bad_edge = stripped.rlike(r"^[\x00-\x08\x0e-\x1b]|[\x00-\x08\x0e-\x1b]$")
+    return F.when(~bad_edge, stripped.try_cast("double"))
 
 
 def standardize_fitness_goal(

