@@ -128,6 +128,122 @@ def winnowing_fingerprint_summary(
     )
 
 
+def pii_scan(
+    df: DataFrame,
+    text_col: str,
+    patterns: dict[str, str],
+    *,
+    redact: bool = True,
+) -> DataFrame:
+    """PII detection/redaction over a free-text column (training-data
+    hygiene pass): per-pattern match counts ``n_<name>``, a ``pii_total``,
+    and (optionally) a ``redacted`` copy with every match replaced by
+    ``[<NAME>]``. Pure regexp Column expressions — linear scan, no
+    shuffle, no Python. Patterns apply to the lower-cased text; redaction
+    applies them in dict order."""
+    lowered = F.lower(F.col(text_col))
+    out = df
+    total = F.lit(0)
+    for name, pat in patterns.items():
+        cnt = F.regexp_count(lowered, F.lit(pat))
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + cnt
+    out = out.withColumn("pii_total", total)
+    if redact:
+        red = lowered
+        for name, pat in patterns.items():
+            red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+        out = out.withColumn("redacted", red)
+    return out
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus doc, how many of its
+    distinct word n-grams appear anywhere in the benchmark set
+    (the decontamination pass run before training on scraped data).
+
+    The benchmark's distinct gram set is broadcast — eval suites are tiny
+    next to a training corpus, so the corpus never shuffles; each partition
+    probes the broadcast hash table and only per-doc counts aggregate."""
+    bench_grams = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    grams = corpus.select(id_col, word_shingles(text_col, n).alias("_grams"))
+    hits = (
+        grams.select(id_col, F.explode("_grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    n_grams = F.array_size("_grams")
+    out = grams.select(id_col, n_grams.alias("n_grams")).join(hits, id_col, "left")
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    ratio = F.when(
+        F.col("n_grams") > 0,
+        F.round(n_cont.cast("double") / F.col("n_grams"), 4),
+    )
+    return out.select(
+        id_col,
+        "n_grams",
+        n_cont.alias("n_contaminated"),
+        ratio.alias("contamination_ratio"),
+    )
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition profile (Gopher-style quality signals):
+    distinct-token ratio and the share of the most frequent bigram.
+    Token-level stats are per-row array ops; the bigram mode is one
+    explode → two-level partial aggregation (codegen, map-side combined)."""
+    toks = whitespace_tokens(text_col)
+    base = df.select(
+        id_col,
+        F.array_size(toks).alias("n_tokens"),
+        F.round(
+            F.array_size(F.array_distinct(toks)).cast("double")
+            / F.array_size(toks),
+            4,
+        ).alias("distinct_token_ratio"),
+        word_shingles(text_col, 2, distinct=False).alias("_bi"),
+    )
+    bi_counts = (
+        base.select(id_col, F.explode("_bi").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.max("_c").alias("_top"), F.sum("_c").alias("_total"))
+    )
+    share = F.when(
+        F.coalesce(F.col("_total"), F.lit(0)) > 0,
+        F.round(F.col("_top").cast("double") / F.col("_total"), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(bi_counts, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "distinct_token_ratio",
+            share.alias("top_bigram_share"),
+        )
+        .withColumn(
+            "is_repetitive",
+            F.when(
+                (F.col("distinct_token_ratio") < 0.5)
+                | (F.col("top_bigram_share") >= 0.2),
+                1,
+            ).otherwise(0),
+        )
+    )
+
+
 def tfidf_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tfidf) with tfidf = tf · ln(N/df), rounded 4dp so ranking
     on it is engine-independent."""

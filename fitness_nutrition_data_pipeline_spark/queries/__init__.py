@@ -109,6 +109,7 @@ def all_specs() -> dict[str, QuerySpec]:
         sampling,
         sketch_ops,
         text_ops,
+        text_ops2,
         tpch_like,
         tpch_like2,
     )

@@ -1,0 +1,170 @@
+"""Training-data hygiene operators, wave 2: PII scan/redaction,
+benchmark-contamination checking, within-document repetition profiling.
+
+These are the passes a large-scale LLM data pipeline runs between raw
+scrape and training shard: strip PII, drop eval-set leakage, flag
+degenerate/repetitive documents. Each binds a reusable operator from
+``operators/text.py`` to the testdata tables with a DuckDB oracle; all
+hot-path logic is JVM-side Column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.text import (
+    ngram_contamination,
+    pii_scan,
+    repetition_features,
+)
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+# Patterns applied to lower-cased text. The slimmed customer table has no
+# phone/email columns, so the demo blob carries the PII-shaped values it
+# does have — the 'Customer#NNNN' identifier and a money amount — plus an
+# email pattern exercising the zero-hit path. The operator is
+# pattern-agnostic; production runs swap in phone/email/SSN regexes.
+_PII_PATTERNS = {
+    "custid": r"customer#\d+",
+    "money": r"\d+\.\d\d",
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+}
+
+_BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
+
+
+@register(
+    "pii_scan_redact",
+    r"""
+    WITH blobs AS (
+      SELECT c_custkey,
+             lower(concat_ws(' ', c_name, 'balance',
+                             printf('%.2f', c_acctbal),
+                             'segment', c_mktsegment)) AS blob
+      FROM customer
+    )
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(blob, 'customer#\d+')) AS INT)
+               AS n_custid,
+           CAST(len(regexp_extract_all(blob, '\d+\.\d\d')) AS INT) AS n_money,
+           CAST(len(regexp_extract_all(blob,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(blob, 'customer#\d+'))
+              + len(regexp_extract_all(blob, '\d+\.\d\d'))
+              + len(regexp_extract_all(blob,
+                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS pii_total,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(blob, 'customer#\d+', '[CUSTID]', 'g'),
+               '\d+\.\d\d', '[MONEY]', 'g'),
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS redacted
+    FROM blobs
+    """,
+    doc="PII detection + redaction over free text (configurable regex "
+    "patterns, per-pattern counts, redacted copy) — the training-data "
+    "hygiene pass; pure regexp Column expressions, linear scan, no "
+    "shuffle. The money amount is %.2f-formatted on both engines so the "
+    "blob is bit-identical.",
+)
+def pii_scan_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat_ws(
+            " ",
+            "c_name",
+            F.lit("balance"),
+            F.format_string("%.2f", "c_acctbal"),
+            F.lit("segment"),
+            "c_mktsegment",
+        ).alias("blob"),
+    )
+    return pii_scan(cust, "blob", _PII_PATTERNS).select(
+        "c_custkey", "n_custid", "n_money", "n_email", "pii_total", "redacted"
+    )
+
+
+@register(
+    "contamination_check",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] AS gram
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE doc_id < {_BENCH_MAX_DOC}
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                              t[i+3] || ' ' || t[i+4] AS gram
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE doc_id >= {_BENCH_MAX_DOC}
+    ),
+    ng AS (SELECT doc_id, count(*) AS n_grams FROM cg GROUP BY doc_id),
+    hits AS (
+      SELECT cg.doc_id, count(*) AS n_contaminated
+      FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(ng.n_grams, 0) AS INT) AS n_grams,
+           CAST(coalesce(hits.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN coalesce(ng.n_grams, 0) > 0
+                THEN round(CAST(coalesce(hits.n_contaminated, 0) AS DOUBLE)
+                           / ng.n_grams, 4)
+           END AS contamination_ratio
+    FROM documents d
+    LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)
+    WHERE d.doc_id >= {_BENCH_MAX_DOC}
+    """,
+    doc="Benchmark-contamination (decontamination) check: distinct 5-gram "
+    "overlap of every corpus doc against a held-out benchmark set. The "
+    "benchmark gram set is broadcast — the corpus side never shuffles; "
+    "only per-doc counts aggregate. The pass run before training on "
+    "scraped data.",
+)
+def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_DOC)
+    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_DOC)
+    return ngram_contamination(corpus, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "repetition_profile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(t) AS INT) AS n_tokens,
+             round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+                 AS distinct_token_ratio
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, unnest(range(1, len(t))) AS u(i)
+    ),
+    bc AS (SELECT doc_id, bigram, count(*) AS c FROM bi GROUP BY doc_id, bigram),
+    tops AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM bc GROUP BY doc_id)
+    SELECT b.doc_id, b.n_tokens, b.distinct_token_ratio,
+           CASE WHEN coalesce(tops.total, 0) > 0
+                THEN round(CAST(tops.top_c AS DOUBLE) / tops.total, 4)
+                ELSE 0.0 END AS top_bigram_share,
+           CASE WHEN b.distinct_token_ratio < 0.5
+                  OR (CASE WHEN coalesce(tops.total, 0) > 0
+                           THEN round(CAST(tops.top_c AS DOUBLE) / tops.total, 4)
+                           ELSE 0.0 END) >= 0.2
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM base b LEFT JOIN tops USING (doc_id)
+    """,
+    doc="Within-document repetition profile (Gopher-style quality "
+    "signals): distinct-token ratio via per-row array ops, most-frequent-"
+    "bigram share via one explode → two-level map-side-combined "
+    "aggregation, and a repetitiveness flag.",
+)
+def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
