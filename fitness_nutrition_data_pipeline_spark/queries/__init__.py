@@ -112,6 +112,7 @@ def all_specs() -> dict[str, QuerySpec]:
         text_ops2,
         tpch_like,
         tpch_like2,
+        tpch_like3,
     )
 
     ordered = {n: _REGISTRY[n] for n in _CHECK_PRIORITY if n in _REGISTRY}

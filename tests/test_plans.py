@@ -145,3 +145,37 @@ def test_incremental_dedup_broadcasts_history(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "incremental_ingest_dedup")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    # supplier, customer, nation ×2 all broadcast; only orders⋈lineitem and
+    # the final rollup may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_snowflake_single_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    # part filter pushed to its scan
+    assert "EqualTo(p_type,ECONOMY)" in plan
+
+
+def test_q10_pushdown_and_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_argmax_broadcasts_scalar(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
+    # the single-row max side and the supplier dim both broadcast
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_contamination_corpus_never_shuffles_for_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "contamination_check")
+    assert "BroadcastHashJoin" in plan

@@ -33,6 +33,10 @@ SHOWCASE = [
     ("cube_revenue", "CUBE: one Expand, one shuffle, four grouping sets"),
     ("column_profile_orders", "N-column profile in ONE scan (stack unpivot of 1-row agg)"),
     ("hash_stratified_sample", "deterministic sample: row-local hash predicate, no join/window"),
+    ("ngram_jaccard_pairs", "pair join carries shingle ARRAYS; array_intersect per pair — N rows through the shuffle, not N×shingles"),
+    ("contamination_check", "benchmark gram set broadcast; corpus side never shuffles for the join"),
+    ("tpch_q8_market_share", "8-table snowflake: every dim broadcast, single fact shuffle"),
+    ("pii_scan_redact", "regexp scan+redact: zero shuffles, pure codegen projection"),
 ]
 
 
