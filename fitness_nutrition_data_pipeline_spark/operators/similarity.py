@@ -173,3 +173,65 @@ def brute_force_topk_pandas(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def random_hyperplane_lsh(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine-LSH bucket assignment via random hyperplanes (SimHash for
+    vectors): bucket_id packs the sign bits of ⟨v, h_j⟩ for n_planes
+    md5-derived pseudo-random hyperplanes. Vectors whose cosine is high
+    land in the same bucket with probability (1 − θ/π)^n_planes — the
+    candidate generator that replaces all-pairs search at corpus scale.
+
+    The plane components are deterministic md5 folds (portable hex→int,
+    no RNG state), so any engine reproduces the identical buckets. Plan
+    shape: the (n_planes × dim) plane table is generated and broadcast;
+    the corpus posexplodes its vector once, partial-aggregates the per-
+    plane dot products map-side, and only n_planes partials per vector
+    cross the shuffle.
+    """
+    k = F.col("id")
+    comp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("h"),
+                        (k / dim).cast("int").cast("string"),
+                        F.lit("|"),
+                        (k % dim).cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(16777215.0)
+    ) * 2 - 1
+    planes = vectors.sparkSession.range(n_planes * dim).select(
+        (k / dim).cast("int").alias("j"),
+        (k % dim).cast("int").alias("i"),
+        comp.alias("comp"),
+        F.pow(F.lit(2.0), (k / dim).cast("int")).cast("long").alias("weight"),
+    )
+    v = vectors.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v")
+    )
+    dots = (
+        v.join(F.broadcast(planes), "i")
+        .groupBy(id_col, "j", "weight")
+        .agg(F.sum(F.col("v") * F.col("comp")).alias("dot"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.sum(F.when(F.col("dot") >= 0, F.col("weight")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("bucket_id")
+    )

@@ -34,6 +34,7 @@ from fitness_nutrition_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     ivf_probe_topk,
+    random_hyperplane_lsh,
 )
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
@@ -454,4 +455,56 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("int").alias("hamming"),
             F.when(hamming <= 3, 1).otherwise(0).alias("is_near_dup"),
         )
+    )
+
+
+@register(
+    "embedding_lsh_buckets",
+    """
+    WITH planes AS (
+      SELECT CAST(k // 64 AS INT) AS j, CAST(k % 64 AS INT) + 1 AS i,
+             (CAST('0x' || substr(md5('h' || CAST(k // 64 AS INT)
+                                       || '|' || CAST(k % 64 AS INT)), 1, 6)
+                   AS BIGINT) / 16777215.0) * 2 - 1 AS comp,
+             CAST(power(2, k // 64) AS BIGINT) AS weight
+      FROM range(0, 512) t(k)
+    ),
+    vecs AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    dots AS (
+      SELECT vec_id, j, weight, sum(v * comp) AS dot
+      FROM vecs JOIN planes USING (i)
+      GROUP BY vec_id, j, weight
+    ),
+    buckets AS (
+      SELECT vec_id,
+             CAST(sum(CASE WHEN dot >= 0 THEN weight ELSE 0 END) AS BIGINT)
+                 AS bucket_id
+      FROM dots GROUP BY vec_id
+    )
+    SELECT bucket_id, count(*) AS n_vecs,
+           CAST(min(vec_id) AS BIGINT) AS canonical_vec_id
+    FROM buckets GROUP BY bucket_id HAVING count(*) >= 2
+    """,
+    doc="Cosine-LSH candidate buckets via md5-derived random hyperplanes "
+    "(operators/similarity.py::random_hyperplane_lsh): sign-bit bucket "
+    "per vector, buckets with >= 2 members are the near-neighbor "
+    "candidates. Planes broadcast; one posexplode + map-side partial "
+    "dots; never all-pairs. Completes the ANN ladder: brute-force "
+    "(exact) -> IVF probe (coarse quantization) -> hyperplane LSH "
+    "(sublinear candidate generation).",
+)
+def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = random_hyperplane_lsh(
+        _emb(spark, sf_dir), "vec_id", "embedding", n_planes=8, dim=64
+    )
+    return (
+        buckets.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.min("vec_id").alias("canonical_vec_id"),
+        )
+        .where(F.col("n_vecs") >= 2)
     )

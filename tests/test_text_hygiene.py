@@ -91,3 +91,42 @@ def test_repetition_features(spark):
     # doc 3: single token → no bigrams → share 0
     assert out[3].top_bigram_share == 0.0
     assert out[3].is_repetitive == 0
+
+
+def test_random_hyperplane_lsh_groups_similar_vectors(spark):
+    """Same-direction vectors must share a bucket; opposite vectors must
+    not (every sign bit flips). Deterministic planes → stable buckets."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        random_hyperplane_lsh,
+    )
+
+    base = [1.0, -0.5, 2.0, 0.25] * 4  # dim 16
+    scaled = [x * 3.0 for x in base]  # same direction → same half-spaces
+    flipped = [-x for x in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, scaled), (3, flipped)], "id long, vec array<double>"
+    )
+    out = {
+        r.id: r.bucket_id
+        for r in random_hyperplane_lsh(df, "id", "vec", n_planes=8, dim=16).collect()
+    }
+    assert out[1] == out[2]
+    # flipped vector inverts every sign bit → bitwise complement bucket
+    assert out[3] == (2**8 - 1) - out[1]
+
+
+def test_random_hyperplane_lsh_broadcasts_planes(spark):
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        random_hyperplane_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 16) for i in range(4)], "id long, vec array<double>"
+    )
+    plan = (
+        random_hyperplane_lsh(df, "id", "vec", n_planes=4, dim=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
