@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup_summary,
     jaccard_on_adjacent_pairs,
     lsh_bands,
@@ -507,4 +508,73 @@ def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("vec_id").alias("canonical_vec_id"),
         )
         .where(F.col("n_vecs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Connected-components duplicate clusters
+# ---------------------------------------------------------------------------
+
+_CC_ITERS = 3
+
+
+def _clusters_sql(iterations: int = _CC_ITERS) -> str:
+    """Oracle for dedup_clusters: the same alternating min-label
+    propagation, unrolled as chained CTEs (one b{i}/l{i} pair per
+    iteration) so DuckDB computes bit-identical labels."""
+    cte = (
+        _bands_cte()
+        + """
+    , mem AS (
+      SELECT doc_id, CAST(band_id AS VARCHAR) || band_key AS bucket FROM bands
+    ),
+    l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM mem)"""
+    )
+    for i in range(1, iterations + 1):
+        cte += f""",
+    b{i} AS (
+      SELECT bucket, min(label) AS bucket_label
+      FROM mem JOIN l{i - 1} USING (doc_id) GROUP BY bucket
+    ),
+    l{i} AS (
+      SELECT doc_id, min(bucket_label) AS label
+      FROM mem JOIN b{i} USING (bucket) GROUP BY doc_id
+    )"""
+    return (
+        cte
+        + f"""
+    SELECT CAST(label AS BIGINT) AS cluster_id, count(*) AS n_docs,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM l{iterations}
+    GROUP BY label HAVING count(*) >= 2
+    """
+    )
+
+
+@register(
+    "lsh_dedup_clusters",
+    _clusters_sql(),
+    doc="Duplicate clusters: LSH band buckets → bounded-round (3) "
+    "min-label propagation over the doc↔bucket bipartite graph "
+    "(operators/dedup.py::dedup_clusters) — a refinement of the true "
+    "connected components (never over-merges; chains longer than 3 "
+    "bucket-hops stay split, production iterates to fixpoint via "
+    "operators/components.py). Two shuffles per round, map-side "
+    "partial min, no edge-pair materialization — the shape that scales "
+    "to 100 TB. Completes the dedup story: candidate buckets "
+    "(minhash_lsh_buckets) → pairwise verify (ngram_jaccard_pairs) → "
+    "clusters → keep-one survivor.",
+)
+def lsh_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH)
+    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS)
+    membership = bands.select(
+        "doc_id",
+        F.concat(F.col("band_id").cast("string"), F.col("band_key")).alias("bucket"),
+    )
+    clusters = dedup_clusters(membership, "doc_id", "bucket", iterations=_CC_ITERS)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc_id"))
+        .where(F.col("n_docs") >= 2)
     )

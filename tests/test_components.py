@@ -52,3 +52,60 @@ def test_near_dup_pipeline_end_to_end(spark, sf_dir):
     assert all((r.jaccard >= 0.5) == (r.is_near_dup == 1) for r in rows)
     # pairs are canonical-oriented (bucket min first)
     assert all(r.id_a < r.id_b for r in rows)
+
+
+def test_dedup_clusters_bipartite_chain(spark):
+    """Transitivity through shared buckets: 1~2 via x, 2~3 via y ⇒ one
+    cluster labeled 1; isolated doc 10 keeps its own label."""
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    mem = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (2, "y"), (3, "y"), (10, "z")],
+        "doc_id long, bucket string",
+    )
+    out = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(mem, "doc_id", "bucket", iterations=3).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10}
+
+
+def test_bipartite_clusters_refine_fixpoint_components(spark, sf_dir):
+    """Bounded-round bipartite propagation (dedup_clusters, oracle-
+    verifiable) must REFINE the true components (connected_components
+    fixpoint): every bounded cluster sits inside one true component,
+    and labels never cross components. The real sf0.001 LSH graph has
+    duplicate chains longer than 3 bucket-hops, so equality does NOT
+    hold — the bounded form under-merges, never over-merges."""
+    from pyspark.sql import functions as F
+
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bands = lsh_bands(minhash_signatures(docs, "doc_id", "text"), "doc_id")
+    membership = bands.select(
+        "doc_id",
+        F.concat(F.col("band_id").cast("string"), F.col("band_key")).alias("bucket"),
+    )
+    bip = {
+        r.doc_id: r.cluster_id
+        for r in dedup_clusters(
+            membership, "doc_id", "bucket", iterations=3
+        ).collect()
+    }
+    fixpoint = {
+        r.doc_id: r.component
+        for r in near_dup_components(bands, "doc_id").collect()
+    }
+    # every doc the fixpoint clusters is present in the bipartite result
+    assert set(fixpoint) <= set(bip)
+    for doc, cluster in bip.items():
+        # label is a real doc in the same true component (or self)
+        assert cluster <= doc
+        if doc in fixpoint:
+            assert fixpoint.get(cluster, cluster) == fixpoint[doc]
+        else:
+            assert cluster == doc  # singleton stays itself
+    # refinement is strict here: chains longer than 3 hops exist
+    shared = set(fixpoint)
+    assert len({bip[d] for d in shared}) > len({fixpoint[d] for d in shared})
