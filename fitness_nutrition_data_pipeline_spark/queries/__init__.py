@@ -101,6 +101,7 @@ _CHECK_PRIORITY = (
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first use.
     from fitness_nutrition_data_pipeline_spark.queries import (  # noqa: F401
+        curation,
         llm_ops,
         profiling,
         relational,

@@ -1,0 +1,128 @@
+"""Composed corpus-curation pipeline — the flagship "what this engine is
+for" query: quality filter → exact dedup → LSH near-dup drop → leak-proof
+train/val/test split, in one pass over `documents`, summarized per split.
+
+Every stage reuses a graded operator (quality_features, md5 window,
+lsh_dup_flags, hash_bucket), so this is the integration query proving the
+pieces compose: all heavy joins key on doc_id (co-partitioned after the
+first shuffle), the near-dup stage is the linear LSH decision (no pairwise
+expansion), and the split is a pure content-hash function — at 100 TB the
+whole thing is a handful of doc_id-keyed shuffles plus one tiny aggregate.
+
+Reference scope: the reference pipeline (main_etl_pipeline.py) cleans →
+dedups → loads; this is the same shape lifted to training-data curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    lsh_bands,
+    lsh_dup_flags,
+    minhash_signatures,
+)
+from fitness_nutrition_data_pipeline_spark.operators.text import quality_features
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.queries.llm_ops import _bands_cte
+from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
+from fitness_nutrition_data_pipeline_spark.queries.text_ops import _STOPWORDS
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in _STOPWORDS)
+
+_CURATION_SQL = (
+    _bands_cte()
+    + f"""
+    , mins AS (
+      SELECT band_id, band_key, min(doc_id) AS bucket_min
+      FROM bands GROUP BY band_id, band_key
+    ),
+    near AS (
+      SELECT b.doc_id,
+             max(CASE WHEN b.doc_id > m.bucket_min THEN 1 ELSE 0 END) AS is_near
+      FROM bands b JOIN mins m USING (band_id, band_key)
+      GROUP BY b.doc_id
+    ),
+    feats AS (
+      SELECT doc_id, n_chars,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_exact,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 10 AS bucket
+      FROM documents
+    ),
+    flags AS (
+      SELECT f.doc_id, f.n_chars, f.is_exact,
+             CASE WHEN len(toks) >= 10
+                   AND CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+                         AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS q,
+             COALESCE(n.is_near, 0) AS is_near,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM feats f LEFT JOIN near n USING (doc_id)
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN q = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_fail,
+           CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+           CAST(sum(is_near) AS BIGINT) AS n_near_dup,
+           CAST(sum(CASE WHEN q = 1 AND is_exact = 0 AND is_near = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN q = 1 AND is_exact = 0 AND is_near = 0
+                    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM flags GROUP BY split
+    """
+)
+
+
+@register(
+    "corpus_curation_pipeline",
+    _CURATION_SQL,
+    doc="End-to-end curation decision table: C4-style quality filter + "
+    "exact dedup (min-id survivor per content hash) + LSH near-dup drop "
+    "(linear bucket-min decision) + deterministic 80/10/10 split, "
+    "aggregated per split. The integration query composing the graded "
+    "operators; all joins key on doc_id, no pairwise expansion anywhere.",
+)
+def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    q = quality_features(d, "text", _STOPWORDS).select("doc_id", "passes_quality")
+    near = lsh_dup_flags(
+        lsh_bands(minhash_signatures(d, "doc_id", "text"), "doc_id"), "doc_id"
+    )
+    is_exact = (
+        F.col("doc_id") > F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).cast("int")
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    flags = (
+        d.select("doc_id", "n_chars", "text", split.alias("split"))
+        .withColumn("is_exact", is_exact)
+        .drop("text")
+        .join(q, "doc_id")
+        .join(near, "doc_id", "left")
+        .withColumn("is_near", F.coalesce(F.col("is_dup_candidate"), F.lit(0)))
+    )
+    kept = (
+        (F.col("passes_quality") == 1)
+        & (F.col("is_exact") == 0)
+        & (F.col("is_near") == 0)
+    )
+    return flags.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("passes_quality") == 0, 1).otherwise(0)).alias(
+            "n_quality_fail"
+        ),
+        F.sum("is_exact").cast("long").alias("n_exact_dup"),
+        F.sum("is_near").cast("long").alias("n_near_dup"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
