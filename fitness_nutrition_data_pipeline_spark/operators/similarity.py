@@ -235,3 +235,28 @@ def random_hyperplane_lsh(
         .cast("long")
         .alias("bucket_id")
     )
+
+
+def kmeans_lloyd_step(
+    vectors: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """One Lloyd iteration of k-means: assign every vector to its nearest
+    centroid (cosine, centroids broadcast — ``assign_centroids``), then
+    recompute each centroid as the per-dimension mean of its members.
+
+    Returns (centroid_id, i, new_comp, n_assigned), dimension-exploded:
+    the recompute is a groupBy on (centroid_id, i) with map-side partial
+    sums, so one iteration is two broadcast joins + two shuffles
+    regardless of corpus size — the shape that trains an IVF coarse
+    quantizer over 100 TB of embeddings. Iterate by re-collecting the k×d
+    result (tiny) into the next round's centroid table; per-round plan is
+    identical, so lineage stays flat.
+    """
+    assign = assign_centroids(vectors, centroids, id_col, vec_col)
+    v = _as_double(vectors, id_col, vec_col)
+    member_dims = v.join(assign.select(id_col, "centroid_id"), id_col).select(
+        "centroid_id", F.posexplode(vec_col).alias("i", "x")
+    )
+    sizes = assign.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_assigned"))
+    means = member_dims.groupBy("centroid_id", "i").agg(F.avg("x").alias("new_comp"))
+    return means.join(F.broadcast(sizes), "centroid_id")

@@ -35,6 +35,7 @@ from fitness_nutrition_data_pipeline_spark.operators.similarity import (
     brute_force_topk,
     cosine,
     ivf_probe_topk,
+    kmeans_lloyd_step,
     random_hyperplane_lsh,
 )
 from fitness_nutrition_data_pipeline_spark.queries import register
@@ -577,4 +578,89 @@ def lsh_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc_id"))
         .where(F.col("n_docs") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd step (IVF quantizer training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_lloyd_update",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT e.vec_id, c.centroid_id,
+             round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) AS cosine_sim
+      FROM e JOIN c ON true
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT vec_id, centroid_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine_sim DESC, centroid_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    member_dims AS (
+      SELECT a.centroid_id, generate_subscripts(e.emb, 1) AS i, unnest(e.emb) AS x
+      FROM e JOIN assign a USING (vec_id)
+    ),
+    means AS (
+      SELECT centroid_id, i, avg(x) AS nc
+      FROM member_dims GROUP BY centroid_id, i
+    ),
+    sizes AS (
+      SELECT centroid_id, count(*) AS n_assigned FROM assign GROUP BY centroid_id
+    ),
+    old_dims AS (
+      SELECT centroid_id, generate_subscripts(c_emb, 1) AS i, unnest(c_emb) AS oc
+      FROM c
+    )
+    SELECT m.centroid_id, max(s.n_assigned) AS n_assigned,
+           round(sqrt(sum(m.nc * m.nc)), 6) AS new_norm,
+           round(sum(m.nc * o.oc)
+                 / (sqrt(sum(m.nc * m.nc)) * sqrt(sum(o.oc * o.oc))), 6)
+               AS drift_cos
+    FROM means m
+    JOIN old_dims o USING (centroid_id, i)
+    JOIN sizes s USING (centroid_id)
+    GROUP BY m.centroid_id
+    """,
+    doc="One Lloyd iteration of k-means over the embedding corpus "
+    "(operators/similarity.py::kmeans_lloyd_step): broadcast-assign to "
+    "nearest centroid, per-dimension mean recompute via (centroid, dim) "
+    "groupBy with map-side partials. Output per centroid: member count, "
+    "new-centroid norm, cosine drift vs the old centroid — the "
+    "convergence signal. This is how the IVF coarse quantizer "
+    "(embedding_centroid_assign / embedding_ann_ivf) gets trained at "
+    "100 TB: k×d result rows per round, corpus never re-materialized.",
+)
+def kmeans_lloyd_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < 10)
+    step = kmeans_lloyd_step(e, centroids, "vec_id", "embedding")
+    old_dims = centroids.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "oc"),
+    )
+    return (
+        step.join(old_dims, ["centroid_id", "i"])
+        .groupBy("centroid_id")
+        .agg(
+            F.max("n_assigned").alias("n_assigned"),
+            F.round(F.sqrt(F.sum(F.col("new_comp") * F.col("new_comp"))), 6).alias(
+                "new_norm"
+            ),
+            F.round(
+                F.sum(F.col("new_comp") * F.col("oc"))
+                / (
+                    F.sqrt(F.sum(F.col("new_comp") * F.col("new_comp")))
+                    * F.sqrt(F.sum(F.col("oc") * F.col("oc")))
+                ),
+                6,
+            ).alias("drift_cos"),
+        )
     )

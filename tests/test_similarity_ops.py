@@ -1,0 +1,61 @@
+"""kmeans_lloyd_step: assignment + mean-recompute semantics."""
+
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+    kmeans_lloyd_step,
+)
+
+
+def test_lloyd_step_means_and_counts(spark):
+    """Two well-separated direction clusters: members assign to the
+    nearest centroid by cosine and the new centroid is the element-wise
+    mean of its members."""
+    vecs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),
+            (11, [0.8, 0.2]),
+            (20, [0.0, 1.0]),
+            (21, [0.2, 0.8]),
+            (22, [0.0, 2.0]),
+        ],
+        "vec_id long, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, vec array<double>"
+    )
+    out = kmeans_lloyd_step(vecs, cents, "vec_id", "vec").collect()
+    by_cd = {(r.centroid_id, r.i): r for r in out}
+    assert by_cd[(1, 0)].n_assigned == 2
+    assert by_cd[(2, 0)].n_assigned == 3
+    assert abs(by_cd[(1, 0)].new_comp - 0.9) < 1e-12  # mean(1.0, 0.8)
+    assert abs(by_cd[(1, 1)].new_comp - 0.1) < 1e-12  # mean(0.0, 0.2)
+    assert abs(by_cd[(2, 1)].new_comp - (1.0 + 0.8 + 2.0) / 3) < 1e-12
+
+
+def test_lloyd_step_iterates_toward_cluster_means(spark):
+    """Feeding the recomputed centroids back in reassigns nothing once
+    clusters are stable — drift goes to zero (fixpoint)."""
+    vecs = spark.createDataFrame(
+        [(i, [1.0 + 0.01 * i, 0.0]) for i in range(5)]
+        + [(i, [0.0, 1.0 + 0.01 * i]) for i in range(10, 15)],
+        "vec_id long, vec array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, vec array<double>"
+    )
+    step1 = kmeans_lloyd_step(vecs, cents, "vec_id", "vec")
+    new_cents = (
+        step1.groupBy("centroid_id")
+        .agg(F.sort_array(F.collect_list(F.struct("i", "new_comp"))).alias("s"))
+        .select(
+            F.col("centroid_id").alias("vec_id"),
+            F.transform("s", lambda x: x["new_comp"]).alias("vec"),
+        )
+    )
+    step2 = kmeans_lloyd_step(vecs, new_cents, "vec_id", "vec").collect()
+    assert {r.n_assigned for r in step2} == {5}
+    # stable assignment ⇒ identical means in round 2
+    m1 = {(r.centroid_id, r.i): r.new_comp for r in step1.collect()}
+    m2 = {(r.centroid_id, r.i): r.new_comp for r in step2}
+    assert all(abs(m1[k] - m2[k]) < 1e-12 for k in m1)
