@@ -162,3 +162,69 @@ def domain_mixing_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("uniform_upsample_factor"),
     )
+
+
+@register(
+    "sequence_packing_windows",
+    r"""
+    WITH t AS (
+      SELECT lang, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]'))
+                  AS BIGINT) AS toks
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, toks,
+             COALESCE(sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT lang, CAST(cum_before // 2048 AS BIGINT) AS window_id,
+           count(*) AS n_docs,
+           CAST(sum(toks) AS BIGINT) AS sum_tokens,
+           CAST(max(CASE WHEN (cum_before % 2048) + toks > 2048
+                    THEN 1 ELSE 0 END) AS INT) AS has_boundary_crossing
+    FROM c GROUP BY lang, window_id
+    """,
+    doc="Sequence-packing planner (concat-and-chunk): per language shard, "
+    "documents are concatenated in doc_id order and cut into 2048-token "
+    "context windows; output = docs starting in each window, their token "
+    "mass, and whether a document straddles the window boundary "
+    "(truncation bookkeeping). The running sum is PARTITIONED BY the "
+    "shard — shard-local packing is how this parallelizes at 100 TB "
+    "(a single global ordered cumsum would serialize; per-shard order "
+    "is exactly what training loaders consume anyway).",
+)
+def sequence_packing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ctx = 2048
+    d = _docs(spark, sf_dir)
+    toks = F.array_size(
+        F.regexp_extract_all(
+            F.lower("text"), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), F.lit(0)
+        )
+    ).cast("long")
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    c = d.select(
+        "lang",
+        "doc_id",
+        toks.alias("toks"),
+    ).withColumn("cum_before", F.coalesce(F.sum("toks").over(w), F.lit(0)))
+    return (
+        c.groupBy("lang", F.expr(f"cum_before div {ctx}").alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").alias("sum_tokens"),
+            F.max(
+                F.when((F.col("cum_before") % ctx) + F.col("toks") > ctx, 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("has_boundary_crossing"),
+        )
+    )
