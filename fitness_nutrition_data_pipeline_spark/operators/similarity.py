@@ -182,12 +182,16 @@ def random_hyperplane_lsh(
     *,
     n_planes: int = 8,
     dim: int = 64,
+    seed: str = "h",
 ) -> DataFrame:
     """Cosine-LSH bucket assignment via random hyperplanes (SimHash for
     vectors): bucket_id packs the sign bits of ⟨v, h_j⟩ for n_planes
     md5-derived pseudo-random hyperplanes. Vectors whose cosine is high
     land in the same bucket with probability (1 − θ/π)^n_planes — the
     candidate generator that replaces all-pairs search at corpus scale.
+    ``seed`` prefixes the plane hash, giving an independent LSH table per
+    seed — multiple tables union their buckets to boost recall (standard
+    LSH amplification).
 
     The plane components are deterministic md5 folds (portable hex→int,
     no RNG state), so any engine reproduces the identical buckets. Plan
@@ -202,7 +206,7 @@ def random_hyperplane_lsh(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.lit("h"),
+                        F.lit(seed),
                         (k / dim).cast("int").cast("string"),
                         F.lit("|"),
                         (k % dim).cast("string"),

@@ -519,30 +519,35 @@ def embedding_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ITERS = 3
 
 
+def _label_prop_sql(id_col: str, iterations: int) -> str:
+    """Chained-CTE min-label propagation (one b{i}/l{i} pair per
+    iteration) over a preceding CTE ``mem({id_col}, bucket)`` — DuckDB
+    computes bit-identical labels to operators/dedup.py::dedup_clusters.
+    Final labels are in ``l{iterations}``."""
+    sql = f""",
+    l0 AS (SELECT DISTINCT {id_col}, {id_col} AS label FROM mem)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+    b{i} AS (
+      SELECT bucket, min(label) AS bucket_label
+      FROM mem JOIN l{i - 1} USING ({id_col}) GROUP BY bucket
+    ),
+    l{i} AS (
+      SELECT {id_col}, min(bucket_label) AS label
+      FROM mem JOIN b{i} USING (bucket) GROUP BY {id_col}
+    )"""
+    return sql
+
+
 def _clusters_sql(iterations: int = _CC_ITERS) -> str:
-    """Oracle for dedup_clusters: the same alternating min-label
-    propagation, unrolled as chained CTEs (one b{i}/l{i} pair per
-    iteration) so DuckDB computes bit-identical labels."""
-    cte = (
+    """Oracle for dedup_clusters over LSH band buckets."""
+    return (
         _bands_cte()
         + """
     , mem AS (
       SELECT doc_id, CAST(band_id AS VARCHAR) || band_key AS bucket FROM bands
-    ),
-    l0 AS (SELECT DISTINCT doc_id, doc_id AS label FROM mem)"""
-    )
-    for i in range(1, iterations + 1):
-        cte += f""",
-    b{i} AS (
-      SELECT bucket, min(label) AS bucket_label
-      FROM mem JOIN l{i - 1} USING (doc_id) GROUP BY bucket
-    ),
-    l{i} AS (
-      SELECT doc_id, min(bucket_label) AS label
-      FROM mem JOIN b{i} USING (bucket) GROUP BY doc_id
     )"""
-    return (
-        cte
+        + _label_prop_sql("doc_id", iterations)
         + f"""
     SELECT CAST(label AS BIGINT) AS cluster_id, count(*) AS n_docs,
            CAST(max(doc_id) AS BIGINT) AS max_doc_id
@@ -663,4 +668,133 @@ def kmeans_lloyd_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("drift_cos"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization parameters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantization_params",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+      FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings)
+    )
+    SELECT i,
+           round(min(x), 6) AS dim_min,
+           round(max(x), 6) AS dim_max,
+           round((max(x) - min(x)) / 255.0, 9) AS scale,
+           CAST(round(-min(x) / (CASE WHEN max(x) > min(x)
+                                 THEN (max(x) - min(x)) / 255.0
+                                 ELSE 1.0 END)) AS BIGINT) AS zero_point
+    FROM dims GROUP BY i
+    """,
+    doc="Per-dimension int8 quantization parameters (asymmetric min/max "
+    "scheme: scale = range/255, zero_point = round(-min/scale)) for "
+    "compressing the vector index 4× before ANN serving. One posexplode "
+    "+ 64-group min/max agg — map-side partial, nothing but 64 rows "
+    "crosses the shuffle; at 100 TB this is a single cheap pass.",
+)
+def embedding_quantization_params_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dims = _emb(spark, sf_dir).select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    dmin, dmax = F.min("x"), F.max("x")
+    scale = (dmax - dmin) / F.lit(255.0)
+    safe_scale = F.when(dmax > dmin, scale).otherwise(F.lit(1.0))
+    return dims.groupBy("i").agg(
+        F.round(dmin, 6).alias("dim_min"),
+        F.round(dmax, 6).alias("dim_max"),
+        F.round(scale, 9).alias("scale"),
+        F.round(-dmin / safe_scale, 0).cast("long").alias("zero_point"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup clusters (multi-table hyperplane LSH → components)
+# ---------------------------------------------------------------------------
+
+_HP_SEEDS = ("h", "g")
+
+
+def _hp_mem_sql(seeds: tuple[str, ...] = _HP_SEEDS, n_planes: int = 8, dim: int = 64) -> str:
+    """Hyperplane-LSH membership CTEs: one independent plane table per
+    seed; mem = union of per-table buckets keyed '<table>|<bucket_id>'."""
+    parts = ["""
+    WITH vecs AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    )"""]
+    for t, seed in enumerate(seeds):
+        parts.append(f""",
+    hp_p{t} AS (
+      SELECT CAST(k // {dim} AS INT) AS j, CAST(k % {dim} AS INT) + 1 AS i,
+             (CAST('0x' || substr(md5('{seed}' || CAST(k // {dim} AS INT)
+                                       || '|' || CAST(k % {dim} AS INT)), 1, 6)
+                   AS BIGINT) / 16777215.0) * 2 - 1 AS comp,
+             CAST(power(2, k // {dim}) AS BIGINT) AS weight
+      FROM range(0, {n_planes * dim}) t(k)
+    ),
+    hp_d{t} AS (
+      SELECT vec_id, j, weight, sum(v * comp) AS dot
+      FROM vecs JOIN hp_p{t} USING (i)
+      GROUP BY vec_id, j, weight
+    ),
+    hp_b{t} AS (
+      SELECT vec_id,
+             '{t}|' || CAST(CAST(sum(CASE WHEN dot >= 0 THEN weight ELSE 0 END)
+                                 AS BIGINT) AS VARCHAR) AS bucket
+      FROM hp_d{t} GROUP BY vec_id
+    )""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT vec_id, bucket FROM hp_b{t}" for t in range(len(seeds))
+    )
+    parts.append(f""",
+    mem AS (
+      {union}
+    )""")
+    return "".join(parts)
+
+
+@register(
+    "embedding_dedup_clusters",
+    _hp_mem_sql()
+    + _label_prop_sql("vec_id", _CC_ITERS)
+    + f"""
+    SELECT CAST(label AS BIGINT) AS cluster_id, count(*) AS n_vecs,
+           CAST(max(vec_id) AS BIGINT) AS max_vec_id
+    FROM l{_CC_ITERS}
+    GROUP BY label HAVING count(*) >= 2
+    """,
+    doc="Embedding near-dup clusters: TWO independent hyperplane-LSH "
+    "tables (seeds amplify recall — a pair missed by one table's 8 sign "
+    "bits is caught by the other) unioned into doc↔bucket membership, "
+    "then bounded-round min-label propagation (dedup_clusters) merges "
+    "buckets that share vectors into transitive clusters. All linear: "
+    "planes broadcast, two posexplode passes, label rounds are "
+    "(vec, bucket) groupBys — the embedding-side mirror of "
+    "lsh_dedup_clusters, never all-pairs.",
+)
+def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    tables = [
+        random_hyperplane_lsh(e, "vec_id", "embedding", seed=s) for s in _HP_SEEDS
+    ]
+    mem = None
+    for t, buckets in enumerate(tables):
+        part = buckets.select(
+            "vec_id",
+            F.concat(F.lit(f"{t}|"), F.col("bucket_id").cast("string")).alias(
+                "bucket"
+            ),
+        )
+        mem = part if mem is None else mem.unionByName(part)
+    clusters = dedup_clusters(mem, "vec_id", "bucket", iterations=_CC_ITERS)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.max("vec_id").alias("max_vec_id"))
+        .where(F.col("n_vecs") >= 2)
     )

@@ -59,3 +59,28 @@ def test_lloyd_step_iterates_toward_cluster_means(spark):
     m1 = {(r.centroid_id, r.i): r.new_comp for r in step1.collect()}
     m2 = {(r.centroid_id, r.i): r.new_comp for r in step2}
     assert all(abs(m1[k] - m2[k]) < 1e-12 for k in m1)
+
+
+def test_hyperplane_lsh_seeds_are_independent_tables(spark):
+    """Different seeds must derive different hyperplanes (bucket layouts
+    differ for at least one vector) — the amplification premise."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        random_hyperplane_lsh,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 5) - 2.0 for j in range(16)]) for i in range(20)],
+        "id long, vec array<double>",
+    )
+    h = {
+        r.id: r.bucket_id
+        for r in random_hyperplane_lsh(df, "id", "vec", n_planes=8, dim=16).collect()
+    }
+    g = {
+        r.id: r.bucket_id
+        for r in random_hyperplane_lsh(
+            df, "id", "vec", n_planes=8, dim=16, seed="g"
+        ).collect()
+    }
+    assert set(h) == set(g)
+    assert any(h[i] != g[i] for i in h)
