@@ -37,6 +37,11 @@ SHOWCASE = [
     ("contamination_check", "benchmark gram set broadcast; corpus side never shuffles for the join"),
     ("tpch_q8_market_share", "8-table snowflake: every dim broadcast, single fact shuffle"),
     ("pii_scan_redact", "regexp scan+redact: zero shuffles, pure codegen projection"),
+    ("lsh_dedup_clusters", "bounded-round label propagation: per round two keyed groupBys, no edge-pair materialization"),
+    ("embedding_lsh_buckets", "hyperplane LSH: plane table broadcast, one posexplode, map-side partial dots"),
+    ("kmeans_lloyd_update", "Lloyd step: centroids broadcast, (centroid,dim) partial-agg mean recompute"),
+    ("corpus_curation_pipeline", "composed curation: all joins keyed on doc_id, LSH decision linear, 6-row result"),
+    ("sequence_packing_windows", "shard-partitioned running sum (parallel per lang), then window groupBy"),
 ]
 
 
