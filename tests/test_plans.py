@@ -179,3 +179,34 @@ def test_q15_argmax_broadcasts_scalar(spark, sf_dir):
 def test_contamination_corpus_never_shuffles_for_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "contamination_check")
     assert "BroadcastHashJoin" in plan
+
+
+def test_cluster_propagation_no_pair_expansion(spark, sf_dir):
+    """Label propagation must stay keyed groupBy/join — no nested-loop or
+    cartesian pair expansion anywhere in the 3-round plan."""
+    plan = plan_of(spark, sf_dir, "lsh_dedup_clusters")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_prunes_and_avoids_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_curation_pipeline")
+    assert "CartesianProduct" not in plan
+    # only the three needed columns reach any documents scan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("lang" not in ln for ln in reads)
+
+
+def test_kmeans_broadcasts_centroids(spark, sf_dir):
+    """Centroid table must broadcast; the corpus side never re-shuffles
+    for the assignment join."""
+    plan = plan_of(spark, sf_dir, "kmeans_lloyd_update")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sequence_packing_partitions_by_shard(spark, sf_dir):
+    """The running sum must be partitioned by lang (parallel), not a
+    global single-partition window."""
+    plan = plan_of(spark, sf_dir, "sequence_packing_windows")
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(lang" in plan
