@@ -95,6 +95,11 @@ _CHECK_PRIORITY = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "tpch_q22_dormant_capital",
+    # round-3 additions (locally verified; fill the window to exactly 50
+    # with new entries rather than re-checks of already-green queries)
+    "corpus_curation_pipeline",
+    "lsh_dedup_clusters",
+    "kmeans_lloyd_update",
 )
 
 

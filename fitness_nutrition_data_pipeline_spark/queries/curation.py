@@ -19,13 +19,17 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    dedup_clusters,
     lsh_bands,
     lsh_dup_flags,
     minhash_signatures,
 )
 from fitness_nutrition_data_pipeline_spark.operators.text import quality_features
 from fitness_nutrition_data_pipeline_spark.queries import register
-from fitness_nutrition_data_pipeline_spark.queries.llm_ops import _bands_cte
+from fitness_nutrition_data_pipeline_spark.queries.llm_ops import (
+    _bands_cte,
+    _label_prop_sql,
+)
 from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
 from fitness_nutrition_data_pipeline_spark.queries.text_ops import _STOPWORDS
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
@@ -125,4 +129,86 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_near").cast("long").alias("n_near_dup"),
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(kept, F.col("n_chars")).otherwise(0)).alias("kept_chars"),
+    )
+
+
+_SURVIVOR_SQL = (
+    _bands_cte()
+    + """
+    , mem AS (
+      SELECT doc_id, CAST(band_id AS VARCHAR) || band_key AS bucket FROM bands
+    )"""
+    + _label_prop_sql("doc_id", 3)
+    + f"""
+    , sizes AS (
+      SELECT label AS cluster_id, count(*) AS n_docs
+      FROM l3 GROUP BY label HAVING count(*) >= 2
+    ),
+    scored AS (
+      SELECT l.label AS cluster_id, d.doc_id, d.n_chars,
+             CASE WHEN len(string_split_regex(lower(trim(d.text)), '\\s+')) >= 10
+                   AND CAST(len(list_filter(
+                         string_split_regex(lower(trim(d.text)), '\\s+'),
+                         t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+                       / len(string_split_regex(lower(trim(d.text)), '\\s+'))
+                       BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS q
+      FROM l3 l JOIN documents d USING (doc_id) JOIN sizes s ON s.cluster_id = l.label
+    )
+    SELECT cluster_id, n_docs AS cluster_size,
+           CAST(doc_id AS BIGINT) AS survivor_doc_id,
+           q AS survivor_quality, CAST(n_chars AS BIGINT) AS survivor_chars
+    FROM (
+      SELECT s.*, z.n_docs,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY q DESC, n_chars DESC, doc_id) AS rn
+      FROM scored s JOIN sizes z USING (cluster_id)
+    ) WHERE rn = 1
+    """
+)
+
+
+@register(
+    "cluster_survivor_selection",
+    _SURVIVOR_SQL,
+    doc="Quality-aware dedup survivor: within each duplicate cluster "
+    "(lsh_dedup_clusters), keep the document that passes the quality "
+    "filter, breaking ties by length then id — the keep-BEST policy "
+    "real curation uses instead of keep-min-id. One row_number window "
+    "per cluster; clusters are tiny, so the window partition never "
+    "skews. Completes dedup end-to-end: buckets → clusters → survivor.",
+)
+def cluster_survivor_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, "doc_id", "text")
+    bands = lsh_bands(sigs, "doc_id")
+    membership = bands.select(
+        "doc_id",
+        F.concat(F.col("band_id").cast("string"), F.col("band_key")).alias("bucket"),
+    )
+    clusters = dedup_clusters(membership, "doc_id", "bucket", iterations=3)
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .where(F.col("cluster_size") >= 2)
+    )
+    q = quality_features(d, "text", _STOPWORDS).select(
+        "doc_id", "n_chars", "passes_quality"
+    )
+    scored = clusters.join(sizes, "cluster_id").join(q, "doc_id")
+    w = W.partitionBy("cluster_id").orderBy(
+        F.desc("passes_quality"), F.desc("n_chars"), "doc_id"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("passes_quality").alias("survivor_quality"),
+            F.col("n_chars").alias("survivor_chars"),
+        )
     )
