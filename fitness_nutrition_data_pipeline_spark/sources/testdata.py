@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # so set it here — load_table must work on ANY caller-provided session
     # (e.g. a bare SparkSession.builder.getOrCreate()), not just ours.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp arithmetic / date extraction must agree with the DuckDB
+    # oracle (which is timezone-naive): pin the session to UTC so results
+    # don't depend on the machine timezone of whatever harness calls us.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
     # (spark.sql.legacy.parquet.nanosAsLong) — restore a real timestamp at

@@ -116,3 +116,22 @@ def test_asof_join_null_field_in_latest_row(spark):
     assert len(out) == 1
     assert out[0].asof_rid == 101
     assert out[0].asof_v is None, "must not mix v from an earlier right row"
+
+
+def test_load_table_pins_utc_on_non_utc_session(spark, sf_dir):
+    """A harness session running in a non-UTC machine timezone must still
+    produce the same calendar dates the (timezone-naive) DuckDB oracle
+    sees: load_table pins spark.sql.session.timeZone to UTC."""
+    bare = spark.newSession()
+    bare.conf.set("spark.sql.session.timeZone", "America/New_York")
+    df = load_table(bare, sf_dir, "events")
+    assert bare.conf.get("spark.sql.session.timeZone") == "UTC"
+    # a midnight-adjacent timestamp must not shift its date
+    import duckdb
+
+    want = duckdb.sql(
+        f"SELECT CAST(min(CAST(ts AS DATE)) AS VARCHAR) "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).fetchone()[0]
+    got = df.select(F.min(F.to_date("ts")).cast("string")).first()[0]
+    assert got == want
