@@ -798,3 +798,89 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.max("vec_id").alias("max_vec_id"))
         .where(F.col("n_vecs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall contract (IVF vs exact, each engine self-comparing)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_contract",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id >= 495),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round({_COS_SQL.format(a="q.q_emb", b="e.emb")}, 6) DESC,
+                 e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 3
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    ),
+    ivf AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT qq.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qq.q_id ORDER BY
+                 round({_COS_SQL.format(a="qq.q_emb", b="e.emb")}, 6) DESC,
+                 e.vec_id) AS rn
+        FROM (SELECT q.q_id, q.q_emb, a.centroid_id
+              FROM q JOIN assign a ON a.vec_id = q.q_id) qq
+        JOIN assign cand ON cand.centroid_id = qq.centroid_id
+                        AND cand.vec_id <> qq.q_id
+        JOIN e ON e.vec_id = cand.vec_id
+      ) WHERE rn <= 3
+    )
+    SELECT x.q_id, count(i.neighbor_id) AS n_overlap,
+           round(count(i.neighbor_id) / 3.0, 4) AS recall_at_3
+    FROM exact x LEFT JOIN ivf i
+      ON i.q_id = x.q_id AND i.neighbor_id = x.neighbor_id
+    GROUP BY x.q_id
+    """,
+    doc="ANN quality contract: recall@3 of the IVF-probed search "
+    "(nprobe=1) measured against the exact brute-force top-3 on the same "
+    "queries — each engine computes BOTH sides itself and reports the "
+    "overlap, so the approximate index's quality is itself an "
+    "oracle-checkable number (the sketch-contract pattern applied to "
+    "ANN). At scale this is the standing canary dashboard for index "
+    "drift after each quantizer retrain.",
+)
+def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") >= 495)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
+        "q_id", "neighbor_id"
+    )
+    centroids = e.where(F.col("vec_id") < 10)
+    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    ivf = ivf_probe_topk(
+        e, assignments, queries.select("vec_id"), "vec_id", "embedding", k=3
+    ).select("q_id", "neighbor_id")
+    overlap = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi")
+    return (
+        exact.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(
+            overlap.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            "q_id",
+            "left",
+        )
+        .select(
+            "q_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(3.0), 4).alias(
+                "recall_at_3"
+            ),
+        )
+    )
