@@ -60,7 +60,7 @@ def main() -> None:
     for name in HEADLINE:
         builder = specs[name].builder
         best = None
-        for _ in range(2):  # best-of-2: strips GC/compilation noise
+        for _ in range(3):  # best-of-3: strips GC/compilation/page-cache noise
             t0 = time.time()
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
