@@ -262,3 +262,57 @@ def tfidf_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 4,
+    mask: int = 8,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style): a chunk boundary opens
+    wherever the rolling ``gram``-token hash ≡ 0 (mod ``mask``), so
+    boundaries are anchored to CONTENT, not offsets — inserting one
+    token early in a document shifts every fixed-size block but leaves
+    all CDC chunks after the edit identical. Chunk-hash dedup therefore
+    catches large shared spans between revisions/mirrors that
+    whole-document hashing misses (the storage-dedup classic applied to
+    corpus curation).
+
+    Returns (id_col, chunk_id, chunk_hash, n_toks). Plan: posexplode →
+    per-doc window (lead ×(gram−1), running boundary sum) → per-chunk
+    groupBy. Both windows partition by document, so the work is
+    embarrassingly parallel across docs; expected chunk length is
+    ``mask`` tokens (geometric).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        id_col, F.posexplode(F.split(F.lower(text_col), r"\s+")).alias("pos", "tok")
+    )
+    leads = toks.select(
+        id_col,
+        "pos",
+        "tok",
+        *[F.lead("tok", i).over(w).alias(f"t{i}") for i in range(1, gram)],
+    )
+    gh = F.md5(
+        F.concat_ws(" ", F.col("tok"), *[F.col(f"t{i}") for i in range(1, gram)])
+    )
+    flagged = leads.withColumn(
+        "boundary",
+        (F.conv(F.substring(gh, 1, 2), 16, 10).cast("long") % mask == 0).cast("int"),
+    )
+    numbered = flagged.withColumn(
+        "chunk_id", F.sum("boundary").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    ordered_toks = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+    )
+    return numbered.groupBy(id_col, "chunk_id").agg(
+        F.md5(F.array_join(ordered_toks, " ")).alias("chunk_hash"),
+        F.count(F.lit(1)).alias("n_toks"),
+    )

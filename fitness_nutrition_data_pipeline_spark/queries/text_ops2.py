@@ -168,3 +168,62 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "cdc_chunk_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+            FROM documents)
+    ),
+    g AS (
+      SELECT doc_id, pos, tok,
+             md5(concat_ws(' ', tok,
+                 lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                 lead(tok, 3) OVER w)) AS h
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN CAST('0x' || substr(h, 1, 2) AS BIGINT) % 8 = 0
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_id
+      FROM g
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*) AS n_toks
+      FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT count(*) AS total_chunks,
+           CAST(count(DISTINCT chunk_hash) AS BIGINT) AS distinct_chunks,
+           count(*) - CAST(count(DISTINCT chunk_hash) AS BIGINT) AS dup_chunks,
+           round(avg(n_toks), 4) AS avg_chunk_tokens
+    FROM chunks
+    """,
+    doc="Content-defined chunking dedup (operators/text.py::cdc_chunks): "
+    "Rabin-style rolling 4-gram hash opens a chunk boundary at hash%8==0, "
+    "anchoring chunks to content so shared spans between edited/mirrored "
+    "documents dedup even when offsets shift — the span-level dedup class "
+    "that whole-doc and shingle methods miss. Per-doc windows → "
+    "embarrassingly parallel; corpus-wide distinct-hash count is one "
+    "map-side-partial aggregate.",
+)
+def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, "doc_id", "text", gram=4, mask=8)
+    total = F.count(F.lit(1))
+    distinct = F.countDistinct("chunk_hash")
+    return chunks.agg(
+        total.alias("total_chunks"),
+        distinct.alias("distinct_chunks"),
+        (total - distinct).alias("dup_chunks"),
+        F.round(F.avg("n_toks"), 4).alias("avg_chunk_tokens"),
+    )

@@ -109,3 +109,22 @@ def test_bipartite_clusters_refine_fixpoint_components(spark, sf_dir):
     # refinement is strict here: chains longer than 3 hops exist
     shared = set(fixpoint)
     assert len({bip[d] for d in shared}) > len({fixpoint[d] for d in shared})
+
+
+def test_cdc_chunks_shift_invariance(spark):
+    """The CDC selling point: prepending one token re-hashes only the
+    chunks up to the first content boundary; later chunk hashes are
+    IDENTICAL, where any fixed-size blocking would shift every block."""
+    from fitness_nutrition_data_pipeline_spark.operators.text import cdc_chunks
+
+    base = " ".join(f"w{i % 37}q{i % 11}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], "doc_id long, text string"
+    )
+    chunks = cdc_chunks(df, "doc_id", "text", gram=4, mask=8).collect()
+    h1 = {r.chunk_hash for r in chunks if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in chunks if r.doc_id == 2}
+    assert h1 != h2  # docs differ
+    shared = h1 & h2
+    # the overwhelming majority of chunks survive the shift
+    assert len(shared) >= 0.7 * len(h1), (len(shared), len(h1))
