@@ -228,3 +228,47 @@ def sequence_packing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("has_boundary_crossing"),
         )
     )
+
+
+@register(
+    "fixed_size_stratum_sample",
+    f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM ranked WHERE rn <= 20
+    GROUP BY lang
+    """,
+    doc="Deterministic fixed-SIZE per-stratum sample (exactly 20 docs per "
+    "language, or all of a smaller stratum): rank by content hash inside "
+    "each stratum, keep the top 20 — the eval-set construction primitive "
+    "where a RATE sample (hash_stratified_sample) can't guarantee the "
+    "quota. One window per stratum (parallel across strata) + a tiny "
+    "aggregate; re-runs and re-partitions reproduce the identical sample.",
+)
+def fixed_size_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    )
+    return (
+        d.withColumn("rn", rn)
+        .where(F.col("rn") <= 20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").alias("sampled_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
