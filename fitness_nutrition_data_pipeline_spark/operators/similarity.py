@@ -234,8 +234,14 @@ def random_hyperplane_lsh(
         .groupBy(id_col, "j", "weight")
         .agg(F.sum(F.col("v") * F.col("comp")).alias("dot"))
     )
+    # sign decided on the ROUNDED dot: the raw sum's last ulps depend on
+    # partial-aggregation order, and a near-zero dot flipping sign flips
+    # the whole bucket — rounding keeps buckets reproducible across runs
+    # and engines (the module's portability contract)
     return dots.groupBy(id_col).agg(
-        F.sum(F.when(F.col("dot") >= 0, F.col("weight")).otherwise(F.lit(0)))
+        F.sum(
+            F.when(F.round(F.col("dot"), 6) >= 0, F.col("weight")).otherwise(F.lit(0))
+        )
         .cast("long")
         .alias("bucket_id")
     )

@@ -139,22 +139,34 @@ def pii_scan(
     hygiene pass): per-pattern match counts ``n_<name>``, a ``pii_total``,
     and (optionally) a ``redacted`` copy with every match replaced by
     ``[<NAME>]``. Pure regexp Column expressions — linear scan, no
-    shuffle, no Python. Patterns apply to the lower-cased text; redaction
+    shuffle, no Python. Patterns are applied case-insensitively (``(?i)``)
+    against the ORIGINAL text, so the redacted copy preserves the
+    document's casing everywhere outside the redacted spans; redaction
     applies them in dict order."""
-    lowered = F.lower(F.col(text_col))
     out = df
     total = F.lit(0)
     for name, pat in patterns.items():
-        cnt = F.regexp_count(lowered, F.lit(pat))
+        cnt = F.regexp_count(F.col(text_col), F.lit(f"(?i){pat}"))
         out = out.withColumn(f"n_{name}", cnt)
         total = total + cnt
     out = out.withColumn("pii_total", total)
     if redact:
-        red = lowered
+        red = F.col(text_col)
         for name, pat in patterns.items():
-            red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+            red = F.regexp_replace(red, f"(?i){pat}", f"[{name.upper()}]")
         out = out.withColumn("redacted", red)
     return out
+
+
+def benchmark_gram_set(benchmark: DataFrame, text_col: str, *, n: int = 5) -> DataFrame:
+    """The benchmark side's distinct word n-grams — the ONE definition of
+    "what counts as a contamination hit", shared by the batch pass
+    (``ngram_contamination``) and its streaming twin
+    (streaming/hygiene.py::contamination_alerts) so the two can never
+    silently diverge on tokenization or distinctness."""
+    return benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("gram")
+    ).distinct()
 
 
 def ngram_contamination(
@@ -172,10 +184,7 @@ def ngram_contamination(
     The benchmark's distinct gram set is broadcast — eval suites are tiny
     next to a training corpus, so the corpus never shuffles; each partition
     probes the broadcast hash table and only per-doc counts aggregate."""
-    bench_grams = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .distinct()
-    )
+    bench_grams = benchmark_gram_set(benchmark, text_col, n=n)
     grams = corpus.select(id_col, word_shingles(text_col, n).alias("_grams"))
     hits = (
         grams.select(id_col, F.explode("_grams").alias("gram"))
@@ -183,7 +192,8 @@ def ngram_contamination(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated"))
     )
-    n_grams = F.array_size("_grams")
+    # NULL text → NULL shingle array; report 0 grams, same as a short doc
+    n_grams = F.coalesce(F.array_size("_grams"), F.lit(0))
     out = grams.select(id_col, n_grams.alias("n_grams")).join(hits, id_col, "left")
     n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
     ratio = F.when(

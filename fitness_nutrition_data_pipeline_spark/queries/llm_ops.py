@@ -482,7 +482,7 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     buckets AS (
       SELECT vec_id,
-             CAST(sum(CASE WHEN dot >= 0 THEN weight ELSE 0 END) AS BIGINT)
+             CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN weight ELSE 0 END) AS BIGINT)
                  AS bucket_id
       FROM dots GROUP BY vec_id
     )
@@ -745,7 +745,7 @@ def _hp_mem_sql(seeds: tuple[str, ...] = _HP_SEEDS, n_planes: int = 8, dim: int 
     ),
     hp_b{t} AS (
       SELECT vec_id,
-             '{t}|' || CAST(CAST(sum(CASE WHEN dot >= 0 THEN weight ELSE 0 END)
+             '{t}|' || CAST(CAST(sum(CASE WHEN round(dot, 6) >= 0 THEN weight ELSE 0 END)
                                  AS BIGINT) AS VARCHAR) AS bucket
       FROM hp_d{t} GROUP BY vec_id
     )""")
@@ -869,8 +869,8 @@ def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("q_id", "neighbor_id")
     overlap = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi")
     return (
-        exact.groupBy("q_id")
-        .agg(F.count(F.lit(1)).alias("_n"))
+        exact.select("q_id")
+        .distinct()
         .join(
             overlap.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap")),
             "q_id",

@@ -40,33 +40,33 @@ _BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
     r"""
     WITH blobs AS (
       SELECT c_custkey,
-             lower(concat_ws(' ', c_name, 'balance',
-                             printf('%.2f', c_acctbal),
-                             'segment', c_mktsegment)) AS blob
+             concat_ws(' ', c_name, 'balance',
+                       printf('%.2f', c_acctbal),
+                       'segment', c_mktsegment) AS blob
       FROM customer
     )
     SELECT c_custkey,
-           CAST(len(regexp_extract_all(blob, 'customer#\d+')) AS INT)
+           CAST(len(regexp_extract_all(blob, '(?i)customer#\d+')) AS INT)
                AS n_custid,
            CAST(len(regexp_extract_all(blob, '\d+\.\d\d')) AS INT) AS n_money,
            CAST(len(regexp_extract_all(blob,
-               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
-           CAST(len(regexp_extract_all(blob, 'customer#\d+'))
+               '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(blob, '(?i)customer#\d+'))
               + len(regexp_extract_all(blob, '\d+\.\d\d'))
               + len(regexp_extract_all(blob,
-                  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS pii_total,
+                  '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS pii_total,
            regexp_replace(
              regexp_replace(
-               regexp_replace(blob, 'customer#\d+', '[CUSTID]', 'g'),
+               regexp_replace(blob, '(?i)customer#\d+', '[CUSTID]', 'g'),
                '\d+\.\d\d', '[MONEY]', 'g'),
-             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS redacted
+             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS redacted
     FROM blobs
     """,
     doc="PII detection + redaction over free text (configurable regex "
     "patterns, per-pattern counts, redacted copy) — the training-data "
     "hygiene pass; pure regexp Column expressions, linear scan, no "
     "shuffle. The money amount is %.2f-formatted on both engines so the "
-    "blob is bit-identical.",
+    "blob is bit-identical; patterns are (?i) so the redacted copy keeps the original casing.",
 )
 def pii_scan_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(

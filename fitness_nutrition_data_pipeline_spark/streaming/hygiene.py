@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.text import (
+    benchmark_gram_set,
     pii_scan,
     word_shingles,
 )
@@ -52,10 +53,7 @@ def contamination_alerts(
     per micro-batch, so a refreshed benchmark table is picked up without
     restarting the query.
     """
-    bench_grams = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("gram"))
-        .distinct()
-    )
+    bench_grams = benchmark_gram_set(benchmark, text_col, n=n)
     hits = stream.select(
         "*", F.explode(word_shingles(text_col, n)).alias("gram")
     ).drop(text_col)

@@ -130,3 +130,35 @@ def test_random_hyperplane_lsh_broadcasts_planes(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pii_redaction_preserves_casing(spark):
+    """Redaction must replace only the matched spans; all other content
+    keeps its ORIGINAL casing (patterns apply case-insensitively)."""
+    from fitness_nutrition_data_pipeline_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [("Dear Bob, mail Alice@Example.COM about The Project",)], "t string"
+    )
+    out = pii_scan(
+        df, "t", {"email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"}
+    ).first()
+    assert out.n_email == 1
+    assert out.redacted == "Dear Bob, mail [EMAIL] about The Project"
+
+
+def test_contamination_null_text_reports_zero_grams(spark):
+    """NULL-text docs report n_grams=0 like short docs, not NULL."""
+    from fitness_nutrition_data_pipeline_spark.operators.text import (
+        ngram_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, None), (2, "a b"), (3, "one two three four five six")],
+        "id long, t string",
+    )
+    bench = spark.createDataFrame([("one two three four five",)], "t string")
+    out = {r.id: r for r in ngram_contamination(corpus, bench, "id", "t").collect()}
+    assert out[1].n_grams == 0 and out[1].n_contaminated == 0
+    assert out[2].n_grams == 0
+    assert out[3].n_contaminated == 1
