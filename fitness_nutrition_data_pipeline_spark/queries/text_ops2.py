@@ -227,3 +227,68 @@ def cdc_chunk_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (total - distinct).alias("dup_chunks"),
         F.round(F.avg("n_toks"), 4).alias("avg_chunk_tokens"),
     )
+
+
+@register(
+    "boilerplate_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS tok
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS a
+            FROM documents)
+    ),
+    g AS (
+      SELECT doc_id, pos, tok,
+             md5(concat_ws(' ', tok,
+                 lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                 lead(tok, 3) OVER w)) AS h
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    c AS (
+      SELECT doc_id, pos, tok,
+             sum(CASE WHEN CAST('0x' || substr(h, 1, 2) AS BIGINT) % 8 = 0
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS chunk_id
+      FROM g
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_hash,
+             count(*) AS n_toks
+      FROM c GROUP BY doc_id, chunk_id
+    )
+    SELECT chunk_hash,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           count(*) AS n_occurrences,
+           CAST(max(n_toks) AS BIGINT) AS chunk_tokens
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING count(DISTINCT doc_id) >= 3
+    ORDER BY n_occurrences DESC, chunk_hash
+    LIMIT 20
+    """,
+    doc="Boilerplate detector: the content-defined chunks "
+    "(operators/text.py::cdc_chunks) that recur across >= 3 distinct "
+    "documents, ranked by occurrence — headers/footers/disclaimers that "
+    "span-level curation strips before training. Chunk-hash groupBy is "
+    "map-side partial; top-20 is a TakeOrdered, so only 20 rows reach "
+    "the driver no matter the corpus size.",
+)
+def boilerplate_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunks(docs, "doc_id", "text", gram=4, mask=8)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("n_toks").alias("chunk_tokens"),
+        )
+        .where(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_occurrences"), "chunk_hash")
+        .limit(20)
+    )
