@@ -42,6 +42,7 @@ SHOWCASE = [
     ("kmeans_lloyd_update", "Lloyd step: centroids broadcast, (centroid,dim) partial-agg mean recompute"),
     ("corpus_curation_pipeline", "composed curation: all joins keyed on doc_id, LSH decision linear, 6-row result"),
     ("sequence_packing_windows", "shard-partitioned running sum (parallel per lang), then window groupBy"),
+    ("cdc_chunk_dedup", "content-defined chunking: per-doc windows (lead + running sum), corpus-wide distinct-hash agg"),
 ]
 
 
