@@ -257,3 +257,42 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "lang_confusion_matrix",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    scores AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS s_es,
+             CAST(len(list_filter(t, x -> x IN ('le','la','de','et','un'))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS BIGINT) AS s_de
+      FROM toks
+    ),
+    pred AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM scores
+    )
+    SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY labeled_lang, predicted_lang
+    """,
+    doc="Language-ID confusion matrix: the classifier-quality rollup of "
+    "lang_id_scores (labeled vs predicted counts) — the eval op run after "
+    "every marker-list change; a 16-cell aggregate, map-side partial.",
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).withColumnRenamed("lang", "labeled_lang")
+    return (
+        language_scores(d, "text", _LANG_MARKERS)
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
