@@ -210,3 +210,12 @@ def test_sequence_packing_partitions_by_shard(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "sequence_packing_windows")
     assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan
+
+
+def test_cdc_windows_partition_per_doc(spark, sf_dir):
+    """CDC rolling hash + running boundary sum are per-document windows —
+    the plan must partition by doc_id (parallel), never SinglePartition."""
+    for q in ("cdc_chunk_dedup", "boilerplate_chunks"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "SinglePartition" not in plan, q
+        assert "hashpartitioning(doc_id" in plan, q
