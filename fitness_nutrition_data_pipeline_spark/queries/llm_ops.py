@@ -884,3 +884,82 @@ def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA power-iteration step (index-rotation training primitive)
+# ---------------------------------------------------------------------------
+
+_V0_SQL = """
+      SELECT CAST(k AS INT) + 1 AS i,
+             (CAST('0x' || substr(md5('p0|' || CAST(k AS INT)), 1, 6)
+                   AS BIGINT) / 16777215.0) * 2 - 1 AS v0
+      FROM range(0, 64) t(k)
+"""
+
+
+@register(
+    "pca_power_iteration",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    ),
+    v0 AS ({_V0_SQL}),
+    xv AS (
+      SELECT vec_id, sum(x * v0) AS dot
+      FROM vecs JOIN v0 USING (i) GROUP BY vec_id
+    ),
+    s AS (
+      SELECT i, sum(x * dot) AS sd
+      FROM vecs JOIN xv USING (vec_id) GROUP BY i
+    ),
+    nrm AS (SELECT sqrt(sum(sd * sd)) AS n FROM s)
+    SELECT i - 1 AS dim, round(sd / n, 6) AS v1_comp
+    FROM s, nrm
+    """,
+    doc="One power-iteration step toward the corpus's top principal "
+    "component: v1 = normalize(Σ_i x_i⟨x_i, v0⟩) with a deterministic "
+    "md5-derived start vector — the X^T(Xv) formulation, so the corpus "
+    "is read twice ((vec,dim) partial-agg shuffles of 64 rows per "
+    "vector / dimension) and the d×d covariance matrix is NEVER "
+    "materialized. Iterating (feed the 64-row v1 back in) converges to "
+    "the PCA rotation used for OPQ/whitening before embedding "
+    "quantization (embedding_quantization_params); same bounded-round "
+    "oracle pattern as kmeans_lloyd_update.",
+)
+def pca_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("id")
+    v0 = spark.range(64).select(
+        k.cast("int").alias("i"),
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("p0|"), k.cast("string"))), 1, 6),
+                    16,
+                    10,
+                ).cast("long")
+                / F.lit(16777215.0)
+            )
+            * 2
+            - 1
+        ).alias("v0"),
+    )
+    vecs = _emb(spark, sf_dir).select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    xv = (
+        vecs.join(F.broadcast(v0), "i")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("v0")).alias("dot"))
+    )
+    s = (
+        vecs.join(xv, "vec_id")
+        .groupBy("i")
+        .agg(F.sum(F.col("x") * F.col("dot")).alias("sd"))
+    )
+    nrm = s.agg(F.sqrt(F.sum(F.col("sd") * F.col("sd"))).alias("n"))
+    return s.crossJoin(F.broadcast(nrm)).select(
+        F.col("i").alias("dim"),
+        F.round(F.col("sd") / F.col("n"), 6).alias("v1_comp"),
+    )
