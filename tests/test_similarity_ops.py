@@ -84,3 +84,44 @@ def test_hyperplane_lsh_seeds_are_independent_tables(spark):
     }
     assert set(h) == set(g)
     assert any(h[i] != g[i] for i in h)
+
+
+def test_pca_power_iteration_finds_dominant_direction(spark, sf_dir):
+    """On the real corpus: the registered single-step estimate must be a
+    unit vector; on synthetic data with one dominant axis, iterating the
+    X^T(Xv) step aligns v with that axis."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from fitness_nutrition_data_pipeline_spark.queries import all_specs
+
+    out = all_specs()["pca_power_iteration"].builder(spark, sf_dir).collect()
+    assert len(out) == 64
+    norm = math.sqrt(sum(r.v1_comp**2 for r in out))
+    assert abs(norm - 1.0) < 1e-3  # rounded components, unit norm
+
+    # synthetic: variance concentrated on axis 0
+    rows = [(i, [float(3 * ((i * 7) % 5 - 2)), 0.1 * ((i * 3) % 3 - 1), 0.05])
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+    vecs = df.select("vec_id", F.posexplode("emb").alias("i", "x"))
+    v = {0: 0.5, 1: 0.5, 2: 0.7}  # arbitrary non-degenerate start
+    for _ in range(3):
+        vdf = spark.createDataFrame(list(v.items()), "i int, v double")
+        xv = (
+            vecs.join(vdf, "i")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("dot"))
+        )
+        s = {
+            r.i: r.sd
+            for r in vecs.join(xv, "vec_id")
+            .groupBy("i")
+            .agg(F.sum(F.col("x") * F.col("dot")).alias("sd"))
+            .collect()
+        }
+        n = math.sqrt(sum(x * x for x in s.values()))
+        v = {i: x / n for i, x in s.items()}
+    assert abs(abs(v[0]) - 1.0) < 0.01  # aligned with the dominant axis
+    assert abs(v[1]) < 0.1 and abs(v[2]) < 0.1
