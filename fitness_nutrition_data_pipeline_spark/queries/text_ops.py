@@ -296,3 +296,77 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("labeled_lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "bm25_query_scores",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+      FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dlen FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs, avg(dlen) AS avgdl FROM dl
+    ),
+    q(term) AS (VALUES ('data'), ('model'), ('system')),
+    tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM toks JOIN q ON q.term = toks.tok
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1 - 0.75 + 0.75 * d.dlen / s.avgdl)) AS sc
+      FROM tf t
+      JOIN df f USING (term)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+    )
+    SELECT doc_id, round(sum(sc), 4) AS bm25_score,
+           CAST(count(*) AS INT) AS n_terms_hit
+    FROM scored GROUP BY doc_id
+    """,
+    doc="BM25 relevance scoring of a fixed query ('data model system') "
+    "over the corpus (k1=1.2, b=0.75): corpus stats are a broadcast "
+    "1-row aggregate, df a tiny per-term count, tf one shuffle on "
+    "(doc, term) — the retrieval primitive for data curation search. "
+    "Scores are summed then rounded (never ranked on raw ln output — "
+    "ulp parity).",
+)
+def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    terms = ["data", "model", "system"]
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(terms))
+        .groupBy("doc_id", F.col("tok").alias("term"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.col("avgdl"))
+    sc = idf * (F.col("tf") * (k1 + 1)) / denom
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sc.alias("sc"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("sc"), 4).alias("bm25_score"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
