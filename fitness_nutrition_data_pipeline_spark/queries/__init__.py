@@ -119,6 +119,7 @@ def all_specs() -> dict[str, QuerySpec]:
         tpch_like,
         tpch_like2,
         tpch_like3,
+        warehouse_ops,
     )
 
     ordered = {n: _REGISTRY[n] for n in _CHECK_PRIORITY if n in _REGISTRY}

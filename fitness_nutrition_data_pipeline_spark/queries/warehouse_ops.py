@@ -1,0 +1,239 @@
+"""Warehouse change-tracking and curation-weighting operators.
+
+Three classic large-pipeline shapes the inventory didn't cover yet:
+
+- **SCD Type-2 collapse**: turn an ordered event/snapshot stream of
+  entity attribute values into [valid_from, valid_to) history rows —
+  the standard slowly-changing-dimension build. Reference analog: the
+  warehouse dims in db_schema.sql are Type-1 (overwrite); Type-2 is
+  what the same warehouse needs once history matters.
+- **Winsorization**: clip a measure at exact per-group percentiles
+  before aggregating — robust stats for quality/outlier handling.
+- **DSIR-style importance weights**: hashed-n-gram log-likelihood-ratio
+  weights of a target distribution vs the whole corpus (Xie et al.,
+  "Data Selection for Language Models via Importance Resampling",
+  NeurIPS 2023) — the selection signal used to up-sample target-like
+  documents in LLM pretraining mixes.
+
+At scale: the SCD2 build is two partition-local windows + one
+aggregation, all keyed on the entity — one shuffle on the entity key,
+no global sort. Winsorization is a grouped percentile (partial-agg) and
+a broadcast join of the tiny per-group threshold table back onto the
+facts. The DSIR weights shuffle once on a 1024-value bucket key; the
+per-bucket weight table broadcasts onto the token stream, so the
+corpus-sized side never moves twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH runs AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    numbered AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY od, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    collapsed AS (
+      SELECT o_custkey, run_id, o_orderpriority,
+             min(od) AS valid_from, count(*) AS n_orders
+      FROM numbered
+      GROUP BY o_custkey, run_id, o_orderpriority
+    )
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+               AS valid_to,
+           n_orders,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM collapsed
+    """,
+    doc="SCD Type-2 dimension build: collapse consecutive runs of each "
+    "customer's order-priority attribute into [valid_from, valid_to) "
+    "validity intervals with a current-row flag. lag→change-flag→running "
+    "sum→group→lead; every window is partitioned by the entity key, so "
+    "the whole build is one shuffle on o_custkey regardless of history "
+    "depth. Reference analog: Type-2 variant of the Dim_* builds "
+    "(db_schema.sql:24-96).",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("od"),
+            "o_orderkey",
+        )
+    )
+    w_ord = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    runs = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w_ord).eqNullSafe(F.col("o_orderpriority")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(w_ord.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    collapsed = runs.groupBy("o_custkey", "run_id", "o_orderpriority").agg(
+        F.min("od").alias("valid_from"), F.count("*").alias("n_orders")
+    )
+    w_run = W.partitionBy("o_custkey").orderBy("run_id")
+    return collapsed.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        "n_orders",
+        F.when(F.lead("valid_from").over(w_run).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+    WITH q AS (
+      SELECT o_orderpriority,
+             round(quantile_cont(o_totalprice, 0.01), 4) AS p01,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           round(avg(least(greatest(o.o_totalprice, q.p01), q.p99)), 2)
+               AS winsorized_mean,
+           round(avg(o.o_totalprice), 2) AS raw_mean,
+           sum(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
+                    THEN 1 ELSE 0 END) AS n_clipped
+    FROM orders o JOIN q USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+    doc="Winsorized (p01/p99-clipped) per-group mean vs raw mean — robust "
+    "aggregate for outlier-heavy measures. Thresholds are exact "
+    "interpolated percentiles rounded to 4dp BEFORE clipping so both "
+    "engines clip at the identical boundary. The threshold table is one "
+    "row per group → broadcast back onto the facts; facts shuffle once "
+    "for the final group-by.",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    q = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.01)), 4).alias("p01"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+    )
+    joined = o.join(F.broadcast(q), "o_orderpriority")
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+        F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < F.col("p01"))
+                | (F.col("o_totalprice") > F.col("p99")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clipped"),
+    )
+
+
+_TOK_SQL = """
+      SELECT doc_id, lang, tok
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+"""
+
+
+@register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(tok), 1, 6)) AS BIGINT) % 1024 AS bucket
+      FROM ({_TOK_SQL})
+    ),
+    stats AS (
+      SELECT bucket, count(*) AS ccnt,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tcnt
+      FROM toks GROUP BY bucket
+    ),
+    tot AS (SELECT sum(ccnt) AS c_total, sum(tcnt) AS t_total FROM stats),
+    w AS (
+      SELECT bucket,
+             ln((tcnt + 1.0) / (t_total + 1024)) -
+             ln((ccnt + 1.0) / (c_total + 1024)) AS wt
+      FROM stats, tot
+    )
+    SELECT t.doc_id, t.lang, count(*) AS n_tokens,
+           round(avg(wt), 4) AS dsir_weight
+    FROM toks t JOIN w USING (bucket)
+    GROUP BY t.doc_id, t.lang
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023): hash word "
+    "unigrams into 1024 buckets, estimate target (lang='en') vs corpus "
+    "bucket distributions with add-one smoothing, score each document "
+    "by its mean log-likelihood ratio. The bucket table is ≤1024 rows → "
+    "broadcast onto the token stream; the corpus shuffles once on "
+    "bucket for the stats and once on doc_id for the final per-doc "
+    "mean. At 100 TB the bucket stats come from a 1-pass partial agg "
+    "and the scoring pass is embarrassingly parallel.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .select("doc_id", "lang", hash_bucket(F.col("tok"), 1024).alias("bucket"))
+    )
+    stats = toks.groupBy("bucket").agg(
+        F.count("*").alias("ccnt"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tcnt"),
+    )
+    tot = stats.agg(
+        F.sum("ccnt").alias("c_total"), F.sum("tcnt").alias("t_total")
+    )
+    w = stats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tcnt") + 1.0) / (F.col("t_total") + 1024))
+            - F.log((F.col("ccnt") + 1.0) / (F.col("c_total") + 1024))
+        ).alias("wt"),
+    )
+    return (
+        toks.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("wt"), 4).alias("dsir_weight"),
+        )
+    )

@@ -69,3 +69,46 @@ def test_simhash_within_16_bits(spark, sf_dir):
     df = SPECS["simhash_signatures"].builder(spark, sf_dir)
     row = df.agg(F.min("simhash16").alias("lo"), F.max("simhash16").alias("hi")).first()
     assert 0 <= row.lo and row.hi < (1 << 16)
+
+
+def test_scd2_history_partitions_time(spark, sf_dir):
+    """Each customer's SCD2 rows tile time: exactly one current row, and
+    every non-current row's valid_to equals the next row's valid_from."""
+    rows = (
+        SPECS["scd2_priority_history"]
+        .builder(spark, sf_dir)
+        .orderBy("o_custkey", "valid_from")
+        .collect()
+    )
+    by_cust = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    assert by_cust
+    for hist in by_cust.values():
+        assert sum(r.is_current for r in hist) == 1
+        assert hist[-1].is_current == 1 and hist[-1].valid_to is None
+        for prev, nxt in zip(hist, hist[1:]):
+            assert prev.valid_to == nxt.valid_from
+            # runs were collapsed: adjacent intervals differ in attribute
+            assert prev.o_orderpriority != nxt.o_orderpriority
+
+
+def test_winsorized_mean_is_robust(spark, sf_dir):
+    df = SPECS["winsorized_price_stats"].builder(spark, sf_dir)
+    for r in df.collect():
+        assert r.n_clipped < r.n_orders
+        # clipping both tails of a right-skewed price pulls the mean down
+        assert r.winsorized_mean != r.raw_mean or r.n_clipped == 0
+
+
+def test_dsir_weights_favor_target_lang(spark, sf_dir):
+    """English docs must score higher on average than non-English ones —
+    the whole point of importance weighting toward a target distribution."""
+    df = SPECS["dsir_importance_weights"].builder(spark, sf_dir)
+    means = {
+        r.is_en: r.m
+        for r in df.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("dsir_weight").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False]
