@@ -29,23 +29,32 @@ TABLES = (
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS); a session without this conf
-    # throws PARQUET_TYPE_ILLEGAL at the scan. The conf is runtime-settable,
-    # so set it here — load_table must work on ANY caller-provided session
-    # (e.g. a bare SparkSession.builder.getOrCreate()), not just ours.
+    # events.ts is parquet TIMESTAMP(NANOS). What the scan yields depends on
+    # the Spark version and session confs of whoever built the session:
+    #   - long nanos   (spark.sql.legacy.parquet.nanosAsLong=true, Spark ≤4.0)
+    #   - TIMESTAMP_NTZ (Spark 4.1+ reads NANOS natively, micro-truncated)
+    #   - error         (Spark ≤4.0 without the legacy conf)
+    # load_table must work on ANY caller-provided session (e.g. a bare
+    # SparkSession.builder.getOrCreate()), so set the legacy conf (harmless
+    # where it's inert) and normalize whatever type comes back to a plain
+    # session-TZ TIMESTAMP at microsecond precision.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Timestamp arithmetic / date extraction must agree with the DuckDB
     # oracle (which is timezone-naive): pin the session to UTC so results
     # don't depend on the machine timezone of whatever harness calls us.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is parquet TIMESTAMP(NANOS); Spark reads it as long nanos
-    # (spark.sql.legacy.parquet.nanosAsLong) — restore a real timestamp at
-    # microsecond precision (matching what the DuckDB oracle sees).
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer division — float division loses precision (epoch-nanos
-        # exceed double's 2^53 exact-integer range)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division — float division loses precision (epoch-nanos
+            # exceed double's 2^53 exact-integer range)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # NTZ → LTZ cast interprets the wall-clock in the session TZ;
+            # pinned to UTC above, so the epoch matches DuckDB's naive view.
+            # LTZ is required downstream (unix_micros rejects TIMESTAMP_NTZ).
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

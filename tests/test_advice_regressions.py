@@ -34,9 +34,13 @@ def test_load_table_events_on_bare_session(spark, sf_dir):
         pass
     assert bare.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "false"
     df = load_table(bare, sf_dir, "events")
+    # must be exactly TIMESTAMP (LTZ): Spark 4.1+ scans TIMESTAMP(NANOS)
+    # as TIMESTAMP_NTZ, which unix_micros/epoch functions reject — the
+    # round-3 bench and two driver queries died on exactly that. "timestamp"
+    # (not "timestamp_ntz") proves load_table normalized it.
     ts_type = dict(df.dtypes)["ts"]
-    assert ts_type.startswith("timestamp"), ts_type
-    n = df.where(F.col("ts").isNotNull()).count()
+    assert ts_type == "timestamp", ts_type
+    n = df.where(F.unix_micros("ts").isNotNull()).count()
     assert n > 0
 
 
