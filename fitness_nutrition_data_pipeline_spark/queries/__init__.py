@@ -114,6 +114,7 @@ def all_specs() -> dict[str, QuerySpec]:
         relational3,
         sampling,
         sketch_ops,
+        stats_ops,
         text_ops,
         text_ops2,
         tpch_like,

@@ -601,9 +601,15 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Entity resolution (user unification, J1): composite natural-key "
     "hash, first-seen-wins canonical pick, deterministic surrogate keys "
     "(main_etl_pipeline.py:161-312). Set-based: hash → groupBy min → "
-    "row_number, replacing the iterrows loop.",
+    "sequential-id assignment, replacing the iterrows loop. Keys come from "
+    "assign_sequential_ids (range-repartition + per-partition row_number + "
+    "broadcast offsets) — same dense 1..N as a global-window row_number but "
+    "with no single-task sort, so a billion-profile resolution still "
+    "parallelizes.",
 )
 def entity_resolution_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.keys import assign_sequential_ids
+
     c = _t(spark, sf_dir, "customer")
     profiles = c.select(
         "c_custkey",
@@ -618,12 +624,8 @@ def entity_resolution_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_custkey").alias("canonical_custkey"),
         F.count(F.lit(1)).alias("n_members"),
     )
-    return canon.select(
-        F.row_number().over(W.orderBy("canonical_custkey")).cast("long").alias("user_key"),
-        "profile_hash",
-        "canonical_custkey",
-        "n_members",
-    )
+    keyed = assign_sequential_ids(canon, ["canonical_custkey"], "user_key")
+    return keyed.select("user_key", "profile_hash", "canonical_custkey", "n_members")
 
 
 @register(

@@ -1,0 +1,536 @@
+"""Statistical data-profiling queries — the distribution-analysis surface a
+training-data pipeline runs before trusting a corpus (reference analogue:
+the distribution-stats block of validation.sql:329-359, generalized).
+
+Cross-engine determinism rules used throughout (the DuckDB oracle must
+hash-match to 9 significant digits):
+
+- money sums go through DECIMAL (exact, associative) — double summation
+  order differs between Spark partial aggregation and DuckDB;
+- medians/quantiles are RANK-based (explicit row_number selection), never
+  interpolated — ``percentile_cont`` interpolation is engine-specific at
+  the ulp level;
+- histogram bins use integer arithmetic on raw data values;
+- transcendental outputs (entropy, chi-square, slopes) are rounded to 6
+  significant-ish digits, far above libm ulp drift.
+
+Scale notes are per-query; the common pattern is groupBy on bounded key
+spaces (event types, days, bins, digits) so every shuffle carries
+aggregate rows, not data rows. Global ranks, where semantically required
+(Gini, equi-depth), come from ``assign_sequential_ids`` (range-repartition
++ per-partition row_number + broadcast offsets) — never a single-task
+global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.keys import assign_sequential_ids
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "gini_customer_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT CAST(spend AS DOUBLE) AS x,
+             row_number() OVER (ORDER BY spend, o_custkey) AS rk,
+             count(*) OVER () AS n
+      FROM spend
+    )
+    SELECT round(CAST((2.0 * sum(rk * x) / (n * sum(x)) - (n + 1.0) / n) AS DOUBLE), 6)
+             AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM ranked GROUP BY n
+    """,
+    doc="Gini coefficient of customer spend concentration. Spend is summed "
+    "as DECIMAL so both engines rank the exact same values; ascending "
+    "ranks come from assign_sequential_ids (scale-safe dense rank — no "
+    "global window). One shuffle to per-customer aggregates (map-side "
+    "partial), then rank + two scalar sums.",
+)
+def gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    ranked = assign_sequential_ids(spend, ["spend", "o_custkey"], "rk").select(
+        F.col("spend").cast("double").alias("x"), "rk"
+    )
+    return ranked.agg(
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "chi_square_priority_status",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS pr, o_orderstatus AS st, count(*) AS obs
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pr, sum(obs) AS row_tot FROM cells GROUP BY pr),
+    ct AS (SELECT st, sum(obs) AS col_tot FROM cells GROUP BY st),
+    tot AS (SELECT sum(obs) AS n FROM cells)
+    SELECT round(CAST(sum(
+             power(obs - CAST(row_tot * col_tot AS DOUBLE) / n, 2)
+             / (CAST(row_tot * col_tot AS DOUBLE) / n)) AS DOUBLE), 6) AS chi2,
+           CAST((count(DISTINCT cells.pr) - 1) * (count(DISTINCT cells.st) - 1)
+                AS BIGINT) AS dof
+    FROM cells, rt AS r, ct AS c, tot
+    WHERE cells.pr = r.pr AND cells.st = c.st
+    """,
+    doc="Chi-square independence test: order priority × status contingency "
+    "table. One shuffle to the (priority,status) cells; marginals are "
+    "re-aggregated from the tiny cell table and broadcast back — the raw "
+    "table is scanned once.",
+)
+def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pr"), F.col("o_orderstatus").alias("st")
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    cells = cells.localCheckpoint()  # tiny; scanned 4×
+    rt = cells.groupBy("pr").agg(F.sum("obs").alias("row_tot"))
+    ct = cells.groupBy("st").agg(F.sum("obs").alias("col_tot"))
+    tot = cells.agg(F.sum("obs").alias("n"))
+    joined = (
+        cells.join(F.broadcast(rt), "pr")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("n")
+    return joined.agg(
+        F.round(F.sum(F.pow(F.col("obs") - exp, 2) / exp), 6).alias("chi2"),
+        (
+            (F.countDistinct("pr") - 1) * (F.countDistinct("st") - 1)
+        ).cast("long").alias("dof"),
+    )
+
+
+@register(
+    "ks_binned_click_view",
+    """
+    WITH ext AS (
+      SELECT min(value) AS lo, max(value) AS hi FROM events
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    binned AS (
+      SELECT event_type,
+             least(CAST(floor((value - lo) / (hi - lo) * 100) AS INT), 99) AS bin
+      FROM events, ext
+      WHERE event_type IN ('click', 'view') AND value IS NOT NULL
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+      FROM binned GROUP BY bin
+    ),
+    cdf AS (
+      SELECT sum(c1) OVER (ORDER BY bin) / CAST(sum(c1) OVER () AS DOUBLE) AS f1,
+             sum(c2) OVER (ORDER BY bin) / CAST(sum(c2) OVER () AS DOUBLE) AS f2
+      FROM counts
+    )
+    SELECT round(CAST(max(abs(f1 - f2)) AS DOUBLE), 6) AS ks_stat
+    FROM cdf
+    """,
+    doc="Two-sample Kolmogorov-Smirnov distance between click and view "
+    "value distributions, on a 100-bin grid (exact ECDF needs a global "
+    "sort; the binned variant is one groupBy over ≤100 keys and is the "
+    "form that survives 100 TB — grid resolution is the only "
+    "approximation). The cumulative pass runs on 100 bin rows, not data.",
+)
+def ks_binned_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "view") & F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_expr = F.least(
+        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 100).cast(
+            "int"
+        ),
+        F.lit(99),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(ext))
+        .select("event_type", bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+        )
+    )
+    # ≤100 rows from here on: the unpartitioned running-sum window is a
+    # single tiny task by construction, not a data-sized sort.
+    wc = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    cdf = counts.select(
+        (F.sum("c1").over(wc) / F.sum("c1").over(wt).cast("double")).alias("f1"),
+        (F.sum("c2").over(wc) / F.sum("c2").over(wt).cast("double")).alias("f2"),
+    )
+    return cdf.agg(F.round(F.max(F.abs(F.col("f1") - F.col("f2"))), 6).alias("ks_stat"))
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+           count(*) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM digits), 6) AS observed_p,
+           round(CAST(log10(1.0 + 1.0 / digit) AS DOUBLE), 6) AS benford_p
+    FROM digits GROUP BY digit ORDER BY digit
+    """,
+    doc="Benford's-law first-digit profile of order totals — a classic "
+    "synthetic-data / fraud smoke test. First digit via DECIMAL→string "
+    "(log10-based extraction is ulp-fragile on exact powers of ten). "
+    "One shuffle to 9 digit groups; the denominator is a broadcast scalar.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("observed_p"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_p"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "entropy_event_type_buckets",
+    """
+    WITH counts AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT bucket, sum(c) AS n FROM counts GROUP BY bucket)
+    SELECT counts.bucket,
+           round(CAST(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n))
+                 AS DOUBLE), 6) AS entropy_nats,
+           CAST(count(*) AS BIGINT) AS n_types
+    FROM counts JOIN tot ON counts.bucket = tot.bucket
+    GROUP BY counts.bucket
+    ORDER BY counts.bucket
+    """,
+    doc="Shannon entropy of the event-type mix per user cohort — the "
+    "domain-mixing diversity metric. Data shuffles once to (bucket,type) "
+    "counts; entropy folds over ≤5 types per bucket.",
+)
+def entropy_event_type_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("bucket").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.join(F.broadcast(tot), "bucket")
+        .groupBy("bucket")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "zipf_slope_top_terms",
+    r"""
+    WITH freq AS (
+      SELECT word, count(*) AS f
+      FROM (
+        SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+        FROM documents
+      ) t
+      WHERE word <> ''
+      GROUP BY word
+      ORDER BY f DESC, word
+      LIMIT 1000
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, word) AS rk FROM freq
+    )
+    SELECT round(CAST(regr_slope(ln(CAST(f AS DOUBLE)), ln(CAST(rk AS DOUBLE)))
+                 AS DOUBLE), 6) AS zipf_slope,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked
+    """,
+    doc="Zipf's-law fit: OLS slope of log-frequency vs log-rank over the "
+    "top-1000 vocabulary (natural language ≈ −1; synthetic/templated "
+    "corpora deviate hard — a cheap corpus-health check). Token counts "
+    "shuffle once; top-k is TakeOrdered (no global sort), and the rank "
+    "window runs on 1000 rows.",
+)
+def zipf_slope_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), "word")
+        .limit(1000)
+    )
+    ranked = freq.select(
+        "f", F.row_number().over(W.orderBy(F.desc("f"), "word")).alias("rk")
+    )
+    return ranked.agg(
+        F.round(
+            F.regr_slope(F.log(F.col("f").cast("double")), F.log(F.col("rk").cast("double"))),
+            6,
+        ).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+
+
+@register(
+    "histogram_equi_width_prices",
+    """
+    WITH ext AS (
+      SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
+    )
+    SELECT least(CAST(floor((l_extendedprice - lo) / (hi - lo) * 20) AS INT), 19)
+             AS bin,
+           count(*) AS n,
+           round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS bin_min,
+           round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS bin_max
+    FROM lineitem, ext
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="20-bin equi-width histogram of line prices. Bin index is integer "
+    "arithmetic on the raw value against broadcast min/max; per-bin "
+    "min/max are data values, so everything is exact. One shuffle to 20 "
+    "groups with map-side partials — the canonical distributed histogram.",
+)
+def histogram_equi_width_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    bin_expr = F.least(
+        F.floor(
+            (F.col("l_extendedprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20
+        ).cast("int"),
+        F.lit(19),
+    )
+    return (
+        li.crossJoin(F.broadcast(ext))
+        .groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("bin_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("bin_max"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "equi_depth_price_deciles",
+    """
+    WITH ranked AS (
+      SELECT l_extendedprice AS p,
+             row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rk,
+             count(*) OVER () AS n
+      FROM lineitem
+    )
+    SELECT CAST(floor((rk - 1) * 10.0 / n) AS INT) AS decile,
+           count(*) AS n_rows,
+           round(CAST(min(p) AS DOUBLE), 2) AS lo,
+           round(CAST(max(p) AS DOUBLE), 2) AS hi
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Equi-depth (decile) histogram via exact global ranks — "
+    "rank-based, so boundaries are data values and both engines agree "
+    "exactly (interpolated percentiles are ulp-fragile cross-engine). "
+    "Ranks come from assign_sequential_ids: range-repartition keeps the "
+    "sort distributed; no single-task window touches the fact table.",
+)
+def equi_depth_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p"), "l_orderkey", "l_linenumber"
+    )
+    ranked = assign_sequential_ids(li, ["p", "l_orderkey", "l_linenumber"], "rk")
+    tot = ranked.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.floor((F.col("rk") - 1) * 10.0 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("p"), 2).alias("lo"),
+            F.round(F.max("p"), 2).alias("hi"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "mad_outlier_counts",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, max(value) AS median_v
+      FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+      ) r
+      WHERE rk <= (n + 1) / 2
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id, abs(v.value - m.median_v) AS d, m.median_v
+      FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, max(d) AS mad_v
+      FROM (
+        SELECT event_type, d,
+               row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rk,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      ) r
+      WHERE rk <= (n + 1) / 2
+      GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           round(CAST(max(dev.median_v) AS DOUBLE), 6) AS median_v,
+           round(CAST(max(mad.mad_v) AS DOUBLE), 6) AS mad_v,
+           CAST(sum(CASE WHEN dev.d > 3 * 1.4826 * mad.mad_v THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n
+    FROM dev JOIN mad ON dev.event_type = mad.event_type
+    GROUP BY dev.event_type
+    ORDER BY dev.event_type
+    """,
+    doc="Robust outlier screen per event type: median and MAD via exact "
+    "LOWER-MEDIAN ranks (rank-based, engine-exact; interpolated medians "
+    "drift at the ulp across engines), then the 3σ-equivalent MAD fence. "
+    "Windows are partitioned by event_type — five partitions of bounded "
+    "skew; at 100 TB swap the row_number median for approx_percentile "
+    "and keep the same fence (documented trade).",
+)
+def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "event_id", "value")
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        wn = W.partitionBy("event_type")
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .where(F.col("rk") <= (F.col("n") + 1) / 2)
+            .groupBy("event_type")
+            .agg(F.max(col).alias(f"median_{col}"))
+        )
+
+    med = lower_median(v, "value").withColumnRenamed("median_value", "median_v")
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.abs(F.col("value") - F.col("median_v")).alias("d"),
+        "median_v",
+    )
+    mad = lower_median(dev, "d").withColumnRenamed("median_d", "mad_v")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("median_v"), 6).alias("median_v"),
+            F.round(F.max("mad_v"), 6).alias("mad_v"),
+            F.sum(
+                F.when(F.col("d") > 3 * 1.4826 * F.col("mad_v"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "decimal_money_totals",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+             AS gross,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,6)))
+                AS DECIMAL(38,8)) AS net,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Exact money aggregation through DECIMAL — the fixed-point parity "
+    "rule (SURVEY §2 F7): double sums are order-dependent and differ "
+    "between engines/partitionings; DECIMAL addition is associative, so "
+    "the same bits come back at any parallelism. Map-side partial sums "
+    "then one 3-group shuffle.",
+)
+def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("gross"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (1 - F.col("l_discount")).cast("decimal(18,6)")
+            )
+            .cast("decimal(38,8)")
+            .alias("net"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
