@@ -39,73 +39,79 @@ def register(name: str, oracle: str | None, doc: str = ""):
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-3 front of window: the 12 queries that
-# errored in rounds 1-2 (events.parquet nanos — fixed in sources/testdata.py;
-# they must sit inside the window to prove the flip), then the 35 queries no
-# round has driver-checked yet (TPC-H analogs, text ops, sampling, profiling
-# windows). Rotate in later rounds so every query eventually gets a
-# driver-green entry.
+# ordering is signal allocation. Round-4 front of window: the 2 queries that
+# errored in round 3 (TIMESTAMP_NTZ unix_micros — fixed in sources/testdata.py;
+# inside the window to prove the flip), then every query no round has
+# driver-checked yet (round-3 additions + TPC-H wave 3), then the round-4
+# additions (stats/behavior/text/analytics suites), then 3 stable
+# already-green anchors as regression canaries. Rotate each round so every
+# query eventually gets a driver-green entry.
 _CHECK_PRIORITY = (
-    # rounds 1-2 "err" rows — prove the nanos fix on the driver scoreboard
-    "range_validity_nullout",
-    "daily_rollup_sum",
-    "daily_rollup_mean",
-    "conditional_range_check",
-    "window_dedup_first_seen",
-    "regex_extract_cast",
-    "json_props_parse",
+    # round-3 "err" rows — prove the NTZ fix on the driver scoreboard
     "sessionize_events",
-    "salted_event_counts",
-    "asof_join_last_view",
-    "funnel_view_purchase",
-    "retention_cohorts",
-    # never driver-checked through round 2
-    "violations_materialization",
-    "range_frame_trailing_avg",
-    "order_gap_analysis",
-    "correlated_subquery_big_spenders",
-    "stats_correlation",
     "user_value_trend",
-    "cube_revenue",
-    "window_rank_suite",
-    "edit_distance_pairs",
-    "date_spine_gap_fill",
-    "dedup_keep_best",
-    "incremental_ingest_dedup",
-    "hash_stratified_sample",
-    "train_val_test_split",
-    "domain_mixing_budget",
-    "approx_distinct_contract",
-    "approx_quantile_contract",
-    "vocab_inventory",
-    "token_count",
-    "doc_quality_score",
-    "lang_id_scores",
-    "doc_fingerprint",
-    "winnowing_fingerprints",
-    "tfidf_top_terms",
+    # registered but never driver-checked through round 3
+    "ann_recall_contract",
+    "bm25_query_scores",
+    "boilerplate_chunks",
+    "cdc_chunk_dedup",
+    "cluster_survivor_selection",
+    "contamination_check",
+    "dsir_importance_weights",
+    "embedding_dedup_clusters",
+    "embedding_lsh_buckets",
+    "embedding_quantization_params",
+    "fixed_size_stratum_sample",
+    "lang_confusion_matrix",
+    "pca_power_iteration",
+    "pii_scan_redact",
+    "repetition_profile",
+    "scd2_priority_history",
+    "sequence_packing_windows",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q19_discounted_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "winsorized_price_stats",
+    # round-4 additions: statistical profiling suite
+    "gini_customer_spend",
+    "chi_square_priority_status",
+    "ks_binned_click_view",
+    "benford_first_digit",
+    "entropy_event_type_buckets",
+    "zipf_slope_top_terms",
+    "histogram_equi_width_prices",
+    "equi_depth_price_deciles",
+    "mad_outlier_counts",
+    "decimal_money_totals",
+    # round-4 additions: behavior analytics
+    "dau_wau_stickiness",
+    "interarrival_gap_stats",
+    "daily_anomaly_zscore",
+    "signup_conversion_cohorts",
+    # round-4 additions: text wave 3
+    "unigram_logprob_docs",
+    "type_token_ratio",
+    "hapax_ratio_by_source",
+    # round-4 additions: analytics wave 4
+    "minhash_jaccard_calibration",
+    "retention_matrix",
+    "column_fill_rates",
+    "weekday_seasonality",
+    "user_ltv_deciles",
+    # stable anchors (driver-green in prior rounds) — regression canaries
+    "star_join_topk",
+    "minhash_lsh_buckets",
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q4_priority_exists",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q22_dormant_capital",
-    # round-3 additions (locally verified; fill the window to exactly 50
-    # with new entries rather than re-checks of already-green queries)
-    "corpus_curation_pipeline",
-    "lsh_dedup_clusters",
-    "kmeans_lloyd_update",
 )
 
 
 def all_specs() -> dict[str, QuerySpec]:
     # Import side-effect modules once, on first use.
     from fitness_nutrition_data_pipeline_spark.queries import (  # noqa: F401
+        analytics_ops,
+        behavior_ops,
         curation,
         llm_ops,
         profiling,
@@ -117,6 +123,7 @@ def all_specs() -> dict[str, QuerySpec]:
         stats_ops,
         text_ops,
         text_ops2,
+        text_ops3,
         tpch_like,
         tpch_like2,
         tpch_like3,

@@ -1,0 +1,328 @@
+"""Analytics wave 4: sketch calibration, cohort retention matrix, column
+fill-rate profiling, seasonality, and customer-value deciles.
+
+The calibration query closes the sketch-quality loop: minhash_lsh_buckets
+claims 8-perm MinHash approximates shingle Jaccard well enough to bucket
+near-dups — this measures the approximation error against the exact
+Jaccard on the same candidate pairs, as a driver-checkable contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    jaccard_on_adjacent_pairs,
+    minhash_signatures,
+)
+from fitness_nutrition_data_pipeline_spark.operators.keys import assign_sequential_ids
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.queries.llm_ops import (
+    N_MINHASH,
+    _SHINGLE_CTE,
+    _sig_exprs_sql,
+)
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _calibration_oracle() -> str:
+    sig_cols = ",\n             ".join(_sig_exprs_sql())
+    matches = " + ".join(
+        f"CASE WHEN a.sig{k} = b.sig{k} THEN 1 ELSE 0 END" for k in range(N_MINHASH)
+    )
+    return rf"""
+    WITH sh AS (
+      {_SHINGLE_CTE}
+    ),
+    sigs AS (
+      SELECT doc_id,
+             {sig_cols}
+      FROM sh GROUP BY doc_id
+    ),
+    est AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(({matches}) AS DOUBLE) / {N_MINHASH} AS est_jaccard
+      FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+    ),
+    sets AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1])) AS sh
+      FROM documents
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+               AS jaccard
+      FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(avg(abs(est_jaccard - jaccard)) AS DOUBLE), 6)
+             AS mean_abs_err,
+           round(CAST(max(abs(est_jaccard - jaccard)) AS DOUBLE), 6)
+             AS max_abs_err
+    FROM est JOIN exact USING (id_a, id_b)
+    """
+
+
+@register(
+    "minhash_jaccard_calibration",
+    _calibration_oracle(),
+    doc="Sketch-quality contract: 8-perm MinHash slot-agreement estimate "
+    "vs exact 2-shingle Jaccard on adjacent-id candidate pairs, reduced "
+    "to mean/max absolute error. Proves the LSH bucketing premise with "
+    "numbers the driver can check; expected mean error ≈ sqrt(J(1-J)/8). "
+    "Signatures and exact arrays each shuffle once on doc_id — the pair "
+    "join ships one row per doc, never the shingle sets.",
+)
+def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=N_MINHASH)
+    a = sigs.alias("a")
+    b = sigs.alias("b")
+    match_expr = sum(
+        F.when(F.col(f"a.sig{k}") == F.col(f"b.sig{k}"), 1).otherwise(0)
+        for k in range(N_MINHASH)
+    )
+    est = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        (match_expr.cast("double") / N_MINHASH).alias("est_jaccard"),
+    )
+    exact = jaccard_on_adjacent_pairs(docs, "doc_id", "text").select(
+        "id_a", "id_b", "jaccard"
+    )
+    err = F.abs(F.col("est_jaccard") - F.col("jaccard"))
+    return est.join(exact, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(err), 6).alias("mean_abs_err"),
+        F.round(F.max(err), 6).alias("max_abs_err"),
+    )
+
+
+@register(
+    "retention_matrix",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0)
+                  AS INT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    cohort_sizes AS (
+      SELECT cohort_week, count(*) AS cohort_size FROM firsts GROUP BY cohort_week
+    )
+    SELECT CAST(a.cohort_week AS VARCHAR) AS cohort_week,
+           a.week_offset,
+           count(*) AS n_active,
+           round(CAST(count(*) AS DOUBLE) / max(s.cohort_size), 6) AS retention
+    FROM activity a JOIN cohort_sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    doc="Weekly retention triangle: first-touch cohort × week offset → "
+    "share of the cohort still active. First-touch is one user-grain "
+    "min-agg; the matrix is a distinct (user,offset) reduction joined to "
+    "broadcast cohort sizes — output is calendar² bounded, data shuffles "
+    "twice at user grain.",
+)
+def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7.0)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "week_offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.round(F.count(F.lit(1)).cast("double") / F.max("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "retention",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "column_fill_rates",
+    """
+    SELECT col, count(*) AS n_rows,
+           CAST(sum(is_null) AS BIGINT) AS n_null,
+           round(1.0 - CAST(sum(is_null) AS DOUBLE) / count(*), 6) AS fill_rate
+    FROM (
+      SELECT 'event_type' AS col,
+             CASE WHEN event_type IS NULL THEN 1 ELSE 0 END AS is_null FROM events
+      UNION ALL
+      SELECT 'props', CASE WHEN props IS NULL THEN 1 ELSE 0 END FROM events
+      UNION ALL
+      SELECT 'ts', CASE WHEN ts IS NULL THEN 1 ELSE 0 END FROM events
+      UNION ALL
+      SELECT 'user_id', CASE WHEN user_id IS NULL THEN 1 ELSE 0 END FROM events
+      UNION ALL
+      SELECT 'value', CASE WHEN value IS NULL THEN 1 ELSE 0 END FROM events
+    ) t
+    GROUP BY col
+    ORDER BY col
+    """,
+    doc="Column fill-rate (NOT-NULL) profile — the validation.sql:227-244 "
+    "NULL-violation block generalized into one profiling query. Spark "
+    "side computes ALL columns in a single scan (one conditional-sum agg "
+    "per column, then unpivots the 1-row result); the UNION-of-scans SQL "
+    "is only the oracle's spelling.",
+)
+def column_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cols = ["event_type", "props", "ts", "user_id", "value"]
+    # one pass: n_rows + per-column null counts as a single aggregate row
+    agg_row = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"null_{c}")
+            for c in cols
+        ],
+    )
+    stack_expr = ", ".join(f"'{c}', null_{c}" for c in cols)
+    return (
+        agg_row.select(
+            "n_rows", F.expr(f"stack({len(cols)}, {stack_expr}) AS (col, n_null)")
+        )
+        .select(
+            "col",
+            "n_rows",
+            F.col("n_null").cast("long").alias("n_null"),
+            F.round(1.0 - F.col("n_null").cast("double") / F.col("n_rows"), 6).alias(
+                "fill_rate"
+            ),
+        )
+        .orderBy("col")
+    )
+
+
+@register(
+    "weekday_seasonality",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(isodow(day) - 1 AS INT) AS weekday,
+           strftime(day, '%A') AS day_name,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(sum(n) AS DOUBLE) / count(*), 2) AS avg_per_day
+    FROM daily
+    GROUP BY 1, 2
+    ORDER BY weekday
+    """,
+    doc="Weekday seasonality profile with the pandas Mon=0 weekday "
+    "convention (SURVEY §2 F5: Spark dayofweek is Sun=1 — the parity "
+    "offset the reference's Dim_Date requires). Daily rollup first, so "
+    "the weekday pass touches calendar-bounded rows.",
+)
+def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
+    # pandas/ISO Mon=0: Spark dayofweek is Sun=1 → (dow + 5) % 7
+    weekday = ((F.dayofweek("day") + 5) % 7).cast("int")
+    return (
+        daily.groupBy(
+            weekday.alias("weekday"), F.date_format("day", "EEEE").alias("day_name")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 2).alias(
+                "avg_per_day"
+            ),
+        )
+        .orderBy("weekday")
+    )
+
+
+@register(
+    "user_ltv_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, spend,
+             row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(spend) OVER () AS total_spend
+      FROM spend
+    )
+    SELECT CAST(floor((rk - 1) * 10.0 / n) AS INT) AS decile,
+           count(*) AS n_customers,
+           CAST(sum(spend) AS DECIMAL(38,2)) AS decile_spend,
+           round(CAST(sum(spend) AS DOUBLE) / CAST(max(total_spend) AS DOUBLE), 6)
+             AS spend_share
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """,
+    doc="Customer-value deciles (decile 0 = biggest spenders) with each "
+    "decile's share of total revenue — the Lorenz-curve companion to "
+    "gini_customer_spend. Spend is DECIMAL (exact cross-engine ranks and "
+    "sums); descending ranks come from assign_sequential_ids on the "
+    "negated key, so no global window touches customer grain.",
+)
+def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend")
+    )
+    # rank 1 = highest spend: order by (-spend, custkey); negation keeps
+    # DECIMAL exactness so ranks match the oracle's ORDER BY spend DESC
+    ranked = assign_sequential_ids(
+        spend.withColumn("neg_spend", -F.col("spend")),
+        ["neg_spend", "o_custkey"],
+        "rk",
+    ).drop("neg_spend")
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("spend").cast("decimal(38,2)").alias("total_spend"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .groupBy(
+            F.floor((F.col("rk") - 1) * 10.0 / F.col("n")).cast("int").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("spend").cast("decimal(38,2)").alias("decile_spend"),
+            F.round(
+                F.sum("spend").cast("double") / F.max("total_spend").cast("double"), 6
+            ).alias("spend_share"),
+        )
+        .orderBy("decile")
+    )

@@ -1,0 +1,250 @@
+"""User-behavior analytics over the events stream — engagement, cadence,
+anomaly, and cohort-conversion queries (the product-analytics companions
+to sessionize_events / retention_cohorts / funnel_view_purchase).
+
+Determinism: all counts are exact integers; timestamps are compared as
+epoch micros (int64); value sums that cross engines go through DECIMAL;
+ratios round to 6 digits. ``load_table`` pins the session to UTC so the
+calendar agrees with the timezone-naive DuckDB oracle.
+
+Scale shape: every query reduces the event stream to (day|user|cohort)
+aggregates with map-side partials before any join; windows are either
+partitioned by user/type or run over day-grain frames (bounded by the
+calendar, not the data volume).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du),
+    dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+    wau AS (
+      SELECT d.day, count(DISTINCT du.user_id) AS wau
+      FROM days d
+      JOIN du ON du.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT CAST(dau.day AS VARCHAR) AS day, dau.dau AS dau, wau.wau AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    ORDER BY day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day. The stream first "
+    "collapses to distinct (day,user) pairs — the only data-sized shuffle; "
+    "the 7-day rolling DISTINCT then runs as a range join of that pair set "
+    "against the day spine (windows can't do COUNT DISTINCT). Day spine "
+    "is broadcast; per-day output is calendar-bounded.",
+)
+def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("day", "anchor"))
+        .join(
+            du.withColumnRenamed("day", "uday"),
+            F.col("uday").between(F.date_sub(F.col("anchor"), 6), F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == F.col("anchor"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "interarrival_gap_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           round(avg(CAST(gap_us AS DOUBLE)) / 1e6, 3) AS avg_gap_s,
+           round(CAST(max(gap_us) AS DOUBLE) / 1e6, 3) AS max_gap_s
+    FROM gaps
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Per-type event cadence: consecutive same-user inter-arrival gaps "
+    "via a (user,type)-partitioned lag — partitions are per-user slices, "
+    "so the window parallelizes; the rollup shuffles 5 rows. avg over "
+    "exact int64 micros (both engines sum integers exactly, then divide).",
+)
+def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg(F.col("gap_us").cast("double")) / 1e6, 3).alias("avg_gap_s"),
+            F.round(F.max("gap_us").cast("double") / 1e6, 3).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "daily_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT day, CAST(total AS DOUBLE) AS total,
+             avg(CAST(total AS DOUBLE)) OVER w AS mu,
+             stddev_samp(CAST(total AS DOUBLE)) OVER w AS sigma,
+             count(*) OVER w AS n_window
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(day AS VARCHAR) AS day,
+           round(total, 6) AS total,
+           round(CAST((total - mu) / sigma AS DOUBLE), 4) AS z,
+           CASE WHEN abs((total - mu) / sigma) > 2 THEN 1 ELSE 0 END AS is_anomaly
+    FROM scored
+    WHERE n_window >= 7 AND sigma > 0
+    ORDER BY day
+    """,
+    doc="Trailing-window anomaly score on daily totals: each day's total "
+    "vs the mean/std of the previous 7 days. Daily totals are DECIMAL "
+    "sums (exact across engines); the trailing window runs over day-grain "
+    "rows — calendar-bounded, one tiny task regardless of data volume.",
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("total")
+    )
+    w = W.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        F.col("total").cast("double").alias("total"),
+        F.avg(F.col("total").cast("double")).over(w).alias("mu"),
+        F.stddev_samp(F.col("total").cast("double")).over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where((F.col("n_window") >= 7) & (F.col("sigma") > 0))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round("total", 6).alias("total"),
+            F.round(z, 4).alias("z"),
+            F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "signup_conversion_cohorts",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    ),
+    cohorts AS (
+      SELECT user_id, CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week,
+             first_ts
+      FROM firsts
+    ),
+    converted AS (
+      SELECT DISTINCT c.user_id
+      FROM cohorts c
+      JOIN events e ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.first_ts
+    )
+    SELECT CAST(cohort_week AS VARCHAR) AS cohort_week,
+           count(*) AS n_users,
+           CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round(CAST(sum(CASE WHEN cv.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 6) AS conversion_rate
+    FROM cohorts
+    LEFT JOIN converted cv ON cohorts.user_id = cv.user_id
+    GROUP BY cohort_week
+    ORDER BY cohort_week
+    """,
+    doc="Weekly first-touch cohorts → later-purchase conversion: min-ts "
+    "per user (one shuffle, map-side partial), purchase check as a join "
+    "back to the stream filtered to purchases, then a calendar-bounded "
+    "rollup. The firsts table is user-grain — broadcastable against the "
+    "purchase slice at any realistic user cardinality.",
+)
+def signup_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    cohorts = firsts.select(
+        "user_id",
+        F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
+        "first_ts",
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        cohorts.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (F.col("p_ts") > F.col("first_ts")),
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("is_conv", F.lit(1))
+    )
+    return (
+        cohorts.join(F.broadcast(converted), "user_id", "left")
+        .groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.coalesce(F.col("is_conv"), F.lit(0))).cast("long").alias("n_converted"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_conv"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("conversion_rate"),
+        )
+        .select(
+            F.col("cohort_week").cast("string").alias("cohort_week"),
+            "n_users",
+            "n_converted",
+            "conversion_rate",
+        )
+        .orderBy("cohort_week")
+    )
