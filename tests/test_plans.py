@@ -224,3 +224,53 @@ def test_cdc_windows_partition_per_doc(spark, sf_dir):
         # single-partition gather: the gather is the LAST exchange
         if "SinglePartition" in plan:
             assert plan.rfind("Window") < plan.rfind("SinglePartition"), q
+
+
+def test_ks_pushes_filters_and_broadcasts_extremes(spark, sf_dir):
+    """The KS query must push the type IN-list + value NOT NULL into the
+    parquet scan and broadcast the scalar min/max — no data-sized join or
+    window (the only windows run over the 100-bin table)."""
+    plan = plan_of(spark, sf_dir, "ks_binned_click_view")
+    assert "In(event_type" in plan and "IsNotNull(value)" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # scalar extremes, broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_rank_based_stats_have_no_visible_global_window(spark, sf_dir):
+    """Gini / equi-depth rank via assign_sequential_ids, whose
+    range-partitioned window runs inside a checkpointed stage (the
+    operator's own scale invariants are pinned in test_operators). The
+    post-checkpoint query plan must therefore contain NO Window at all —
+    if one appears here, someone reintroduced a driver-visible global
+    rank."""
+    for q in ("gini_customer_spend", "equi_depth_price_deciles", "user_ltv_deciles"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "Window" not in plan, q
+        assert "SortMergeJoin" not in plan, q
+
+
+def test_dau_wau_broadcasts_day_spine(spark, sf_dir):
+    """The 7-day rolling-distinct range join must broadcast the day spine
+    (calendar-bounded), never sort-merge the pair set."""
+    plan = plan_of(spark, sf_dir, "dau_wau_stickiness")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read and all("props" not in ln and "event_type" not in ln for ln in read)
+
+
+def test_unigram_lm_no_global_window(spark, sf_dir):
+    """LM scoring is explode → agg → join → agg: no Window at all, and
+    the corpus-total scalar joins via broadcast."""
+    plan = plan_of(spark, sf_dir, "unigram_logprob_docs")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_calibration_joins_on_doc_grain(spark, sf_dir):
+    """MinHash calibration ships one signature/array row per doc through
+    the pair joins — shingle-grain rows must stay inside partial
+    aggregates (no explode output crossing a join)."""
+    plan = plan_of(spark, sf_dir, "minhash_jaccard_calibration")
+    # both the est and exact sides reduce to doc grain before joining
+    assert plan.count("HashAggregate") >= 4

@@ -43,6 +43,12 @@ SHOWCASE = [
     ("corpus_curation_pipeline", "composed curation: all joins keyed on doc_id, LSH decision linear, 6-row result"),
     ("sequence_packing_windows", "shard-partitioned running sum (parallel per lang), then window groupBy"),
     ("cdc_chunk_dedup", "content-defined chunking: per-doc windows (lead + running sum), corpus-wide distinct-hash agg"),
+    ("ks_binned_click_view", "KS on a 100-bin grid: filters pushed to scan, scalar extremes broadcast, windows over bins not data"),
+    ("equi_depth_price_deciles", "exact global deciles with NO visible window: ranks inside checkpointed range-partitioned stage"),
+    ("dau_wau_stickiness", "rolling 7-day DISTINCT as day-spine range join (spine broadcast), distinct pairs shuffle once"),
+    ("unigram_logprob_docs", "corpus LM scoring: explode → vocab agg → token join → doc rollup, zero windows"),
+    ("minhash_jaccard_calibration", "sketch-vs-exact calibration: both sides reduce to doc grain before the pair joins"),
+    ("decimal_money_totals", "exact DECIMAL money rollup: partial+final agg, order-independent bits at any parallelism"),
 ]
 
 
