@@ -137,7 +137,7 @@ def interarrival_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(day AS VARCHAR) AS day,
            round(total, 6) AS total,
-           round(CAST((total - mu) / sigma AS DOUBLE), 4) AS z,
+           round(CAST((total - mu) / sigma AS DOUBLE), 4) + 0.0 AS z,
            CASE WHEN abs((total - mu) / sigma) > 2 THEN 1 ELSE 0 END AS is_anomaly
     FROM scored
     WHERE n_window >= 7 AND sigma > 0
@@ -167,7 +167,7 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("day").cast("string").alias("day"),
             F.round("total", 6).alias("total"),
-            F.round(z, 4).alias("z"),
+            (F.round(z, 4) + 0.0).alias("z"),
             F.when(F.abs(z) > 2, 1).otherwise(0).alias("is_anomaly"),
         )
         .orderBy("day")

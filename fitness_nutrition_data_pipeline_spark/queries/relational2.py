@@ -586,7 +586,7 @@ def correlated_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFr
     "stats_correlation",
     """
     SELECT l_returnflag,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(corr(l_quantity, l_extendedprice), 6) + 0.0 AS qty_price_corr,
            round(stddev_samp(l_quantity), 6) AS qty_stddev,
            round(var_samp(l_discount), 6) AS disc_variance
     FROM lineitem
@@ -599,7 +599,7 @@ def correlated_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFr
 def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 6) + 0.0).alias("qty_price_corr"),
         F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
         F.round(F.var_samp("l_discount"), 6).alias("disc_variance"),
     )
@@ -609,7 +609,7 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_value_trend",
     """
     SELECT user_id,
-           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) AS value_slope_per_hour,
+           round(regr_slope(value, epoch_us(ts) / 3600000000.0), 6) + 0.0 AS value_slope_per_hour,
            round(regr_intercept(value, epoch_us(ts) / 3600000000.0), 2) AS value_intercept,
            count(*) AS n_events
     FROM events
@@ -625,7 +625,7 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").where(F.col("user_id") < 20)
     hours = F.unix_micros("ts") / 3600000000.0
     return ev.groupBy("user_id").agg(
-        F.round(F.regr_slope("value", hours), 6).alias("value_slope_per_hour"),
+        (F.round(F.regr_slope("value", hours), 6) + 0.0).alias("value_slope_per_hour"),
         F.round(F.regr_intercept("value", hours), 2).alias("value_intercept"),
         F.count(F.lit(1)).alias("n_events"),
     )

@@ -191,7 +191,7 @@ _TOK_SQL = """
       FROM stats, tot
     )
     SELECT t.doc_id, t.lang, count(*) AS n_tokens,
-           round(avg(wt), 4) AS dsir_weight
+           round(avg(wt), 4) + 0.0 AS dsir_weight
     FROM toks t JOIN w USING (bucket)
     GROUP BY t.doc_id, t.lang
     """,
@@ -234,6 +234,9 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang")
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.avg("wt"), 4).alias("dsir_weight"),
+            # + 0.0 normalizes IEEE negative zero: a doc whose mean
+            # log-ratio rounds to zero must hash identically whichever
+            # side of 0.0 each engine's float drift landed on
+            (F.round(F.avg("wt"), 4) + 0.0).alias("dsir_weight"),
         )
     )

@@ -9,6 +9,7 @@ from fitness_nutrition_data_pipeline_spark.operators.multimodal import (
     attach_metadata,
     byte_histogram_features,
     decode_images,
+    resize_images,
     sample_video_frames,
 )
 
@@ -16,6 +17,7 @@ PNG = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
 JPEG = b"\xff\xd8\xff\xe0" + bytes(64)
 WAV = b"RIFF" + bytes(32)
 JUNK = b"\x00\x01\x02\x03garbage"
+MP4ISH = b"\x00\x00\x00\x18ftypmp42" + bytes(range(256)) * 64  # ~16 KiB "video"
 
 
 @pytest.fixture(scope="module")
@@ -26,6 +28,7 @@ def media(spark):
         (3, bytearray(WAV), "audio", None, None),
         (4, bytearray(JUNK), "image", None, None),
         (5, None, "image", None, None),
+        (6, bytearray(MP4ISH), "video", None, None),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -61,6 +64,48 @@ def test_decode_images_gated(media):
     assert (r.height, r.width, r.mean_luma) == (out2[1].height, out2[1].width, out2[1].mean_luma)
 
 
-def test_video_sampling_stub(media):
-    with pytest.raises(NotImplementedError):
-        sample_video_frames(media)
+def test_resize_images_contract(media):
+    """Resize plumbing: every non-null blob yields a thumbnail whose
+    dimensions respect the max_side contract; NULL payloads pass through
+    as NULL thumbs; the stub path is deterministic."""
+    out = {r.media_id: r for r in resize_images(media, max_side=16).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    for mid in (1, 2, 3, 4, 6):
+        r = out[mid]
+        assert r.thumb is not None and len(r.thumb) >= 1
+        assert 1 <= r.thumb_h <= 16 and 1 <= r.thumb_w <= 16
+        # stub thumbnails are raw gray: exactly h*w bytes
+        if not r.resized:
+            assert len(r.thumb) == r.thumb_h * r.thumb_w
+    assert out[5].thumb is None and out[5].resized is False
+    out2 = {r.media_id: r for r in resize_images(media, max_side=16).collect()}
+    assert bytes(out[1].thumb) == bytes(out2[1].thumb)
+
+
+def test_video_frame_sampling_contract(media):
+    """Frame-sampling plumbing: fan-out rows carry (media_id, frame_no,
+    ts_s, frame); frame numbering is dense from 0 with the sampling
+    cadence; NULL payloads produce no rows; deterministic stub."""
+    out = sample_video_frames(media, every_n_seconds=1.0).collect()
+    by_media = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert set(by_media) == {1, 2, 3, 4, 6}  # media 5 (NULL payload) absent
+    assert len(by_media[6]) >= 2  # big blob fans out to multiple frames
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r.frame_no)
+        assert [r.frame_no for r in rows] == list(range(len(rows)))
+        assert all(abs(r.ts_s - r.frame_no * 1.0) < 1e-9 for r in rows)
+        assert all(r.frame is not None and len(r.frame) > 0 for r in rows)
+        assert all(r.decoded is False for r in rows)  # no codec here
+    # every-2s sampling halves (or keeps at 1) the frame count
+    out2 = sample_video_frames(media, every_n_seconds=2.0).collect()
+    n2 = {}
+    for r in out2:
+        n2[r.media_id] = n2.get(r.media_id, 0) + 1
+    for mid, rows in by_media.items():
+        assert n2[mid] == max(1, len(rows) // 2)
+    # deterministic frames
+    again = sample_video_frames(media, every_n_seconds=1.0).collect()
+    key = lambda rs: sorted((r.media_id, r.frame_no, bytes(r.frame)) for r in rs)
+    assert key(out) == key(again)
