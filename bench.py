@@ -57,28 +57,38 @@ def main() -> None:
         load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         builder = specs[name].builder
         best = None
-        for _ in range(3):  # best-of-3: strips GC/compilation/page-cache noise
-            t0 = time.time()
-            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(3):  # best-of-3: strips GC/compilation/page-cache noise
+                t0 = time.time()
+                builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            # One broken query must not zero the whole bench signal: record
+            # the failure, keep timing the rest, and still emit the JSON
+            # line (round 3 lost its entire bench to a single query error).
+            errors[name] = str(e).split("\n", 1)[0][:200]
+            print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        # keep exit 0: a partial bench with an explicit "errors" field is
+        # parseable signal; a non-zero exit risks the harness discarding
+        # the JSON entirely (missing queries are visible, not silent)
+        result["errors"] = errors
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
