@@ -200,3 +200,44 @@ def test_stream_stream_attribution(spark, attribution_dirs):
     # only view 10 is within 1h before purchase 90; views 11/12 and
     # purchase 91 have no partner
     assert rows == [(10, 90, 1800)]
+
+
+# --- per-key rate limiting ------------------------------------------------
+
+
+def test_stream_rate_limiter(spark, tmp_path_factory):
+    import datetime
+
+    from fitness_nutrition_data_pipeline_spark.streaming.ratelimit import (
+        EVENT_SCHEMA,
+        run_rate_limiter_once,
+        second_gen_available,
+    )
+
+    d = str(tmp_path_factory.mktemp("ratelimit"))
+    indir = os.path.join(d, "in")
+    os.makedirs(indir)
+    rows = [
+        (i, datetime.datetime(2016, 4, 1, 10, 0, i % 60), i % 3, "click", 1.0)
+        for i in range(20)
+    ]
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(indir)
+    out = run_rate_limiter_once(spark, indir, "rl_out", limit=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.user_id, []).append((r.event_id, r.admitted_no))
+    # every user admits exactly 3 events, in event_id order, numbered 1..3
+    assert set(got) == {0, 1, 2}
+    for uid, pairs in got.items():
+        pairs.sort()
+        assert [no for _, no in pairs] == [1, 2, 3]
+        # first three event_ids of that user in id order
+        expect = sorted(i for i in range(20) if i % 3 == uid)[:3]
+        assert [eid for eid, _ in pairs] == expect
+    # the second-gen transformWithState path needs protobuf; the gate must
+    # report a definite answer and the first-gen limiter above must have
+    # worked regardless of it (the container env has changed between
+    # rounds before — don't pin the gate's value, pin that it's honest)
+    assert second_gen_available() in (True, False)
