@@ -52,9 +52,21 @@ def load_warehouse(
     *,
     partition_facts: bool = False,
     register_views: bool = True,
+    max_parallel_writes: int = 8,
 ) -> dict[str, str]:
-    """Write all tables in dependency order; returns table → path."""
-    paths: dict[str, str] = {}
+    """Write all tables; returns table → path in dependency order.
+
+    The reference's Dims→Bridges→Facts ordering exists for MySQL FK
+    checks (main_etl_pipeline.py:757-764); parquet tables have no write
+    dependencies, so the writes run CONCURRENTLY on a thread pool —
+    Spark schedules independent jobs in parallel and each tiny table's
+    job-submission overhead overlaps instead of serializing. (An actual
+    JDBC mirror with FK checks must keep the sequential order — see
+    ``mirror_to_jdbc``.) Returned paths preserve LOAD_ORDER.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    present = [n for n in LOAD_ORDER if n in warehouse]
     for name in LOAD_ORDER:
         if name not in warehouse:
             logger.warning("table %s not found in transformed data, skipping", name)
@@ -62,7 +74,8 @@ def load_warehouse(
                 # drop any stale view from a previous run in this session —
                 # overwrite ≙ DROP/CREATE applies to absent tables too
                 spark.catalog.dropTempView(name)
-            continue
+
+    def write_one(name: str) -> str:
         df = warehouse[name]
         if name in FACT_SURROGATES:
             df = df.withColumn(FACT_SURROGATES[name], F.monotonically_increasing_id())
@@ -71,8 +84,14 @@ def load_warehouse(
         if partition_facts and name in PARTITIONED_FACTS:
             writer = writer.partitionBy("DateKey")
         writer.parquet(path)
-        paths[name] = path
-        if register_views:
+        return path
+
+    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel_writes, len(present) or 1))) as pool:
+        results = dict(zip(present, pool.map(write_one, present)))
+
+    paths: dict[str, str] = {n: results[n] for n in present}
+    if register_views:
+        for name, path in paths.items():
             spark.read.parquet(path).createOrReplaceTempView(name)
     return paths
 

@@ -141,18 +141,42 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
     res = ValidationResults()
     present = _existing(spark, EXPECTED_TABLES)
 
+    # Scalar checks are dozens of tiny independent Spark jobs whose
+    # fixed submission overhead dominates at any scale — queue them and
+    # execute on a thread pool (Spark schedules concurrent jobs fine),
+    # recording results in queue order so the report stays deterministic.
+    from concurrent.futures import ThreadPoolExecutor
+
     # table inventory + missing-table check (validation.sql:16-46)
-    for t in EXPECTED_TABLES:
-        if t in present:
-            res.table_counts[t] = int(_scalar(spark, f"SELECT count(*) FROM {t}"))
+    count_tables = [t for t in EXPECTED_TABLES if t in present]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        counts = pool.map(
+            lambda t: int(_scalar(spark, f"SELECT count(*) FROM {t}")), count_tables
+        )
+        for t, n in zip(count_tables, counts):
+            res.table_counts[t] = n
     missing = [t for t in EXPECTED_TABLES if t not in present]
     res.record("MISSING TABLES", len(missing))
 
+    queued: list[tuple[str, str]] = []
+
     def run(check_name: str, sql: str) -> None:
-        try:
-            res.record(check_name, int(_scalar(spark, sql) or 0))
-        except Exception as e:  # lenient per-statement failure (:841-842)
-            logger.debug("check %s failed: %s", check_name, str(e)[:120])
+        queued.append((check_name, sql))
+
+    def _flush_queued() -> None:
+        def one(item: tuple[str, str]):
+            check_name, sql = item
+            try:
+                return check_name, int(_scalar(spark, sql) or 0), None
+            except Exception as e:  # lenient per-statement failure (:841-842)
+                return check_name, None, e
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for check_name, val, err in pool.map(one, queued):
+                if err is None:
+                    res.record(check_name, val)
+                else:
+                    logger.debug("check %s failed: %s", check_name, str(err)[:120])
 
     for t, pk in PK_CHECKS.items():
         if t in present:
@@ -208,9 +232,13 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
     if "Fact_NutritionLog" in present:
         run("RANGE ServingSize", "SELECT count(*) FROM Fact_NutritionLog WHERE ServingSize <= 0")
 
+    _flush_queued()
+
     # -- remaining corpus families, executed through the S7 script runner
     # with the reference's row classifier (check_name/violations keys →
-    # _process_validation_row semantics, main_etl_pipeline.py:902-920)
+    # _process_validation_row semantics, main_etl_pipeline.py:902-920).
+    # Kept sequential: the script is SET-var stateful and its lenient
+    # per-statement failure semantics are order-defined.
     from fitness_nutrition_data_pipeline_spark.sql_script import run_sql_script
 
     script = _analytical_corpus_sql(present, bounds)
