@@ -100,10 +100,10 @@ _CHECK_PRIORITY = (
     "column_fill_rates",
     "weekday_seasonality",
     "user_ltv_deciles",
+    "supplier_authority_rank",
     # stable anchors (driver-green in prior rounds) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",
-    "tpch_q1_pricing_summary",
 )
 
 
@@ -113,6 +113,7 @@ def all_specs() -> dict[str, QuerySpec]:
         analytics_ops,
         behavior_ops,
         curation,
+        graph_ops,
         llm_ops,
         profiling,
         relational,

@@ -1,0 +1,107 @@
+"""Graph ranking over the purchase graph — the iterative-algorithm family
+beside label-propagation components (operators/components.py), k-means
+(similarity.py) and PCA power iteration (llm_ops.py).
+
+PageRank-style authority on the bipartite customer→supplier edge set
+derived from orders ⋈ lineitem: a fixed, unrolled number of sparse
+matrix-vector multiplies, each expressed as edge-join + groupBy-sum —
+the exact shape GraphX/Pregel lowers to, with Catalyst handling the
+distribution. Edges shuffle once per iteration on the join key; ranks
+are node-grain vectors that stay broadcastable for realistic supplier
+cardinalities (broadcast the rank vector, never the edge list).
+
+Determinism: edge sets and degrees are exact integers; rank values are
+float folds whose cross-engine drift is ~1e-15 relative per iteration —
+two unrolled iterations rounded to 6 digits hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+_DAMP = 0.85
+
+
+@register(
+    "supplier_authority_rank",
+    f"""
+    WITH edges AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    outdeg AS (SELECT c, count(*) AS d FROM edges GROUP BY c),
+    -- iteration 1: every customer starts at rank 1.0
+    auth1 AS (
+      SELECT e.s, 1 - {_DAMP} + {_DAMP} * sum(1.0 / d) AS r
+      FROM edges e JOIN outdeg USING (c)
+      GROUP BY e.s
+    ),
+    -- push authority back to customers…
+    indeg AS (SELECT s, count(*) AS d FROM edges GROUP BY s),
+    cust2 AS (
+      SELECT e.c, 1 - {_DAMP} + {_DAMP} * sum(a.r / i.d) AS r
+      FROM edges e JOIN auth1 a USING (s) JOIN indeg i USING (s)
+      GROUP BY e.c
+    ),
+    -- iteration 2: re-derive supplier authority from updated customers
+    auth2 AS (
+      SELECT e.s, 1 - {_DAMP} + {_DAMP} * sum(c2.r / o.d) AS r
+      FROM edges e JOIN cust2 c2 USING (c) JOIN outdeg o USING (c)
+      GROUP BY e.s
+    )
+    SELECT s AS s_suppkey,
+           round(CAST(r AS DOUBLE), 6) AS authority,
+           CAST((SELECT d FROM indeg WHERE indeg.s = auth2.s) AS BIGINT) AS n_customers
+    FROM auth2
+    ORDER BY s_suppkey
+    """,
+    doc="Two unrolled PageRank-style iterations on the customer→supplier "
+    "purchase graph (damping 0.85): rank mass flows across the DISTINCT "
+    "edge set normalized by degree, supplier→customer→supplier. Each "
+    "iteration is one edge-join + keyed sum — the Pregel superstep as a "
+    "DataFrame plan; at 100 TB the rank vectors broadcast and only edges "
+    "shuffle, once per iteration.",
+)
+def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # edge list reused by every superstep — materialize once
+    edges = edges.localCheckpoint()
+    outdeg = edges.groupBy("c").agg(F.count(F.lit(1)).alias("d"))
+    indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
+
+    auth1 = (
+        edges.join(F.broadcast(outdeg), "c")
+        .groupBy("s")
+        .agg((1 - _DAMP + _DAMP * F.sum(1.0 / F.col("d"))).alias("r"))
+    )
+    cust2 = (
+        edges.join(F.broadcast(auth1), "s")
+        .join(F.broadcast(indeg.withColumnRenamed("d", "di")), "s")
+        .groupBy("c")
+        .agg((1 - _DAMP + _DAMP * F.sum(F.col("r") / F.col("di"))).alias("r"))
+    )
+    auth2 = (
+        edges.join(F.broadcast(cust2), "c")
+        .join(F.broadcast(outdeg.withColumnRenamed("d", "do")), "c")
+        .groupBy("s")
+        .agg((1 - _DAMP + _DAMP * F.sum(F.col("r") / F.col("do"))).alias("r"))
+    )
+    return (
+        auth2.join(F.broadcast(indeg), "s")
+        .select(
+            F.col("s").alias("s_suppkey"),
+            F.round(F.col("r"), 6).alias("authority"),
+            F.col("d").cast("long").alias("n_customers"),
+        )
+        .orderBy("s_suppkey")
+    )
