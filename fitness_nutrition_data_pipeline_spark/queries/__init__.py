@@ -107,29 +107,58 @@ _CHECK_PRIORITY = (
 )
 
 
+_QUERY_MODULES = (
+    "analytics_ops",
+    "behavior_ops",
+    "curation",
+    "graph_ops",
+    "llm_ops",
+    "profiling",
+    "relational",
+    "relational2",
+    "relational3",
+    "sampling",
+    "sketch_ops",
+    "stats_ops",
+    "text_ops",
+    "text_ops2",
+    "text_ops3",
+    "tpch_like",
+    "tpch_like2",
+    "tpch_like3",
+    "warehouse_ops",
+)
+
+# module name → import error message; populated by all_specs (empty when
+# every module registered cleanly). Inspected by tools/verify_queries.py.
+IMPORT_FAILURES: dict[str, str] = {}
+
+
 def all_specs() -> dict[str, QuerySpec]:
-    # Import side-effect modules once, on first use.
-    from fitness_nutrition_data_pipeline_spark.queries import (  # noqa: F401
-        analytics_ops,
-        behavior_ops,
-        curation,
-        graph_ops,
-        llm_ops,
-        profiling,
-        relational,
-        relational2,
-        relational3,
-        sampling,
-        sketch_ops,
-        stats_ops,
-        text_ops,
-        text_ops2,
-        text_ops3,
-        tpch_like,
-        tpch_like2,
-        tpch_like3,
-        warehouse_ops,
-    )
+    """Registry snapshot in driver-check-priority order.
+
+    Module imports are ISOLATED: one module failing to import (e.g. a
+    Spark API that moved between environment versions — it has happened
+    between rounds) must cost its own queries only, never the other 100+.
+    Failures are recorded in IMPORT_FAILURES, not swallowed silently;
+    set SPARK_GRAFT_STRICT_IMPORTS=1 to re-raise (local dev / CI).
+    """
+    import importlib
+    import logging
+    import os
+
+    strict = bool(os.environ.get("SPARK_GRAFT_STRICT_IMPORTS"))
+    for mod in _QUERY_MODULES:
+        try:
+            importlib.import_module(f"fitness_nutrition_data_pipeline_spark.queries.{mod}")
+        except Exception as e:  # noqa: BLE001
+            if strict:
+                raise
+            IMPORT_FAILURES[mod] = f"{type(e).__name__}: {e}"
+            logging.getLogger(__name__).warning(
+                "query module %s failed to import (its queries are "
+                "unavailable this run): %s", mod, e
+            )
 
     ordered = {n: _REGISTRY[n] for n in _CHECK_PRIORITY if n in _REGISTRY}
     ordered.update(_REGISTRY)

@@ -19,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 
 import duckdb  # noqa: E402
 
-from fitness_nutrition_data_pipeline_spark.queries import all_specs  # noqa: E402
+from fitness_nutrition_data_pipeline_spark.queries import IMPORT_FAILURES, all_specs  # noqa: E402
 from fitness_nutrition_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
@@ -64,6 +64,8 @@ def main(names=None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     specs = all_specs()
+    for mod, err in IMPORT_FAILURES.items():
+        print(f"IMPORT FAIL {mod}: {err}")
     if names:
         specs = {n: specs[n] for n in names}
     n_pass = n_fail = n_weak = 0
@@ -106,7 +108,7 @@ def main(names=None):
             print(f"PASS {name}: rows={len(sr)} ({dt:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
-    return 1 if n_fail else 0
+    return 1 if (n_fail or IMPORT_FAILURES) else 0
 
 
 if __name__ == "__main__":
