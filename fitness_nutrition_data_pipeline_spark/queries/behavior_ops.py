@@ -47,22 +47,29 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY day
     """,
     doc="DAU / trailing-7-day WAU / stickiness per day. The stream first "
-    "collapses to distinct (day,user) pairs — the only data-sized shuffle; "
-    "the 7-day rolling DISTINCT then runs as a range join of that pair set "
-    "against the day spine (windows can't do COUNT DISTINCT). Day spine "
-    "is broadcast; per-day output is calendar-bounded.",
+    "collapses to distinct (day,user) pairs — the only data-sized shuffle. "
+    "The 7-day rolling DISTINCT (windows can't COUNT DISTINCT) then "
+    "EXPLODES each pair into its 7 anchor days — a fixed 7× expansion, "
+    "O(7·pairs) work — and re-distincts per anchor; a day-spine range "
+    "join would be O(days·pairs), quadratic in history length. Anchors "
+    "are clipped to observed days via a broadcast calendar-grain join.",
 )
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # each active (day,user) contributes to exactly the 7 anchors day..day+6
+    anchored = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor"),
+        "user_id",
+    )
     wau = (
-        F.broadcast(days.withColumnRenamed("day", "anchor"))
-        .join(
-            du.withColumnRenamed("day", "uday"),
-            F.col("uday").between(F.date_sub(F.col("anchor"), 6), F.col("anchor")),
-        )
+        anchored.join(
+            F.broadcast(days.withColumnRenamed("day", "anchor")), "anchor"
+        )  # clip synthetic anchors beyond the observed calendar
         .groupBy("anchor")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
@@ -205,8 +212,9 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Weekly first-touch cohorts → later-purchase conversion: min-ts "
     "per user (one shuffle, map-side partial), purchase check as a join "
     "back to the stream filtered to purchases, then a calendar-bounded "
-    "rollup. The firsts table is user-grain — broadcastable against the "
-    "purchase slice at any realistic user cardinality.",
+    "rollup. All joins are user-grain equi-joins with NO broadcast hints "
+    "— user tables grow with the data, so AQE picks the strategy from "
+    "runtime sizes.",
 )
 def signup_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -229,7 +237,7 @@ def signup_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_conv", F.lit(1))
     )
     return (
-        cohorts.join(F.broadcast(converted), "user_id", "left")
+        cohorts.join(converted, "user_id", "left")
         .groupBy("cohort_week")
         .agg(
             F.count(F.lit(1)).alias("n_users"),

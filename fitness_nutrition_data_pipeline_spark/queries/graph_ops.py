@@ -63,8 +63,10 @@ _DAMP = 0.85
     "purchase graph (damping 0.85): rank mass flows across the DISTINCT "
     "edge set normalized by degree, supplier→customer→supplier. Each "
     "iteration is one edge-join + keyed sum — the Pregel superstep as a "
-    "DataFrame plan; at 100 TB the rank vectors broadcast and only edges "
-    "shuffle, once per iteration.",
+    "DataFrame plan. Supplier-grain vectors (authority, indegree) carry "
+    "broadcast hints — supplier cardinality is dim-like; customer-grain "
+    "vectors deliberately don't (they grow with the data), so AQE picks "
+    "the join strategy from runtime sizes.",
 )
 def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -80,7 +82,7 @@ def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     indeg = edges.groupBy("s").agg(F.count(F.lit(1)).alias("d"))
 
     auth1 = (
-        edges.join(F.broadcast(outdeg), "c")
+        edges.join(outdeg, "c")
         .groupBy("s")
         .agg((1 - _DAMP + _DAMP * F.sum(1.0 / F.col("d"))).alias("r"))
     )
@@ -91,8 +93,8 @@ def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((1 - _DAMP + _DAMP * F.sum(F.col("r") / F.col("di"))).alias("r"))
     )
     auth2 = (
-        edges.join(F.broadcast(cust2), "c")
-        .join(F.broadcast(outdeg.withColumnRenamed("d", "do")), "c")
+        edges.join(cust2, "c")
+        .join(outdeg.withColumnRenamed("d", "do"), "c")
         .groupBy("s")
         .agg((1 - _DAMP + _DAMP * F.sum(F.col("r") / F.col("do"))).alias("r"))
     )

@@ -249,12 +249,13 @@ def test_rank_based_stats_have_no_visible_global_window(spark, sf_dir):
         assert "SortMergeJoin" not in plan, q
 
 
-def test_dau_wau_broadcasts_day_spine(spark, sf_dir):
-    """The 7-day rolling-distinct range join must broadcast the day spine
-    (calendar-bounded), never sort-merge the pair set."""
+def test_dau_wau_explodes_anchors_no_range_join(spark, sf_dir):
+    """The 7-day rolling DISTINCT must be the O(7·pairs) explode-to-anchors
+    shape (Generate + hash joins), NEVER a nested-loop range join against
+    the day spine — that shape is O(days·pairs), quadratic in history."""
     plan = plan_of(spark, sf_dir, "dau_wau_stickiness")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # explode(sequence(day, day+6))
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read and all("props" not in ln and "event_type" not in ln for ln in read)
 
