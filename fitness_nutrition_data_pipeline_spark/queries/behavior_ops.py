@@ -256,3 +256,54 @@ def signup_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS row_n FROM pairs GROUP BY from_type)
+    SELECT p.from_type, p.to_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.row_n, 6) AS p_transition
+    FROM pairs p JOIN tot t ON p.from_type = t.from_type
+    ORDER BY p.from_type, p.to_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: lead() within a (user)-partitioned window pairs each "
+    "event with its successor, then a type-pair rollup with row-"
+    "normalized probabilities. The window parallelizes per user; the "
+    "matrix is |types|^2 — output is constant-bounded regardless of "
+    "volume.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    pairs = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        pairs.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "p_transition"
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )
