@@ -78,9 +78,15 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total",
-        "value": total,
+        # A partial total would COMPARE AS FASTER than a full run — null the
+        # headline value on any error so round-over-round diffs can't
+        # silently improve on breakage; per-query timings stay available.
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
+        "n_ok": len(timings),
+        "n_queries": len(HEADLINE),
+        "complete": not errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
@@ -88,6 +94,7 @@ def main() -> None:
         # parseable signal; a non-zero exit risks the harness discarding
         # the JSON entirely (missing queries are visible, not silent)
         result["errors"] = errors
+        result["partial_total"] = total
     print(json.dumps(result))
 
 

@@ -148,7 +148,11 @@ def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> Data
     common = F.array_size(F.array_intersect("sh_a", "sh_b"))
     denom = F.array_size("sh_a") + F.array_size("sh_b") - common
     jac = common.cast("double") / denom
-    return pairs.select("id_a", "id_b", jac.alias("jaccard"))
+    # A doc with <2 tokens has an EMPTY shingle set; a pair of two such
+    # docs makes the union 0 and 0/0 is engine-specific (Spark NULL vs
+    # DuckDB error/NaN). Drop those pairs — callers' oracles carry the
+    # identical WHERE union > 0 guard.
+    return pairs.filter(denom > 0).select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def jaccard_on_pairs(

@@ -40,6 +40,7 @@ def assign_sequential_ids(
     *,
     start: int = 1,
     num_partitions: int | None = None,
+    rows_per_partition: int = 50_000,
 ) -> DataFrame:
     """Add dense sequential ids ``start..start+N-1`` ordered by
     ``order_cols``, without a single-task global sort window.
@@ -47,17 +48,48 @@ def assign_sequential_ids(
     Plan: repartitionByRange(order_cols) → per-partition row_number →
     + broadcast per-partition offsets. The only driver-side data is one
     count per partition.
+
+    Partition sizing: when ``num_partitions`` is not given, the input is
+    pinned (localCheckpoint) and counted, and n = clamp(rows /
+    rows_per_partition, 1, defaultParallelism) — a 1k-row dim gets 1
+    partition (no 32-task fixed overhead), a large table saturates the
+    cluster. The sizing count reads the pinned partitions, it never
+    recomputes the upstream plan. Callers that already know the scale can
+    pass ``num_partitions`` explicitly and skip the sizing pass entirely
+    (one less materialization — the right call inside a tight loop or at
+    known-huge scale).
     """
-    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+    spark = df.sparkSession
+    order = [F.col(c) for c in order_cols]
+    if num_partitions is None:
+        # Pin first so the sizing count and every later job see identical
+        # rows; range boundaries sampled from pinned input are then
+        # deterministic across jobs.
+        df = df.localCheckpoint()
+        n_rows = df.count()
+        n = max(1, min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_rows // rows_per_partition),
+        ))
+    else:
+        n = num_partitions
+    parted = df.repartitionByRange(n, *order).withColumn(
         _PART, F.spark_partition_id()
     )
-    w = Window.partitionBy(_PART).orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy(_PART).orderBy(*order)
     # localCheckpoint pins the partitioning: repartitionByRange SAMPLES its
     # boundaries per job, so without materialization the counts job and the
     # final join could see different partition assignments → wrong offsets,
-    # duplicate keys. (Found by the 60k-row invariant test.)
+    # duplicate keys. (Found by the 60k-row invariant test.) It also keeps
+    # the Window out of caller-visible plans (no global rank in any query
+    # plan — asserted by tests/test_plans.py).
     local = parted.withColumn(_LOCAL, F.row_number().over(w)).localCheckpoint()
+
+    if n == 1:
+        # single range partition → the local row number IS the global rank
+        return local.withColumn(
+            key_col, (F.col(_LOCAL) - 1 + F.lit(start)).cast("long")
+        ).drop(_PART, _LOCAL)
 
     # One row per partition — tiny, safe to collect.
     counts = sorted(
@@ -68,7 +100,6 @@ def assign_sequential_ids(
     for pid, cnt in counts:
         offsets[pid] = acc
         acc += cnt
-    spark = df.sparkSession
     offsets_df = F.broadcast(
         spark.createDataFrame(
             [(pid, off) for pid, off in offsets.items()], schema=f"{_PART} int, __offset long"

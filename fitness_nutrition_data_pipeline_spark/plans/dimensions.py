@@ -25,22 +25,36 @@ from fitness_nutrition_data_pipeline_spark.functions.cleaning import (
 from fitness_nutrition_data_pipeline_spark.operators.keys import assign_sequential_ids, with_order_index
 
 
+_DAY_NAMES = (
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+)
+_MONTH_NAMES = (
+    "January", "February", "March", "April", "May", "June", "July",
+    "August", "September", "October", "November", "December",
+)
+
+
 def build_dim_date(
     spark: SparkSession, start: str = DIM_DATE_START, end: str = DIM_DATE_END
 ) -> DataFrame:
     """Dim_Date via sequence+explode (F6) with pandas-exact calendar
     attributes (main_etl_pipeline.py:345-357): DayOfWeek Mon=0 (Spark
-    dayofweek is Sun=1 → offset), DateKey = yyyyMMdd int."""
+    dayofweek is Sun=1 → offset), DateKey = yyyyMMdd int. Day/month names
+    come from literal English arrays (pandas day_name()/month_name()
+    default to English) — date_format('EEEE'/'MMMM') would follow the JVM
+    default locale and break parity on a non-English host."""
     days = spark.range(1).select(
         F.explode(F.sequence(F.to_date(F.lit(start)), F.to_date(F.lit(end)))).alias("d")
     )
+    day_arr = F.array(*[F.lit(n) for n in _DAY_NAMES])
+    month_arr = F.array(*[F.lit(n) for n in _MONTH_NAMES])
     return days.select(
         F.date_format("d", "yyyyMMdd").cast("int").alias("DateKey"),
         F.col("d").alias("FullDate"),
         ((F.dayofweek("d") + 5) % 7).alias("DayOfWeek"),
-        F.date_format("d", "EEEE").alias("DayName"),
+        F.element_at(day_arr, ((F.dayofweek("d") + 5) % 7) + 1).alias("DayName"),
         F.month("d").alias("Month"),
-        F.date_format("d", "MMMM").alias("MonthName"),
+        F.element_at(month_arr, F.month("d")).alias("MonthName"),
         F.quarter("d").alias("Quarter"),
         F.year("d").alias("Year"),
     )

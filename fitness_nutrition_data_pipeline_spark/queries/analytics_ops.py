@@ -62,6 +62,7 @@ def _calibration_oracle() -> str:
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                AS jaccard
       FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
+      WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            round(CAST(avg(abs(est_jaccard - jaccard)) AS DOUBLE), 6)
@@ -228,6 +229,11 @@ def column_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_NAMES = (
+    "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday",
+)
+
+
 @register(
     "weekday_seasonality",
     """
@@ -252,18 +258,27 @@ def column_fill_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(F.count(F.lit(1)).alias("n"))
-    # pandas/ISO Mon=0: Spark dayofweek is Sun=1 → (dow + 5) % 7
+    # pandas/ISO Mon=0: Spark dayofweek is Sun=1 → (dow + 5) % 7.
+    # day_name comes from a literal English array, NOT date_format('EEEE'),
+    # which is JVM-default-locale dependent while the oracle's strftime('%A')
+    # is always English — a non-English host would hash-mismatch.
     weekday = ((F.dayofweek("day") + 5) % 7).cast("int")
+    name_arr = F.array(*[F.lit(n) for n in _DAY_NAMES])
     return (
-        daily.groupBy(
-            weekday.alias("weekday"), F.date_format("day", "EEEE").alias("day_name")
-        )
+        daily.groupBy(weekday.alias("weekday"))
         .agg(
             F.sum("n").alias("n_events"),
             F.count(F.lit(1)).alias("n_days"),
             F.round(F.sum("n").cast("double") / F.count(F.lit(1)), 2).alias(
                 "avg_per_day"
             ),
+        )
+        .select(
+            "weekday",
+            F.element_at(name_arr, F.col("weekday") + 1).alias("day_name"),
+            "n_events",
+            "n_days",
+            "avg_per_day",
         )
         .orderBy("weekday")
     )

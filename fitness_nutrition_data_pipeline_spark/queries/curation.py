@@ -81,6 +81,7 @@ _CURATION_SQL = (
            CAST(sum(CASE WHEN q = 1 AND is_exact = 0 AND is_near = 0
                     THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM flags GROUP BY split
+    ORDER BY split
     """
 )
 
@@ -88,6 +89,7 @@ _CURATION_SQL = (
 @register(
     "corpus_curation_pipeline",
     _CURATION_SQL,
+    sort=("split",),
     doc="End-to-end curation decision table: C4-style quality filter + "
     "exact dedup (min-id survivor per content hash) + LSH near-dup drop "
     "(linear bucket-min decision) + deterministic 80/10/10 split, "
@@ -164,6 +166,7 @@ _SURVIVOR_SQL = (
                                 ORDER BY q DESC, n_chars DESC, doc_id) AS rn
       FROM scored s JOIN sizes z USING (cluster_id)
     ) WHERE rn = 1
+    ORDER BY cluster_id
     """
 )
 
@@ -171,6 +174,7 @@ _SURVIVOR_SQL = (
 @register(
     "cluster_survivor_selection",
     _SURVIVOR_SQL,
+    sort=("cluster_id",),
     doc="Quality-aware dedup survivor: within each duplicate cluster "
     "(lsh_dedup_clusters), keep the document that passes the quality "
     "filter, breaking ties by length then id — the keep-BEST policy "

@@ -150,7 +150,10 @@ def dedup_exact_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
                 THEN 1 ELSE 0 END AS is_near_dup
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
+    ORDER BY doc_id_a
     """,
+    sort=("doc_id_a",),
     doc="n-gram (2-shingle) Jaccard similarity on candidate pairs — the "
     "verify stage of near-dedup, explode-join-aggregate so work is "
     "proportional to matching shingles. Candidates here are adjacent "
@@ -181,7 +184,9 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM bands
     GROUP BY band_id, band_key
     HAVING count(*) >= 2
+    ORDER BY band_id, band_key
     """,
+    sort=("band_id", "band_key"),
     doc="MinHash (8 perms over md5 windows) + LSH banding (4 bands × 2 "
     "rows): shingle-explode → per-doc min-agg → band-key groupBy. Buckets "
     "with ≥2 docs are the near-dup candidate sets; the shuffle is on "
@@ -206,7 +211,9 @@ def minhash_lsh_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS is_dup_candidate
     FROM bands b JOIN mins m USING (band_id, band_key)
     GROUP BY b.doc_id
+    ORDER BY b.doc_id
     """,
+    sort=("doc_id",),
     doc="LSH dedup decision without pairwise expansion: per-bucket min "
     "doc_id is the canonical survivor; any doc above a bucket minimum is a "
     "near-dup candidate. Linear in corpus size (agg + broadcast-join), "
@@ -242,12 +249,14 @@ def _simhash_oracle() -> str:
     )
     SELECT doc_id, CAST({bits_total} AS BIGINT) AS simhash16
     FROM bits
+    ORDER BY doc_id
     """
 
 
 @register(
     "simhash_signatures",
     _simhash_oracle(),
+    sort=("doc_id",),
     doc="SimHash (16-bit): per-token md5 nibble parity votes, sign-summed "
     "per bit, assembled into an integer signature — token-explode + one "
     "16-expression groupBy, all codegen'd. Hamming-close signatures = "
@@ -278,7 +287,9 @@ def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
       FROM scored
     ) t WHERE rn <= 3
+    ORDER BY q_id, neighbor_id
     """,
+    sort=("q_id", "neighbor_id"),
     doc="Brute-force cosine top-k ANN baseline: broadcast the query set, "
     "score every candidate JVM-side (zip_with fold, no UDF), per-query "
     "row_number top-k. At 100 TB the candidate side stays partitioned and "
@@ -313,7 +324,9 @@ def embedding_knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(cosine_sim), 6) AS avg_sim
     FROM best WHERE rn = 1
     GROUP BY centroid_id
+    ORDER BY centroid_id
     """,
+    sort=("centroid_id",),
     doc="IVF-style coarse quantization: assign every vector to its nearest "
     "of k centroids (broadcast) — the scale path for ANN: probe only the "
     "matching centroid's partition instead of the full corpus.",
@@ -341,7 +354,9 @@ def embedding_centroid_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
            round(max(sim), 6) AS max_sim
     FROM pairs GROUP BY label
+    ORDER BY label
     """,
+    sort=("label",),
     doc="Embedding-cosine near-dup detection, blocked by label so the "
     "pairwise compare stays within blocks (the embedding analogue of LSH "
     "bucketing): at scale blocks come from coarse quantization and the "
@@ -394,7 +409,9 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY cosine_sim DESC, neighbor_id) AS rn
       FROM scored
     ) WHERE rn <= 3
+    ORDER BY q_id, neighbor_id
     """,
+    sort=("q_id", "neighbor_id"),
     doc="IVF-probed ANN: assign all vectors to their nearest of k "
     "centroids, then answer each query by scanning ONLY its centroid's "
     "cluster — the scale path where brute force scans 1/k of the corpus "
@@ -438,7 +455,9 @@ def embedding_ann_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN bit_count(xor(a.simhash16, b.simhash16)) <= 3
                 THEN 1 ELSE 0 END AS is_near_dup
     FROM sigs a JOIN sigs b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_id_a
     """,
+    sort=("doc_id_a",),
     doc="SimHash near-dup verify: Hamming distance (bit_count of XOR) "
     "between candidate-pair signatures — the O(1)-per-pair compare that "
     "makes SimHash the cheapest near-dup verifier; candidates here are "
@@ -489,7 +508,9 @@ def simhash_hamming_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket_id, count(*) AS n_vecs,
            CAST(min(vec_id) AS BIGINT) AS canonical_vec_id
     FROM buckets GROUP BY bucket_id HAVING count(*) >= 2
+    ORDER BY bucket_id
     """,
+    sort=("bucket_id",),
     doc="Cosine-LSH candidate buckets via md5-derived random hyperplanes "
     "(operators/similarity.py::random_hyperplane_lsh): sign-bit bucket "
     "per vector, buckets with >= 2 members are the near-neighbor "
@@ -553,6 +574,7 @@ def _clusters_sql(iterations: int = _CC_ITERS) -> str:
            CAST(max(doc_id) AS BIGINT) AS max_doc_id
     FROM l{iterations}
     GROUP BY label HAVING count(*) >= 2
+    ORDER BY cluster_id
     """
     )
 
@@ -560,6 +582,7 @@ def _clusters_sql(iterations: int = _CC_ITERS) -> str:
 @register(
     "lsh_dedup_clusters",
     _clusters_sql(),
+    sort=("cluster_id",),
     doc="Duplicate clusters: LSH band buckets → bounded-round (3) "
     "min-label propagation over the doc↔bucket bipartite graph "
     "(operators/dedup.py::dedup_clusters) — a refinement of the true "
@@ -633,7 +656,9 @@ def lsh_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN old_dims o USING (centroid_id, i)
     JOIN sizes s USING (centroid_id)
     GROUP BY m.centroid_id
+    ORDER BY m.centroid_id
     """,
+    sort=("centroid_id",),
     doc="One Lloyd iteration of k-means over the embedding corpus "
     "(operators/similarity.py::kmeans_lloyd_step): broadcast-assign to "
     "nearest centroid, per-dimension mean recompute via (centroid, dim) "
@@ -691,7 +716,9 @@ def kmeans_lloyd_update_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  THEN (max(x) - min(x)) / 255.0
                                  ELSE 1.0 END)) AS BIGINT) AS zero_point
     FROM dims GROUP BY i
+    ORDER BY i
     """,
+    sort=("i",),
     doc="Per-dimension int8 quantization parameters (asymmetric min/max "
     "scheme: scale = range/255, zero_point = round(-min/scale)) for "
     "compressing the vector index 4× before ANN serving. One posexplode "
@@ -768,7 +795,9 @@ def _hp_mem_sql(seeds: tuple[str, ...] = _HP_SEEDS, n_planes: int = 8, dim: int 
            CAST(max(vec_id) AS BIGINT) AS max_vec_id
     FROM l{_CC_ITERS}
     GROUP BY label HAVING count(*) >= 2
+    ORDER BY cluster_id
     """,
+    sort=("cluster_id",),
     doc="Embedding near-dup clusters: TWO independent hyperplane-LSH "
     "tables (seeds amplify recall — a pair missed by one table's 8 sign "
     "bits is caught by the other) unioned into doc↔bucket membership, "
@@ -847,7 +876,9 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM exact x LEFT JOIN ivf i
       ON i.q_id = x.q_id AND i.neighbor_id = x.neighbor_id
     GROUP BY x.q_id
+    ORDER BY x.q_id
     """,
+    sort=("q_id",),
     doc="ANN quality contract: recall@3 of the IVF-probed search "
     "(nprobe=1) measured against the exact brute-force top-3 on the same "
     "queries — each engine computes BOTH sides itself and reports the "
@@ -917,7 +948,9 @@ _V0_SQL = """
     nrm AS (SELECT sqrt(sum(sd * sd)) AS n FROM s)
     SELECT i - 1 AS dim, round(sd / n, 6) AS v1_comp
     FROM s, nrm
+    ORDER BY dim
     """,
+    sort=("dim",),
     doc="One power-iteration step toward the corpus's top principal "
     "component: v1 = normalize(Σ_i x_i⟨x_i, v0⟩) with a deterministic "
     "md5-derived start vector — the X^T(Xv) formulation, so the corpus "

@@ -39,7 +39,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     UNION ALL
     SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
            count(DISTINCT o_orderpriority) FROM orders
+    ORDER BY col_name
     """,
+    sort=("col_name",),
     doc="Column profiling (null count + exact cardinality per column) in "
     "ONE scan: Spark computes all statistics in a single aggregate row "
     "and unpivots with stack(), where the naive form (the oracle) scans "
@@ -69,7 +71,9 @@ def column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(l_extendedprice) AS DOUBLE), 2) AS bucket_revenue
     FROM lineitem
     GROUP BY 1
+    ORDER BY bucket
     """,
+    sort=("bucket",),
     doc="Fixed-width value histogram of line-item price: floor-divide "
     "bucketing is a pure row-local map, so the only shuffle is the "
     "per-bucket aggregate (map-side partials make it a few dozen rows "
@@ -104,7 +108,9 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l
     JOIN windows w ON l.l_shipdate >= w.w_start AND l.l_shipdate < w.w_end
     GROUP BY w.window_name
+    ORDER BY window_name
     """,
+    sort=("window_name",),
     doc="Interval (range) join: fact timestamps against a small table of "
     "[start, end) windows — a non-equi predicate, so Spark plans a "
     "broadcast nested-loop join; the windows side is rows-not-bytes tiny "

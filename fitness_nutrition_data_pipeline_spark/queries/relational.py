@@ -41,7 +41,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                       (1 - CAST(l_discount AS DECIMAL(6,2))), 2) AS DOUBLE) AS net_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '2001-06-01' AND l_quantity > 40
+    ORDER BY l_orderkey, l_linenumber
     """,
+    sort=("l_orderkey", "l_linenumber"),
     doc="Projection + predicate + derived column; pushdown-visible scan. "
     "Mirrors activity filter+derive (main_etl_pipeline.py:596-616).",
 )
@@ -74,7 +76,9 @@ def scan_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(CASE WHEN value > 5 AND value < 90 THEN value END, 0.0) AS value_filled
     FROM events
     WHERE event_type = 'purchase'
+    ORDER BY event_id
     """,
+    sort=("event_id",),
     doc="Range-validity conditional null-out + COALESCE default — the BMI "
     "(10,60) exclusive-bounds rule (main_etl_pipeline.py:202-208, 579-585; F10 :688-691).",
 )
@@ -102,7 +106,9 @@ def range_validity_nullout(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_type = 'view'
     GROUP BY user_id, CAST(ts AS DATE)
+    ORDER BY user_id, day
     """,
+    sort=("user_id", "day"),
     doc="Per-(user, day) SUM rollup — sleep minutes/day "
     "(main_etl_pipeline.py:543, A1).",
 )
@@ -126,7 +132,9 @@ def daily_rollup_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE event_type = 'click'
     GROUP BY user_id, CAST(ts AS DATE)
+    ORDER BY user_id, day
     """,
+    sort=("user_id", "day"),
     doc="Per-(user, day) AVG rollup — daily heart-rate mean "
     "(main_etl_pipeline.py:560, A2).",
 )
@@ -210,7 +218,9 @@ def conditional_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(o_totalprice), 2) AS max_price
     FROM orders
     GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
     """,
+    sort=("o_orderstatus",),
     doc="MIN/AVG/MAX/COUNT distribution stats (validation.sql:329-359, A7).",
 )
 def distribution_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +261,9 @@ def domain_inventory_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'supplier', count(*) FROM supplier
     UNION ALL SELECT 'nation', count(*) FROM nation
     UNION ALL SELECT 'region', count(*) FROM region
+    ORDER BY table_name
     """,
+    sort=("table_name",),
     doc="Constant-table UNION ALL inventory + per-table COUNT(*) probes "
     "(validation.sql:16-46, 50-121; U1/A4).",
 )
@@ -391,7 +403,9 @@ def fk_coverage_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY s_suppkey
     """,
+    sort=("s_suppkey",),
     doc="Dim-key resolution joins — dict-lookup joins J2/J3/J4 "
     "(main_etl_pipeline.py:360-361, 464-471, 545-601) become broadcast "
     "snowflake joins; inner semantics = drop-on-miss.",
@@ -423,7 +437,9 @@ def fact_dim_key_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS BIGINT) AS segment_key,
            c_mktsegment AS segment_name
     FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    ORDER BY segment_key
     """,
+    sort=("segment_key",),
     doc="Deterministic surrogate-key assignment: distinct dim values + "
     "row_number over sorted order (main_etl_pipeline.py:373-381, W1). The "
     "global window is fine for small dims; big dims use zipWithIndex-style "
@@ -451,7 +467,9 @@ def surrogate_key_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ) t
     WHERE rn = 1
+    ORDER BY user_id, event_type
     """,
+    sort=("user_id", "event_type"),
     doc="First-seen-wins dedup via row_number window — the entity-resolution "
     "tie-break idiom (main_etl_pipeline.py:189-232; J1 building block).",
 )
@@ -474,7 +492,9 @@ def window_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT p_partkey, 'size', CAST(p_size AS DOUBLE) FROM part
     ) t
+    ORDER BY p_partkey, metric
     """,
+    sort=("p_partkey", "metric"),
     doc="Wide→long EAV unpivot — weight row fans out to (weight, bmi) metric "
     "rows (main_etl_pipeline.py:572-593) as stack(2, ...).",
 )
@@ -500,7 +520,9 @@ def metric_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k_value
     FROM events
     WHERE event_type = 'signup'
+    ORDER BY event_id
     """,
+    sort=("event_id",),
     doc="Regex extraction + numeric coercion — the unit-strip + "
     "pd.to_numeric(errors='coerce') idiom over nutrient columns "
     "(main_etl_pipeline.py:418-437, F2). Spark cast-fail→NULL ≡ coerce.",
@@ -527,7 +549,9 @@ def regex_extract_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_parts
     FROM part
     GROUP BY 1
+    ORDER BY category
     """,
+    sort=("category",),
     doc="First-match-wins keyword categorization — _standardize_fitness_goal "
     "(main_etl_pipeline.py:314-323, config.py:30-35, F3): chained "
     "when(lower().contains()) preserving dict order, default bucket last.",
@@ -557,12 +581,36 @@ def keyword_categorization(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(year(d) AS INT) AS year
     FROM (SELECT unnest(generate_series(DATE '2016-01-01', DATE '2016-12-31',
                                         INTERVAL 1 DAY)) AS d)
+    ORDER BY date_key
     """,
+    sort=("date_key",),
     doc="Dim_Date generation: date sequence + smart-key + calendar attrs "
     "(main_etl_pipeline.py:345-361, F5/F6). day_of_week matches pandas "
-    "Mon=0 — Spark dayofweek is Sun=1, hence the (dow+5)%7 offset.",
+    "Mon=0 — Spark dayofweek is Sun=1, hence the (dow+5)%7 offset. "
+    "day_name/month_name come from literal English arrays, not "
+    "date_format('EEEE'/'MMMM') which follows the JVM default locale "
+    "while the oracle's dayname/monthname are always English.",
 )
 def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_names = F.array(
+        *[
+            F.lit(n)
+            for n in (
+                "Monday", "Tuesday", "Wednesday", "Thursday",
+                "Friday", "Saturday", "Sunday",
+            )
+        ]
+    )
+    month_names = F.array(
+        *[
+            F.lit(n)
+            for n in (
+                "January", "February", "March", "April", "May", "June",
+                "July", "August", "September", "October", "November",
+                "December",
+            )
+        ]
+    )
     days = spark.range(1).select(
         F.explode(
             F.sequence(F.to_date(F.lit("2016-01-01")), F.to_date(F.lit("2016-12-31")))
@@ -572,9 +620,9 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyyMMdd").cast("int").alias("date_key"),
         F.col("d").alias("full_date"),
         ((F.dayofweek("d") + 5) % 7).alias("day_of_week"),
-        F.date_format("d", "EEEE").alias("day_name"),
+        F.element_at(day_names, ((F.dayofweek("d") + 5) % 7) + 1).alias("day_name"),
         F.month("d").alias("month"),
-        F.date_format("d", "MMMM").alias("month_name"),
+        F.element_at(month_names, F.month("d")).alias("month_name"),
         F.quarter("d").alias("quarter"),
         F.year("d").alias("year"),
     )
@@ -597,7 +645,9 @@ def date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(row_number() OVER (ORDER BY canonical_custkey) AS BIGINT) AS user_key,
            profile_hash, canonical_custkey, n_members
     FROM canon
+    ORDER BY user_key
     """,
+    sort=("user_key",),
     doc="Entity resolution (user unification, J1): composite natural-key "
     "hash, first-seen-wins canonical pick, deterministic surrogate keys "
     "(main_etl_pipeline.py:161-312). Set-based: hash → groupBy min → "
@@ -636,7 +686,9 @@ def entity_resolution_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_parsed
     FROM events
     GROUP BY event_type
+    ORDER BY event_type
     """,
+    sort=("event_type",),
     doc="Semi-structured JSON column: from_json with an explicit schema "
     "(JVM-side Jackson parse, no Python) then plain aggregation — the "
     "properties-bag pattern every event pipeline carries.",

@@ -28,7 +28,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
     FROM orders
     GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
     """,
+    sort=("o_orderpriority",),
     doc="groupBy().pivot() wide reshape — Catalyst rewrites to one pass of "
     "conditional aggregates (the oracle spells that rewrite out).",
 )
@@ -54,7 +56,9 @@ def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(l_quantity) AS DOUBLE), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag, l_linestatus
     """,
+    sort=("l_returnflag", "l_linestatus"),
     doc="ROLLUP hierarchy totals (flag → flag+status → grand total) in one "
     "shuffle via Expand — no per-level re-scan.",
 )
@@ -73,7 +77,9 @@ def rollup_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus, o_orderpriority
     """,
+    sort=("o_orderstatus", "o_orderpriority"),
     doc="GROUPING SETS — two independent aggregation keys in one Expand "
     "pass instead of a UNION ALL of scans.",
 )
@@ -112,7 +118,9 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            max(ts_us) - min(ts_us) AS duration_us
     FROM sess
     GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
     """,
+    sort=("user_id", "session_no"),
     doc="Sessionization: 30-min-gap session breaks via lag + running sum of "
     "start flags, then per-session aggregates — the standard event-stream "
     "pattern; one shuffle on user_id, windows stay within partitions.",
@@ -148,7 +156,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ORDER BY p_retailprice DESC, p_partkey) AS rn
       FROM part
     ) t WHERE rn <= 2
+    ORDER BY p_brand, p_partkey
     """,
+    sort=("p_brand", "p_partkey"),
     doc="Per-group top-n via ranked window — partitioned (no global sort); "
     "Catalyst pushes the rn<=2 filter into the window as a group limit.",
 )
@@ -168,7 +178,9 @@ def topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_mktsegment
     FROM customer c
     WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    ORDER BY c_custkey
     """,
+    sort=("c_custkey",),
     doc="LEFT SEMI join (EXISTS): customers with at least one order — "
     "returns each left row at most once, no fan-out, dim side streams.",
 )
@@ -194,7 +206,9 @@ def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       EXCEPT
       SELECT o_custkey FROM orders
     )
+    ORDER BY op
     """,
+    sort=("op",),
     doc="INTERSECT / EXCEPT set semantics (dedup + membership) — planned as "
     "semi/anti joins after aggregate, not materialized sets.",
 )
@@ -220,7 +234,9 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
     FROM lineitem
     GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
+    sort=("l_returnflag",),
     doc="Exact interpolated percentiles (median / p95) per group — "
     "percentile() in Spark ≡ quantile_cont in DuckDB (linear "
     "interpolation). The approx path at 100 TB is approx_percentile with "
@@ -244,7 +260,9 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS running_revenue
     FROM orders
     WHERE o_custkey < 50
+    ORDER BY o_custkey, o_orderkey
     """,
+    sort=("o_custkey", "o_orderkey"),
     doc="Running (cumulative) aggregate per customer ordered by time — "
     "rows-frame window; partition-local, no global sort.",
 )
@@ -300,7 +318,9 @@ def monthly_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(value) AS DOUBLE), 2) AS total_value
     FROM events
     GROUP BY event_type
+    ORDER BY event_type
     """,
+    sort=("event_type",),
     doc="Skew-resistant two-stage (salted) aggregation: stage 1 groups by "
     "(key, salt) so one hot key spreads over 16 reducers, stage 2 merges "
     "partials. Result is identical to the direct groupBy — the oracle IS "
@@ -328,7 +348,9 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
     ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.event_id
     """,
+    sort=("event_id",),
     doc="As-of (point-in-time) join: each purchase matched to the user's "
     "latest at-or-before view. Spark has no native ASOF JOIN; implemented "
     "union + sort + last(ignorenulls) carry-forward (operators/asof.py) — "
@@ -405,7 +427,9 @@ def funnel_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_active_users
     FROM activity a JOIN firsts f USING (user_id)
     GROUP BY 1, 2
+    ORDER BY cohort_month, month_offset
     """,
+    sort=("cohort_month", "month_offset"),
     doc="Cohort retention: first-seen month per user × active months → "
     "users retained per (cohort, offset). Two aggregations + one join on "
     "user_id; the cohort triangle every growth dashboard needs, computed "
@@ -450,7 +474,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'orphan_order_customer',
            (SELECT count(*) FROM orders o LEFT JOIN customer c
             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    ORDER BY rule
     """,
+    sort=("rule",),
     doc="Violations materialization — the reference's INSERT INTO "
     "validation_violations SELECT ... corpus (validation.sql:409-455) as "
     "one UNION ALL of rule/violation_count rows, ready for a sink write.",
@@ -497,7 +523,9 @@ def violations_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
                  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
     """,
+    sort=("o_custkey", "o_orderkey"),
     doc="RANGE-frame window: trailing 90-day spend and order count per "
     "customer — the value-based frame (vs ROWS) over an epoch-day key; "
     "partition-local, no self-join for the sliding window.",
@@ -531,7 +559,9 @@ def range_frame_trailing_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     WHERE o_custkey < 30
     WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
     """,
+    sort=("o_custkey", "o_orderkey"),
     doc="lag/lead/first_value window family: per-customer order cadence "
     "(days since previous / until next order, cohort anchor) — one sort "
     "per partition serves all three functions.",
@@ -562,7 +592,9 @@ def order_gap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT avg(o2.o_totalprice) + 50000
       FROM orders o2 WHERE o2.o_custkey = o.o_custkey
     )
+    ORDER BY o_orderkey
     """,
+    sort=("o_orderkey",),
     doc="Correlated scalar subquery: orders far above their customer's own "
     "average. Catalyst decorrelates to an aggregate + self-join (SURVEY §4 "
     "'subquery decorrelation') — no per-row subquery execution.",
@@ -591,7 +623,9 @@ def correlated_subquery_big_spenders(spark: SparkSession, sf_dir: str) -> DataFr
            round(var_samp(l_discount), 6) AS disc_variance
     FROM lineitem
     GROUP BY l_returnflag
+    ORDER BY l_returnflag
     """,
+    sort=("l_returnflag",),
     doc="Statistical aggregates (corr / stddev / variance) per group — "
     "single-pass co-moment accumulation, mergeable partials, no second "
     "scan for the means.",
@@ -615,7 +649,9 @@ def stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     WHERE user_id < 20
     GROUP BY user_id
+    ORDER BY user_id
     """,
+    sort=("user_id",),
     doc="Per-user linear trend via regression aggregates (regr_slope / "
     "regr_intercept over event-time hours) — the 'is this metric drifting' "
     "primitive computed in one grouped pass, no per-user model fitting "

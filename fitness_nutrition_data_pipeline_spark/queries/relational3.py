@@ -32,7 +32,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            count(*) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
     """,
+    sort=("gid", "l_returnflag", "l_linestatus"),
     doc="CUBE over two keys: all four grouping sets (detail, each "
     "marginal, grand total) in one Expand + single shuffle — vs four "
     "separate scans. GROUPING() bits disambiguate real NULLs from "
@@ -59,7 +61,9 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            rank() OVER w AS bal_rank
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_custkey
     """,
+    sort=("c_custkey",),
     doc="Window ranking suite (ntile / percent_rank / cume_dist / rank) "
     "partitioned by segment: one shuffle on the partition key, per-"
     "partition sort, all four functions evaluated in a single Window "
@@ -89,7 +93,9 @@ def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(1.0 - CAST(levenshtein(a.head, b.head) AS DOUBLE)
                  / greatest(length(a.head), length(b.head)), 4) AS similarity
     FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_id_a
     """,
+    sort=("doc_id_a",),
     doc="Levenshtein verify on candidate pairs (adjacent ids here; LSH "
     "buckets at scale): edit distance is O(len²) per pair so it is "
     "bounded to a 60-char head and only ever run on candidates, never "
@@ -136,7 +142,9 @@ def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.day, coalesce(d.n_orders, 0) AS n_orders,
            coalesce(d.day_revenue, 0.0) AS day_revenue
     FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY s.day
     """,
+    sort=("day",),
     doc="Date-spine gap filling: a generated calendar (sequence + explode, "
     "never scanned from storage) LEFT-joined to the daily aggregate so "
     "zero-activity days appear explicitly — the prerequisite for any "
@@ -194,7 +202,9 @@ def date_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT fingerprint, doc_id AS survivor_doc_id, lang, n_chars, n_members
     FROM ranked WHERE rn = 1 AND n_members >= 2
+    ORDER BY fingerprint
     """,
+    sort=("fingerprint",),
     doc="Quality-ranked canonical selection: cluster by prefix fingerprint "
     "(md5 of the first 20 tokens — the boilerplate/mirror-page dedup key), "
     "keep the highest-quality member (longest, then lowest id) via "
@@ -243,7 +253,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT i.doc_id, i.lang,
            CASE WHEN h.fingerprint IS NULL THEN 1 ELSE 0 END AS is_novel
     FROM inc i LEFT JOIN hist h ON i.fingerprint = h.fingerprint
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Incremental ingest dedup: a new batch (doc_id >= 450 stands in "
     "for today's drop) is admitted only if its content fingerprint is "
     "absent from the historical corpus — a LEFT ANTI-shaped join against "

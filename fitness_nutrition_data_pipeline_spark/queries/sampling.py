@@ -66,7 +66,9 @@ _BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 6)) AS BIGIN
                     THEN n_chars ELSE 0 END) AS BIGINT) AS sampled_chars
     FROM b
     GROUP BY lang
+    ORDER BY lang
     """,
+    sort=("lang",),
     doc="Stratified downsampling with per-stratum rates (dominant language "
     "kept at 25%, low-resource languages at 100%) decided by a "
     "deterministic content hash — the language-rebalancing step of a "
@@ -98,7 +100,9 @@ def hash_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM b
     GROUP BY 1
+    ORDER BY split
     """,
+    sort=("split",),
     doc="Deterministic 80/10/10 train/val/test split by content hash: a "
     "document's split assignment is a pure function of its id, so "
     "re-ingesting or re-partitioning the corpus can never leak val/test "
@@ -133,7 +137,9 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((CAST(all_tokens AS DOUBLE) / n_sources) / ws_tokens, 4)
                AS uniform_upsample_factor
     FROM per_src, tot
+    ORDER BY source
     """,
+    sort=("source",),
     doc="Domain-mixing budget: per-source token mass, its share of the "
     "corpus, and the up/down-sample factor that would equalize domains — "
     "the bookkeeping behind mixture-weighted training corpora. The "
@@ -186,7 +192,9 @@ def domain_mixing_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(CASE WHEN (cum_before % 2048) + toks > 2048
                     THEN 1 ELSE 0 END) AS INT) AS has_boundary_crossing
     FROM c GROUP BY lang, window_id
+    ORDER BY lang, window_id
     """,
+    sort=("lang", "window_id"),
     doc="Sequence-packing planner (concat-and-chunk): per language shard, "
     "documents are concatenated in doc_id order and cut into 2048-token "
     "context windows; output = docs starting in each window, their token "
@@ -246,7 +254,9 @@ def sequence_packing_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(doc_id) AS BIGINT) AS max_doc_id
     FROM ranked WHERE rn <= 20
     GROUP BY lang
+    ORDER BY lang
     """,
+    sort=("lang",),
     doc="Deterministic fixed-SIZE per-stratum sample (exactly 20 docs per "
     "language, or all of a smaller stratum): rank by content hash inside "
     "each stratum, keep the top 20 — the eval-set construction primitive "

@@ -38,7 +38,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 THEN 1 ELSE 0 END AS approx_within_5pct
     FROM events
     GROUP BY event_type
+    ORDER BY event_type
     """,
+    sort=("event_type",),
     doc="HyperLogLog++ distinct-count contract: per group, the sketch "
     "estimate must land within 5% of the exact count (rsd=0.02 → ~2.5σ). "
     "The estimate itself is engine-specific; the exact count and the "
@@ -66,7 +68,9 @@ def approx_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 1 ELSE 0 END AS approx_within_tolerance
     FROM events
     GROUP BY event_type
+    ORDER BY event_type
     """,
+    sort=("event_type",),
     doc="Quantile-sketch contract: the one-pass approximate median must "
     "land within 5% of the (p99−p1) spread of the exact interpolated "
     "median. Exact median + flag hash-match; the sketch value is "

@@ -500,11 +500,11 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_money_totals",
     """
     SELECT l_returnflag,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
-             AS gross,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,6)))
-                AS DECIMAL(38,8)) AS net,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      AS DOUBLE), 2) AS gross,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l_discount AS DECIMAL(18,6)))
+                      AS DOUBLE), 4) AS net,
            count(*) AS n
     FROM lineitem
     GROUP BY l_returnflag
@@ -513,23 +513,29 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Exact money aggregation through DECIMAL — the fixed-point parity "
     "rule (SURVEY §2 F7): double sums are order-dependent and differ "
     "between engines/partitionings; DECIMAL addition is associative, so "
-    "the same bits come back at any parallelism. Map-side partial sums "
-    "then one 3-group shuffle.",
+    "the same bits come back at any parallelism. The FINAL projection is "
+    "cast to rounded DOUBLE so both engines hand the harness the same "
+    "primitive representation (high-scale Decimals canonicalize "
+    "differently per client: '…76730000' vs '…7673'). Map-side partial "
+    "sums then one 3-group shuffle.",
 )
 def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
-            .alias("gross"),
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (1 - F.col("l_discount")).cast("decimal(18,6)")
-            )
-            .cast("decimal(38,8)")
-            .alias("net"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double"),
+                2,
+            ).alias("gross"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (1 - F.col("l_discount")).cast("decimal(18,6)")
+                ).cast("double"),
+                4,
+            ).alias("net"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("l_returnflag")

@@ -55,7 +55,9 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     WHERE word <> ''
     GROUP BY word
+    ORDER BY word
     """,
+    sort=("word",),
     doc="Multi-value blob → explode → distinct inventory: the "
     "_clean_text_list + blob-dim pattern (main_etl_pipeline.py:129-135, "
     "473-482; F1/A3) as split+explode+groupBy.",
@@ -86,7 +88,9 @@ def vocab_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS bpe_ish_tokens,
            n_chars
     FROM documents
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Token counting: whitespace tokens + a BPE-ish regex tokenizer "
     "(alnum runs / single punct) — north-star text-analysis op, all "
     "JVM-side via split/regexp_extract_all.",
@@ -119,7 +123,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.6
                 THEN 1 ELSE 0 END AS passes_quality
     FROM feats
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Heuristic document quality scoring (length / avg token length / "
     "stopword ratio + pass flag) — the C4/Gopher-style filter re-expressed "
     "as pure Column algebra; north-star text op.",
@@ -152,7 +158,9 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'de' END AS predicted_lang,
            s_en, s_es, s_fr, s_de
     FROM scores
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Language ID via per-language marker-word scoring with a "
     "deterministic argmax (fixed tie order en>es>fr>de) — north-star text "
     "op; on real corpora the marker lists widen, the plan is identical.",
@@ -172,7 +180,9 @@ def lang_id_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(doc_id) AS BIGINT) AS canonical_doc_id
     FROM documents
     GROUP BY 1
+    ORDER BY fingerprint
     """,
+    sort=("fingerprint",),
     doc="Document fingerprinting: normalize (lower, collapse non-alnum) → "
     "md5 → group = exact-dup clusters with first-seen canonical "
     "(north-star dedup building block; md5 is identical across engines).",
@@ -209,7 +219,9 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(fp) AS min_fingerprint
     FROM wins WHERE pos <= n_grams - 3
     GROUP BY doc_id
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Winnowing document fingerprints (MOSS): 3-gram hashes → sliding "
     "window-of-4 minima → distinct selected fingerprints per doc. Window "
     "min is a rows-frame aggregate (partition-local, linear); guarantees "
@@ -242,7 +254,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY tfidf DESC, term) AS rn
       FROM scored
     ) WHERE rn <= 3 AND doc_id < 50
+    ORDER BY doc_id, term
     """,
+    sort=("doc_id", "term"),
     doc="TF-IDF scoring + top-3 terms per document: tf and df as two "
     "aggregations over one token explode, idf via a broadcast scalar, "
     "ranked window per doc. Ranking on the rounded score (4dp) with a term "
@@ -284,7 +298,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT labeled_lang, predicted_lang, count(*) AS n_docs
     FROM pred GROUP BY labeled_lang, predicted_lang
+    ORDER BY labeled_lang, predicted_lang
     """,
+    sort=("labeled_lang", "predicted_lang"),
     doc="Language-ID confusion matrix: the classifier-quality rollup of "
     "lang_id_scores (labeled vs predicted counts) — the eval op run after "
     "every marker-list change; a 16-cell aggregate, map-side partial.",
@@ -333,7 +349,9 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, round(sum(sc), 4) AS bm25_score,
            CAST(count(*) AS INT) AS n_terms_hit
     FROM scored GROUP BY doc_id
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="BM25 relevance scoring of a fixed query ('data model system') "
     "over the corpus (k1=1.2, b=0.75): corpus stats are a broadcast "
     "1-row aggregate, df a tiny per-term count, tf one shuffle on "

@@ -61,7 +61,9 @@ _BENCH_MAX_DOC = 25  # doc_id < 25 plays the held-out benchmark set
                '\d+\.\d\d', '[MONEY]', 'g'),
              '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g') AS redacted
     FROM blobs
+    ORDER BY c_custkey
     """,
+    sort=("c_custkey",),
     doc="PII detection + redaction over free text (configurable regex "
     "patterns, per-pattern counts, redacted copy) — the training-data "
     "hygiene pass; pure regexp Column expressions, linear scan, no "
@@ -118,7 +120,9 @@ def pii_scan_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents d
     LEFT JOIN ng USING (doc_id) LEFT JOIN hits USING (doc_id)
     WHERE d.doc_id >= {_BENCH_MAX_DOC}
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Benchmark-contamination (decontamination) check: distinct 5-gram "
     "overlap of every corpus doc against a held-out benchmark set. The "
     "benchmark gram set is broadcast — the corpus side never shuffles; "
@@ -160,7 +164,9 @@ def contamination_check_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE 0.0 END) >= 0.2
                 THEN 1 ELSE 0 END AS is_repetitive
     FROM base b LEFT JOIN tops USING (doc_id)
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="Within-document repetition profile (Gopher-style quality "
     "signals): distinct-token ratio via per-row array ops, most-frequent-"
     "bigram share via one explode → two-level map-side-combined "

@@ -37,7 +37,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
     GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
     """,
+    sort=("l_returnflag", "l_linestatus"),
     doc="TPC-H Q1 (pricing summary): the scan-bound wide aggregate — one "
     "pass, map-side partials, tiny result. The whole-stage-codegen "
     "throughput benchmark.",

@@ -34,7 +34,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
     GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
     """,
+    sort=("o_orderpriority",),
     doc="TPC-H Q4 shape (order priority checking): EXISTS decorrelates to "
     "a LEFT SEMI join — lineitem is pre-filtered and deduplicated by the "
     "semi join itself, never widening the orders side.",
@@ -63,7 +65,9 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.c_custkey
     ) t
     GROUP BY c_count
+    ORDER BY c_count
     """,
+    sort=("c_count",),
     doc="TPC-H Q13 (customer order distribution): LEFT OUTER join with a "
     "join-side predicate, double aggregation. The outer join preserves "
     "zero-order customers (count(o_orderkey) ignores the NULLs the outer "
@@ -130,7 +134,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND p.p_size IN (1, 5, 9, 13, 17, 21, 25)
       AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
     GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY p_brand, p_type, p_size
     """,
+    sort=("p_brand", "p_type", "p_size"),
     doc="TPC-H Q16 shape (supplier relationship count): NOT IN over a "
     "non-null key column is a broadcast LEFT ANTI join (the blacklist is "
     "tiny); then a distinct count per part group. lineitem stands in for "
@@ -242,7 +248,9 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHERE o.o_custkey = c.c_custkey
                         AND o.o_orderdate >= TIMESTAMP '1999-01-01')
     GROUP BY c.c_nationkey
+    ORDER BY c_nationkey
     """,
+    sort=("c_nationkey",),
     doc="TPC-H Q22 shape (dormant high-balance capital): scalar-subquery "
     "threshold (a 1-row broadcast) + NOT EXISTS as LEFT ANTI join against "
     "recent orders, then a small nation-level aggregate. 'Never ordered' "

@@ -66,7 +66,9 @@ from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
            CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id)
                      IS NULL THEN 1 ELSE 0 END AS is_current
     FROM collapsed
+    ORDER BY o_custkey, valid_from
     """,
+    sort=("o_custkey", "valid_from"),
     doc="SCD Type-2 dimension build: collapse consecutive runs of each "
     "customer's order-priority attribute into [valid_from, valid_to) "
     "validity intervals with a current-row flag. lag→change-flag→running "
@@ -131,6 +133,7 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END) AS n_clipped
     FROM orders o JOIN q USING (o_orderpriority)
     GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
     """,
     doc="Winsorized (p01/p99-clipped) per-group mean vs raw mean — robust "
     "aggregate for outlier-heavy measures. Thresholds are exact "
@@ -158,7 +161,7 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 1,
             ).otherwise(0)
         ).alias("n_clipped"),
-    )
+    ).orderBy("o_orderpriority")
 
 
 _TOK_SQL = """
@@ -194,7 +197,9 @@ _TOK_SQL = """
            round(avg(wt), 4) + 0.0 AS dsir_weight
     FROM toks t JOIN w USING (bucket)
     GROUP BY t.doc_id, t.lang
+    ORDER BY doc_id
     """,
+    sort=("doc_id",),
     doc="DSIR-style importance weights (Xie et al. 2023): hash word "
     "unigrams into 1024 buckets, estimate target (lang='en') vs corpus "
     "bucket distributions with add-one smoothing, score each document "

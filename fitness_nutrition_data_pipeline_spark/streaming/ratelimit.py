@@ -64,16 +64,21 @@ def _limiter(limit: int):
 
         (user_id,) = key
         n = state.get[0] if state.exists else 0
+        # A key's batch arrives as MULTIPLE Arrow chunks (~10k rows each);
+        # sorting per-chunk would make admission chunk-order dependent, so
+        # concatenate the whole group first and sort event_id ONCE. Also
+        # fully drains the iterator (an early break would leave it partially
+        # consumed). Memory-safe: we keep only the event_id column, and the
+        # admitted output is bounded by `limit`.
+        ids = pd.concat(
+            [pdf["event_id"] for pdf in pdfs], ignore_index=True
+        ).sort_values()
         out = []
-        for pdf in pdfs:
+        for eid in ids:
             if n >= limit:
                 break
-            # deterministic admission order within the batch
-            for eid in pdf["event_id"].sort_values():
-                if n >= limit:
-                    break
-                n += 1
-                out.append((user_id, int(eid), n))
+            n += 1
+            out.append((user_id, int(eid), n))
         state.update((n,))
         if out:
             yield pd.DataFrame(out, columns=["user_id", "event_id", "admitted_no"])

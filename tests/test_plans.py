@@ -268,6 +268,52 @@ def test_unigram_lm_no_global_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_deterministic_output_order(spark, sf_dir):
+    """Every registered query must return deterministically ORDERED rows:
+    the optimized plan's root (looking through order-preserving Project /
+    Filter / Limit nodes) is either a GLOBAL Sort or an ungrouped
+    Aggregate (≤1 row). Guards the registry's output-order contract — a
+    grouped aggregate or join without a final sort surfaces rows in
+    post-shuffle arrival order, which varies run to run (the r4
+    winsorized_price_stats hash-flake class of bug)."""
+    import re
+
+    passthrough = ("Project", "Filter", "GlobalLimit", "LocalLimit")
+
+    def root_kind(plan_str: str) -> str:
+        for ln in plan_str.splitlines():
+            m = re.match(r"^[:+\-\s]*([A-Za-z]+)", ln)
+            if not m:
+                continue
+            node = m.group(1)
+            if node in passthrough:
+                continue
+            if node == "Sort" and ln.rstrip().endswith("true"):
+                return "global-sort"
+            if node == "Aggregate":
+                # ungrouped prints `Aggregate [aggs]`; grouped prints
+                # `Aggregate [keys], [aggs]` — a top-level comma splits them
+                body, depth = ln.strip()[len("Aggregate "):], 0
+                for ch in body:
+                    if ch == "[":
+                        depth += 1
+                    elif ch == "]":
+                        depth -= 1
+                    elif ch == "," and depth == 0:
+                        return "grouped-aggregate"
+                return "scalar-aggregate"
+            return node
+        return "empty"
+
+    bad = []
+    for name, spec in SPECS.items():
+        plan = spec.builder(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        kind = root_kind(plan.toString())
+        if kind not in ("global-sort", "scalar-aggregate"):
+            bad.append(f"{name}: plan root is {kind}, not a global sort")
+    assert not bad, "unordered query outputs:\n" + "\n".join(bad)
+
+
 def test_calibration_joins_on_doc_grain(spark, sf_dir):
     """MinHash calibration ships one signature/array row per doc through
     the pair joins — shingle-grain rows must stay inside partial

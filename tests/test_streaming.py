@@ -221,10 +221,18 @@ def test_stream_rate_limiter(spark, tmp_path_factory):
         (i, datetime.datetime(2016, 4, 1, 10, 0, i % 60), i % 3, "click", 1.0)
         for i in range(20)
     ]
-    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(indir)
-    out = run_rate_limiter_once(spark, indir, "rl_out", limit=3)
+    # REVERSED ids across 4 unsorted files + a 2-row Arrow batch cap: each
+    # user's group reaches the limiter as many chunks with ids out of order,
+    # so this fails if admission sorts per-chunk instead of per-group
+    spark.createDataFrame(list(reversed(rows)), EVENT_SCHEMA).repartition(
+        4
+    ).write.mode("overwrite").parquet(indir)
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = run_rate_limiter_once(spark, indir, "rl_out", limit=3)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
     got = {}
     for r in out.collect():
         got.setdefault(r.user_id, []).append((r.event_id, r.admitted_no))
