@@ -147,12 +147,16 @@ def jaccard_on_adjacent_pairs(df: DataFrame, id_col: str, text_col: str) -> Data
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
     common = F.array_size(F.array_intersect("sh_a", "sh_b"))
     denom = F.array_size("sh_a") + F.array_size("sh_b") - common
-    jac = common.cast("double") / denom
     # A doc with <2 tokens has an EMPTY shingle set; a pair of two such
-    # docs makes the union 0 and 0/0 is engine-specific (Spark NULL vs
-    # DuckDB error/NaN). Drop those pairs — callers' oracles carry the
-    # identical WHERE union > 0 guard.
-    return pairs.filter(denom > 0).select("id_a", "id_b", jac.alias("jaccard"))
+    # docs makes the union 0 and jaccard 0/0. Spark 4 runs ANSI mode by
+    # default, where plain division-by-zero THROWS — try_divide yields
+    # NULL instead, matching DuckDB's x/0 → NULL (both pinned by
+    # tests/test_advice_regressions.py), so the degenerate pair emits an
+    # identical NULL row on both engines. try_divide, not a `denom > 0`
+    # filter: the predicate gets pushed below the projection and
+    # re-evaluates array_intersect per row (measured 1.6× on this query).
+    jac = F.try_divide(common.cast("double"), denom)
+    return pairs.select("id_a", "id_b", jac.alias("jaccard"))
 
 
 def jaccard_on_pairs(
@@ -177,7 +181,9 @@ def jaccard_on_pairs(
     a_sz = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     b_sz = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     common = F.coalesce(F.col("n_common"), F.lit(0))
-    jac = common.cast("double") / (F.col("n_a") + F.col("n_b") - common)
+    # try_divide: both-empty pair → NULL (not an ANSI divide-by-zero
+    # error), mirroring jaccard_on_adjacent_pairs
+    jac = F.try_divide(common.cast("double"), F.col("n_a") + F.col("n_b") - common)
     return (
         p.join(inter, ["id_a", "id_b"], "left")
         .join(a_sz, "id_a")

@@ -14,11 +14,13 @@ from pyspark.sql import functions as F
 
 def cosine(a: Column, b: Column) -> Column:
     """In-order fold cosine of two array<double> columns (deterministic
-    accumulation order — oracle-verifiable)."""
+    accumulation order — oracle-verifiable). try_divide: a zero vector
+    yields NULL (DuckDB's x/0 behavior) instead of an ANSI-mode
+    divide-by-zero error."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:

@@ -84,6 +84,15 @@ _CHECK_PRIORITY = (
     # ADVICE-touched (green r4, re-confirm after the robustness edits)
     "weekday_seasonality",
     "minhash_jaccard_calibration",
+    # round-5 additions: TPC-H completion (22/22) + first driver-visible
+    # multimodal entry (rows-only — mapInPandas has no SQL oracle)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "multimodal_format_profile",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",
@@ -135,6 +144,7 @@ _QUERY_MODULES = (
     "curation",
     "graph_ops",
     "llm_ops",
+    "multimodal_ops",
     "profiling",
     "relational",
     "relational2",
@@ -148,6 +158,7 @@ _QUERY_MODULES = (
     "tpch_like",
     "tpch_like2",
     "tpch_like3",
+    "tpch_like4",
     "warehouse_ops",
 )
 

@@ -62,7 +62,6 @@ def _calibration_oracle() -> str:
                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                AS jaccard
       FROM sets a JOIN sets b ON b.doc_id = a.doc_id + 1
-      WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
     )
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
            round(CAST(avg(abs(est_jaccard - jaccard)) AS DOUBLE), 6)

@@ -150,7 +150,6 @@ def dedup_exact_summary_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
                 THEN 1 ELSE 0 END AS is_near_dup
     FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-    WHERE len(list_distinct(list_concat(a.shingles, b.shingles))) > 0
     ORDER BY doc_id_a
     """,
     sort=("doc_id_a",),

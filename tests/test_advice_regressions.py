@@ -139,3 +139,28 @@ def test_load_table_pins_utc_on_non_utc_session(spark, sf_dir):
     ).fetchone()[0]
     got = df.select(F.min(F.to_date("ts")).cast("string")).first()[0]
     assert got == want
+
+
+def test_division_by_zero_null_on_both_engines(spark):
+    """Round-5 ADVICE: jaccard 0/0 on an empty-shingle pair. The operator
+    (operators/dedup.py::jaccard_on_adjacent_pairs) emits a NULL for the
+    degenerate pair instead of filtering it (a pushed-down denom>0
+    predicate re-evaluates array_intersect per row — measured 1.6× on
+    ngram_jaccard_pairs). That is only sound if both engines produce the
+    same NULL: Spark 4 runs ANSI mode where plain `/` by zero THROWS, so
+    the operator must use try_divide; DuckDB's plain division already
+    yields NULL. Pin both behaviors."""
+    import duckdb
+
+    spark_row = spark.sql(
+        "SELECT try_divide(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS a,"
+        "       try_divide(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS b"
+    ).collect()[0]
+    assert spark_row.a is None and spark_row.b is None
+    duck_row = duckdb.sql(
+        "SELECT CAST(0.0 AS DOUBLE)/CAST(0.0 AS DOUBLE) AS a,"
+        "       CAST(1.0 AS DOUBLE)/CAST(0.0 AS DOUBLE) AS b"
+    ).fetchone()
+    assert duck_row == (None, None)
+    # and the ANSI default that motivates try_divide really is on
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"

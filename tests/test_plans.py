@@ -268,6 +268,38 @@ def test_unigram_lm_no_global_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_q2_argmin_is_partitioned_window(spark, sf_dir):
+    """Q2's correlated MIN subquery must be a per-part window (partitioned,
+    parallel), with every dim side broadcast — no shuffle of the cost agg
+    for the dim joins and no global sort before the final output one."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "hashpartitioning(p_partkey" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q21_counts_not_self_joins(spark, sf_dir):
+    """Q21's EXISTS / NOT EXISTS pair is the aggregation formulation: the
+    lineitem-grain data feeds per-(order, supplier) and per-order COUNTS
+    — never the original's triple lineitem self-join. The static plan may
+    duplicate the shared per-pair subtree (AQE reuses the exchange at
+    runtime), so pin the shape instead: at most 2 lineitem scans, every
+    fact-fact join an equi-join, nothing nested-loop."""
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_metadata_stays_jvm_side(spark, sf_dir):
+    """The multimodal profile's sniff/size metadata must be pure Column
+    expressions (scan-side), with exactly one Arrow-batched python stage
+    (the histogram mapInPandas) in the plan."""
+    plan = plan_of(spark, sf_dir, "multimodal_format_profile", mode="simple")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
+
+
 def test_deterministic_output_order(spark, sf_dir):
     """Every registered query must return deterministically ORDERED rows:
     the optimized plan's root (looking through order-preserving Project /

@@ -49,6 +49,9 @@ SHOWCASE = [
     ("unigram_logprob_docs", "corpus LM scoring: explode → vocab agg → token join → doc rollup, zero windows"),
     ("minhash_jaccard_calibration", "sketch-vs-exact calibration: both sides reduce to doc grain before the pair joins"),
     ("decimal_money_totals", "exact DECIMAL money rollup: partial+final agg, order-independent bits at any parallelism"),
+    ("tpch_q2_min_cost_supplier", "correlated MIN as per-part argmin window; supplier snowflake broadcast"),
+    ("tpch_q21_waiting_suppliers", "EXISTS/NOT-EXISTS pair as per-order counts — one aggregation pyramid, no fact self-joins"),
+    ("multimodal_format_profile", "binary column: JVM magic-number sniff at scan, ONE Arrow-batched MapInPandas stage"),
 ]
 
 
