@@ -150,3 +150,151 @@ def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bpe_merge_candidates",
+    r"""
+    WITH words AS (
+      SELECT tok, count(*) AS wf
+      FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' AND length(tok) >= 2
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(tok, CAST(i AS INT), 2) AS pair, wf
+      FROM words, unnest(range(1, length(tok))) AS u(i)
+    )
+    SELECT pair, CAST(sum(wf) AS BIGINT) AS pair_count
+    FROM pairs
+    GROUP BY pair
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+    """,
+    doc="One BPE tokenizer-training round: adjacent-symbol pair frequencies "
+    "over the word-frequency table (classic BPE counts pairs within word "
+    "boundaries, weighted by how often the word occurs) — the top pair is "
+    "the next merge. The heavy explode runs over DISTINCT words (vocab "
+    "grain, not corpus grain: each word's pairs are generated once and "
+    "weighted by its count), so the pair stage is bounded by vocab size "
+    "× word length regardless of corpus size — the property that makes "
+    "distributed BPE training feasible at 100 TB. Iterating re-runs this "
+    "with merged symbols; the plan shape is identical each round.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _toks(spark, sf_dir)
+    words = (
+        toks.where(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("wf"))
+    )
+    # positions 1..len-1; Spark sequence() would run DESCENDING for
+    # len < 2, hence the length filter above (DuckDB range() is empty)
+    pairs = words.select(
+        F.posexplode(F.sequence(F.lit(1), F.length("tok") - 1)).alias("_p", "i"),
+        "tok",
+        "wf",
+    ).select(F.expr("substring(tok, i, 2)").alias("pair"), "wf")
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wf").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "lang_id_kappa",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang AS labeled,
+             CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS predicted
+      FROM (
+        SELECT doc_id, lang,
+               len(list_filter(t, x -> x IN ('the','a','of','and','is'))) AS s_en,
+               len(list_filter(t, x -> x IN ('el','la','de','que','y'))) AS s_es,
+               len(list_filter(t, x -> x IN ('le','la','de','et','un'))) AS s_fr,
+               len(list_filter(t, x -> x IN ('der','die','und','das','ein'))) AS s_de
+        FROM toks
+      )
+    ),
+    n AS (SELECT count(*) AS n FROM pred),
+    po AS (
+      SELECT CAST(sum(CASE WHEN labeled = predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / max(n.n) AS po
+      FROM pred, n
+    ),
+    pe AS (
+      SELECT sum(lm * pm) AS pe FROM (
+        SELECT CAST(count(*) AS DOUBLE) / max(n.n) AS lm, labeled AS cls
+        FROM pred, n GROUP BY labeled
+      ) l JOIN (
+        SELECT CAST(count(*) AS DOUBLE) / max(n.n) AS pm, predicted AS cls
+        FROM pred, n GROUP BY predicted
+      ) p USING (cls)
+    )
+    SELECT round(po.po, 6) AS observed_agreement,
+           round(pe.pe, 6) AS expected_agreement,
+           round((po.po - pe.pe) / (1 - pe.pe), 6) AS cohens_kappa
+    FROM po, pe
+    ORDER BY cohens_kappa
+    """,
+    sort=("cohens_kappa",),
+    doc="Cohen's kappa between the labeled and predicted language — the "
+    "chance-corrected agreement scalar on top of lang_confusion_matrix "
+    "(the standard acceptance metric for any labeling/classifier stage "
+    "in a data pipeline). Marginals are two tiny aggregates joined on "
+    "class; everything after the per-doc scoring pass is broadcast-"
+    "sized. The same query shape scores inter-annotator agreement when "
+    "two label columns come from different raters.",
+)
+def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.queries.text_ops import (
+        _LANG_MARKERS,
+        language_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents").withColumnRenamed("lang", "labeled")
+    pred = language_scores(d, "text", _LANG_MARKERS).select(
+        "labeled", F.col("predicted_lang").alias("predicted")
+    )
+    # n rides as a broadcast 1-row aggregate — no driver-side count()
+    n = pred.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    po = pred.agg(
+        F.sum(F.when(F.col("labeled") == F.col("predicted"), 1).otherwise(0))
+        .cast("double")
+        .alias("n_agree")
+    ).crossJoin(F.broadcast(n)).select(
+        (F.col("n_agree") / F.col("n")).alias("po")
+    )
+    lm = (
+        pred.groupBy(F.col("labeled").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("double").alias("lc"))
+        .crossJoin(F.broadcast(n))
+        .select("cls", (F.col("lc") / F.col("n")).alias("lm"))
+    )
+    pm = (
+        pred.groupBy(F.col("predicted").alias("cls"))
+        .agg(F.count(F.lit(1)).cast("double").alias("pc"))
+        .crossJoin(F.broadcast(n))
+        .select("cls", (F.col("pc") / F.col("n")).alias("pm"))
+    )
+    pe = lm.join(pm, "cls").agg(F.sum(F.col("lm") * F.col("pm")).alias("pe"))
+    return (
+        po.crossJoin(F.broadcast(pe))
+        .select(
+            F.round("po", 6).alias("observed_agreement"),
+            F.round("pe", 6).alias("expected_agreement"),
+            F.round((F.col("po") - F.col("pe")) / (1 - F.col("pe")), 6).alias(
+                "cohens_kappa"
+            ),
+        )
+    )

@@ -38,8 +38,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     WITH cost AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey
+             CAST((sp * 20000 + sq) // (2 * sq) AS DOUBLE) / 10000
+                 AS unit_cost
+      FROM (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) * 100
+                    AS BIGINT) AS sp,
+               CAST(sum(CAST(l_quantity AS DECIMAL(8,2))) * 100
+                    AS BIGINT) AS sq
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+      )
     ),
     sup AS (
       SELECT s.s_suppkey, s.s_name, round(s.s_acctbal, 2) AS s_acctbal, n.n_name
@@ -67,14 +75,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "price. The original's correlated MIN(ps_supplycost) subquery becomes "
     "a per-part argmin window over the (part, supplier) cost aggregate — "
     "partitioned by part, never a global sort. Supplier/nation/region "
-    "dims broadcast; unit cost is rounded to 4dp BEFORE the argmin so "
-    "both engines pick the identical winner.",
+    "dims broadcast. Unit cost is volume-weighted (sum price / sum qty), "
+    "and the 4dp rounding is EXACT INTEGER HALF-UP over cents-scaled "
+    "DECIMAL sums: floor((sp*2e4 + sq) / (2*sq)) / 1e4. Neither plain "
+    "double rounding (engines disagree when the quotient lands on a "
+    "half boundary — Spark rounds the shortest decimal repr, DuckDB the "
+    "binary value: 583.43/8 → 72.9288 vs 72.9287) nor DECIMAL division "
+    "(DuckDB computes it in double) is portable; integer arithmetic is, "
+    "and the argmin must see the identical cost to pick the identical "
+    "winner.",
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    cost = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "unit_cost"
+    cost = (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(14,2)")) * 100)
+            .cast("long")
+            .alias("sp"),
+            (F.sum(F.col("l_quantity").cast("decimal(8,2)")) * 100)
+            .cast("long")
+            .alias("sq"),
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            (
+                F.expr("CAST((sp * 20000 + sq) DIV (2 * sq) AS DOUBLE)") / 10000
+            ).alias("unit_cost"),
         )
     )
     s = _t(spark, sf_dir, "supplier")
@@ -162,19 +190,21 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n.n_name IN ('NATION_3', 'NATION_7')
       GROUP BY l.l_partkey
     ),
-    tot AS (SELECT sum(raw_value) AS total_value FROM v)
+    tot AS (SELECT sum(raw_value) AS total_value, count(*) AS n_parts FROM v)
     SELECT l_partkey, round(CAST(raw_value AS DOUBLE), 2) AS part_value
     FROM v, tot
     WHERE round(CAST(raw_value AS DOUBLE), 2)
-          > round(CAST(0.002 * total_value AS DOUBLE), 2)
+          > round(CAST(3.0 * total_value / n_parts AS DOUBLE), 2)
     ORDER BY part_value DESC, l_partkey
     """,
     sort=(),  # builder ends in the Q11-spec ORDER BY itself
     doc="TPC-H Q11 shape (important stock identification): per-part "
-    "shipped value for two nations' suppliers, keeping parts above a "
-    "fraction of the national total. The original's scalar HAVING "
-    "subquery is a 1-row aggregate broadcast back onto the per-part "
-    "values; both sides of the threshold compare are rounded to 2dp so "
+    "shipped value for two nations' suppliers, keeping parts above 3× "
+    "the MEAN part value. The original's scalar HAVING subquery is a "
+    "1-row aggregate broadcast back onto the per-part values; the "
+    "threshold is relative (original's fixed 0.0001 fraction empties at "
+    "growing part counts — mean-relative stays selective-but-nonempty "
+    "at any scale factor), and both compare sides are rounded to 2dp so "
     "no boundary part flips on float drift. One shuffle on l_partkey, "
     "supplier/nation broadcast.",
 )
@@ -190,11 +220,15 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
     )
-    tot = v.agg(F.sum("raw_value").alias("total_value"))
+    tot = v.agg(
+        F.sum("raw_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         v.crossJoin(F.broadcast(tot))
         .where(
-            F.round(F.col("raw_value"), 2) > F.round(0.002 * F.col("total_value"), 2)
+            F.round(F.col("raw_value"), 2)
+            > F.round(3.0 * F.col("total_value") / F.col("n_parts"), 2)
         )
         .select("l_partkey", F.round("raw_value", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")

@@ -340,6 +340,12 @@ def test_deterministic_output_order(spark, sf_dir):
     bad = []
     for name, spec in SPECS.items():
         plan = spec.builder(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+        # ≤1-row plans are trivially ordered — Catalyst's EliminateSorts
+        # even strips an explicit orderBy from them (e.g. a join of two
+        # scalar aggregates), so check the row bound first
+        max_rows = plan.maxRows()
+        if max_rows.isDefined() and max_rows.get() <= 1:
+            continue
         kind = root_kind(plan.toString())
         if kind not in ("global-sort", "scalar-aggregate"):
             bad.append(f"{name}: plan root is {kind}, not a global sort")
