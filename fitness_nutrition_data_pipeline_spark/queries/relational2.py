@@ -283,20 +283,34 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "monthly_customer_spend",
     """
-    SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
-           round(avg(o_totalprice), 2) AS avg_order
-    FROM orders
-    GROUP BY o_custkey, date_trunc('month', o_orderdate)
+    SELECT o_custkey, month, total_spend,
+           CAST((cents * 2 + n) // (2 * n) AS DOUBLE) / 100 AS avg_order
+    FROM (
+      SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS total_spend,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+                 AS cents,
+             count(*) AS n
+      FROM orders
+      GROUP BY 1, 2
+    )
     ORDER BY total_spend DESC, o_custkey, month
     LIMIT 10
     """,
     doc="Monthly per-user aggregates + top-k — the 'monthly AVG calories/"
     "protein per user LIMIT 10' smoke test (validation.sql:375-385) on the "
-    "synthetic schema.",
+    "synthetic schema. avg_order uses exact integer half-up over cent "
+    "sums: prices are exact 2-decimal, so small groups land averages "
+    "exactly on half-cent boundaries (5 such groups exist at sf0.1), "
+    "where Spark (shortest-repr HALF_UP) and DuckDB (binary value) round "
+    "double averages in opposite directions. total_spend stays a plain "
+    "rounded sum — a 2dp sum can never sit on a sub-cent boundary.",
 )
 def monthly_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
+    cents = (F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100).cast("long")
+    n = F.count(F.lit(1))
     return (
         o.groupBy(
             "o_custkey",
@@ -304,7 +318,16 @@ def monthly_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_order"),
+            cents.alias("_cents"),
+            n.alias("_n"),
+        )
+        .select(
+            "o_custkey",
+            "month",
+            "total_spend",
+            (
+                F.expr("CAST((_cents * 2 + _n) DIV (2 * _n) AS DOUBLE)") / 100
+            ).alias("avg_order"),
         )
         .orderBy(F.desc("total_spend"), "o_custkey", "month")
         .limit(10)

@@ -164,3 +164,40 @@ def test_division_by_zero_null_on_both_engines(spark):
     assert duck_row == (None, None)
     # and the ANSI default that motivates try_divide really is on
     assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+
+
+def test_half_boundary_rounding_diverges_and_integer_formula_agrees(spark):
+    """Round-5 finding (caught by cross-SF verification of tpch_q2): when a
+    mean of exact 2-decimal money lands exactly on a half boundary
+    (e.g. avg(10.01, 10.02) = 10.015), Spark and DuckDB round the DOUBLE
+    in opposite directions — Spark rounds the shortest decimal repr
+    half-up (10.02), DuckDB rounds the binary value (10.0149999… →
+    10.01). Queries must therefore round such averages with exact integer
+    half-up over cent sums (floor((2*cents + n) / (2*n))), the pattern
+    used by tpch_q2_min_cost_supplier and monthly_customer_spend. Pin the
+    divergence (so we notice if an engine changes) and the formula."""
+    import duckdb
+
+    # 583.43/8 = 72.92875 exactly; its nearest double is BELOW the
+    # boundary (72.928749999…), so DuckDB (binary value) rounds down
+    # while Spark (shortest decimal repr "72.92875", HALF_UP) rounds up.
+    # (Which side the binary value falls on varies per literal — 10.015's
+    # double is above its boundary and both engines round it up — which
+    # is exactly why no double-rounding convention can be portable.)
+    s = spark.sql(
+        "SELECT round(CAST(583.43 AS DOUBLE) / 8, 4) AS r"
+    ).collect()[0].r
+    d = duckdb.sql("SELECT round(CAST(583.43 AS DOUBLE) / 8, 4) AS r").fetchone()[0]
+    assert s == 72.9288 and d == 72.9287  # the trap: engines disagree
+
+    # the exact integer formula agrees with decimal HALF_UP on both
+    # engines: sp/sq in cents-scaled units, result in 1e4ths (4dp)
+    sp, sq = 58343, 800  # 583.43 and 8.00, cents-scaled
+    expect = 729288  # 72.9288 in 1e4ths, half-up
+    s2 = spark.sql(
+        f"SELECT (CAST({sp} AS BIGINT) * 20000 + {sq}) DIV (2 * {sq}) AS c"
+    ).collect()[0].c
+    d2 = duckdb.sql(
+        f"SELECT (CAST({sp} AS BIGINT) * 20000 + {sq}) // (2 * {sq}) AS c"
+    ).fetchone()[0]
+    assert s2 == expect and d2 == expect
