@@ -58,9 +58,26 @@ def assign_sequential_ids(
     pass ``num_partitions`` explicitly and skip the sizing pass entirely
     (one less materialization — the right call inside a tight loop or at
     known-huge scale).
+
+    EXPLICIT ``num_partitions=1`` is the fully LAZY path: a known-tiny
+    input gets a single-task global row_number with NO checkpoint and no
+    driver-side jobs at declaration time. Correct only when
+    ``order_cols`` is a UNIQUE key of the input (no ties): with ties,
+    tie order would be shuffle-arrival order, and two downstream
+    consumers could see different key assignments. Every pipeline dim /
+    resolution call site orders by a unique key and passes 1; the
+    warehouse transform stage declares ~12 key assignments without
+    running a single job, and their work overlaps inside the parallel
+    load writes instead.
     """
     spark = df.sparkSession
     order = [F.col(c) for c in order_cols]
+    if num_partitions == 1:
+        w = Window.orderBy(*order)
+        return df.withColumn(
+            key_col,
+            (F.row_number().over(w) - 1 + F.lit(start)).cast("long"),
+        )
     if num_partitions is None:
         # Pin first so the sizing count and every later job see identical
         # rows; range boundaries sampled from pinned input are then

@@ -176,16 +176,35 @@ def resolve_users(
 
     pieces: list[DataFrame] = []
     mappings: list[DataFrame] = []
-    next_start = 1
+    # Key ranges chain across sources (mendeley 1..Nm, gym Nm+1.., fitbit
+    # after both). The offsets ride as broadcast 1-row COUNT aggregates
+    # added to each later source's local 1..N keys — column arithmetic,
+    # not driver-side .count() calls, so declaring the resolution plan
+    # runs ZERO jobs and the whole staging build materializes exactly
+    # once, inside whichever downstream action runs first.
+    offset_cols: list[DataFrame] = []
+
+    def _offset(df: DataFrame) -> DataFrame:
+        """Shift df.UserKey by the total count of all prior sources."""
+        for i, cnt in enumerate(offset_cols):
+            df = df.crossJoin(F.broadcast(cnt)).withColumn(
+                "UserKey", F.col("UserKey") + F.col(f"_prior_n{i}")
+            ).drop(f"_prior_n{i}")
+        return df
 
     m_rows = _prep_mendeley(mendeley, cfg) if mendeley is not None else None
     if m_rows is not None:
         m_rows = m_rows.cache()
+        # reference-scale staging is a handful of single-machine CSVs —
+        # num_partitions=1 takes the fully lazy single-partition path
+        # (no sizing pass, no checkpoint, no offsets collect); a
+        # billion-profile deployment passes a real partition count here
         m_profiles = assign_sequential_ids(
-            _first_seen(m_rows), ["_row_idx"], "UserKey", start=next_start
+            _first_seen(m_rows), ["_row_idx"], "UserKey", num_partitions=1
         ).cache()
-        n_mendeley = m_profiles.count()
-        next_start += n_mendeley
+        offset_cols.append(
+            m_profiles.agg(F.count(F.lit(1)).alias("_prior_n0"))
+        )
         pieces.append(m_profiles.select(*PROFILE_COLUMNS))
         m_keys = m_profiles.select("profile_hash", "UserKey")
         mappings.append(
@@ -213,11 +232,15 @@ def resolve_users(
             g_matched = None
             g_unmatched = g_rows
 
-        g_profiles = assign_sequential_ids(
-            _first_seen(g_unmatched), ["_row_idx"], "UserKey", start=next_start
+        g_profiles = _offset(
+            assign_sequential_ids(
+                _first_seen(g_unmatched), ["_row_idx"], "UserKey",
+                num_partitions=1,
+            )
         ).cache()
-        n_gym = g_profiles.count()
-        next_start += n_gym
+        offset_cols.append(
+            g_profiles.agg(F.count(F.lit(1)).alias(f"_prior_n{len(offset_cols)}"))
+        )
         pieces.append(g_profiles.select(*PROFILE_COLUMNS))
 
         g_keys = g_profiles.select("profile_hash", "UserKey")
@@ -241,7 +264,9 @@ def resolve_users(
         # reference iterates a Python set (:296), which is order-unstable;
         # we pin sorted order and document the deviation.
         fb = fitbit_ids.select(F.col("Id").cast("long").alias("fitbit_id")).distinct()
-        fb_profiles = assign_sequential_ids(fb, ["fitbit_id"], "UserKey", start=next_start)
+        fb_profiles = _offset(
+            assign_sequential_ids(fb, ["fitbit_id"], "UserKey", num_partitions=1)
+        )
         shell = fb_profiles.select(
             "UserKey",
             F.lit("fitbit").alias("Source"),

@@ -74,6 +74,13 @@ class FitnessWarehousePipeline:
             self.spark, self.sources, self.staging, self.mapping, dims, self.cfg
         )
         self.warehouse = {**dims, **bridges, **facts}
+        # Populate the two shared caches NOW, in one job each: load() runs
+        # the 18 table writes on a thread pool, and concurrent jobs racing
+        # a cold cache each recompute the whole resolution lineage instead
+        # of waiting for it (Spark block caching has no cross-job
+        # synchronization). Everything else stays lazy.
+        self.staging.count()
+        self.mapping.count()
         return self.warehouse
 
     def load(self, *, partition_facts: bool = False) -> dict[str, str]:

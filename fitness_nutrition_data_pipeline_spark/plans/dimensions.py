@@ -79,7 +79,12 @@ def build_value_dim(
         .groupBy(F.col(source_col).alias(name_col))
         .agg(F.min("UserKey").alias("_first_seen"))
     )
-    return assign_sequential_ids(firsts, ["_first_seen"], key_col).select(key_col, name_col)
+    # value dims are bounded by the column's DOMAIN (dozens of values):
+    # num_partitions=1 takes the single-partition fast path — one
+    # pinning checkpoint, no sizing count, no offsets collect/join
+    return assign_sequential_ids(
+        firsts, ["_first_seen"], key_col, num_partitions=1
+    ).select(key_col, name_col)
 
 
 def build_blob_dim(
@@ -98,9 +103,9 @@ def build_blob_dim(
         .select("UserKey", F.explode(clean_text_list(blob_col)).alias(name_col))
     )
     firsts = items.groupBy(name_col).agg(F.min("UserKey").alias("_first_seen"))
-    return assign_sequential_ids(firsts, ["_first_seen", name_col], key_col).select(
-        key_col, name_col
-    )
+    return assign_sequential_ids(
+        firsts, ["_first_seen", name_col], key_col, num_partitions=1
+    ).select(key_col, name_col)
 
 
 def build_dim_food_item(nutrition: DataFrame, cfg: PipelineConfig | None = None) -> DataFrame:
@@ -133,9 +138,10 @@ def build_dim_food_item(nutrition: DataFrame, cfg: PipelineConfig | None = None)
     base = df.select("_row_idx", *available).where(F.col("FoodName").isNotNull())
     firsts = base.groupBy("FoodName").agg(F.min("_row_idx").alias("_row_idx"))
     deduped = base.join(firsts, ["FoodName", "_row_idx"])
-    return assign_sequential_ids(deduped, ["_row_idx"], "FoodKey").select(
-        "FoodKey", *available
-    )
+    # one nutrition sheet (thousands of rows) → single-partition keys
+    return assign_sequential_ids(
+        deduped, ["_row_idx"], "FoodKey", num_partitions=1
+    ).select("FoodKey", *available)
 
 
 def build_static_dims(spark: SparkSession) -> dict[str, DataFrame]:
