@@ -103,11 +103,12 @@ def language_scores(
     return out.withColumn("predicted_lang", predicted)
 
 
-def winnowing_fingerprint_summary(
+def winnowing_fingerprint_set(
     df: DataFrame, id_col: str, text_col: str, *, gram: int = 3, window: int = 4
 ) -> DataFrame:
     """Winnowing (MOSS) fingerprint selection: gram-hash sequence →
-    rows-frame window minima → distinct fingerprints per document."""
+    rows-frame window minima → DISTINCT (id, fp) rows. The shared core
+    of the per-doc summary and the cross-document matcher."""
     from pyspark.sql import Window as W
 
     grams = word_shingles(text_col, gram, distinct=False)
@@ -120,11 +121,60 @@ def winnowing_fingerprint_summary(
     wins = rows.withColumn("fp", F.min("h").over(w)).join(counts, id_col)
     return (
         wins.where(F.col("pos") <= F.col("_max_pos") - (window - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnowing_fingerprint_summary(
+    df: DataFrame, id_col: str, text_col: str, *, gram: int = 3, window: int = 4
+) -> DataFrame:
+    """Per-document rollup of the winnowing fingerprint set."""
+    return (
+        winnowing_fingerprint_set(df, id_col, text_col, gram=gram, window=window)
         .groupBy(id_col)
         .agg(
-            F.countDistinct("fp").alias("n_fingerprints"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
             F.min("fp").alias("min_fingerprint"),
         )
+    )
+
+
+def winnowing_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    gram: int = 3,
+    window: int = 4,
+    max_postings: int = 10,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Cross-document winnowing matches (the MOSS detection step): pairs
+    of documents sharing ≥ ``min_shared`` selected fingerprints.
+
+    The pair space is generated WITHIN fingerprint posting lists, and
+    lists longer than ``max_postings`` are dropped first (boilerplate
+    "stop fingerprints" — shared by everything, discriminative of
+    nothing), so the quadratic term is bounded by max_postings² per
+    fingerprint, never corpus². One shuffle on fp for the posting lists,
+    one on the pair key for the shared counts."""
+    fps = winnowing_fingerprint_set(df, id_col, text_col, gram=gram, window=window)
+    sizes = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where((F.col("_nd") >= 2) & (F.col("_nd") <= max_postings))
+        .select("fp")
+    )
+    pruned = fps.join(sizes, "fp")
+    a = pruned.select(F.col("fp"), F.col(id_col).alias("id_a"))
+    b = pruned.select(F.col("fp"), F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_b") > F.col("id_a"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

@@ -22,6 +22,7 @@ from fitness_nutrition_data_pipeline_spark.operators.text import (
     tfidf_scores,
     token_counts,
     winnowing_fingerprint_summary,
+    winnowing_match_pairs,
 )
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
@@ -230,6 +231,61 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprint_summary(
         _docs(spark, sf_dir), "doc_id", "text", gram=3, window=4
+    )
+
+
+@register(
+    "winnowing_cross_matches",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos,
+             substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 8) AS h,
+             len(t) - 2 AS n_grams
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             pos, n_grams
+      FROM grams
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE pos <= n_grams - 3
+    ),
+    keep AS (
+      SELECT fp FROM sel GROUP BY fp HAVING count(*) BETWEEN 2 AND 10
+    ),
+    pruned AS (SELECT s.doc_id, s.fp FROM sel s JOIN keep USING (fp))
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           count(*) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND b.doc_id > a.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    sort=("doc_id_a", "doc_id_b"),
+    doc="Cross-document winnowing matches — the MOSS detection step on "
+    "top of winnowing_fingerprints: document pairs sharing >= 2 selected "
+    "fingerprints (a shared run of >= window+gram-1 tokens GUARANTEES a "
+    "shared fingerprint, so real clones can't hide). Pairs are generated "
+    "inside fingerprint posting lists with stop-fingerprints (> 10 docs) "
+    "dropped first, bounding the quadratic term per fingerprint — the "
+    "substring-level near-dup detector that n-gram Jaccard's bag-of-"
+    "shingles view misses.",
+)
+def winnowing_cross_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = winnowing_match_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        gram=3, window=4, max_postings=10, min_shared=2,
+    )
+    return pairs.select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        "n_shared",
     )
 
 
