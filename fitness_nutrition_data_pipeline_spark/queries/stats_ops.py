@@ -540,3 +540,104 @@ def decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "source_length_drift",
+    """
+    WITH d AS (SELECT source, n_chars FROM documents),
+    ext AS (SELECT min(n_chars) AS lo, greatest(max(n_chars) - min(n_chars), 1) AS rng
+            FROM d),
+    binned AS (
+      SELECT source,
+             least(CAST(floor((n_chars - lo) / CAST(rng AS DOUBLE) * 100) AS INT),
+                   99) AS bin
+      FROM d, ext
+    ),
+    counts AS (SELECT source, bin, count(*) AS cnt FROM binned GROUP BY 1, 2),
+    bin_tot AS (SELECT bin, sum(cnt) AS tot FROM counts GROUP BY 1),
+    grid AS (
+      SELECT s.source, CAST(b.bin AS INT) AS bin
+      FROM (SELECT DISTINCT source FROM d) s, range(0, 100) b(bin)
+    ),
+    filled AS (
+      SELECT g.source, g.bin,
+             coalesce(c.cnt, 0) AS cnt,
+             coalesce(t.tot, 0) - coalesce(c.cnt, 0) AS rest
+      FROM grid g
+      LEFT JOIN counts c ON c.source = g.source AND c.bin = g.bin
+      LEFT JOIN bin_tot t ON t.bin = g.bin
+    ),
+    cdf AS (
+      SELECT source,
+             sum(cnt) OVER w / CAST(sum(cnt) OVER p AS DOUBLE) AS fs,
+             sum(rest) OVER w / CAST(sum(rest) OVER p AS DOUBLE) AS fr,
+             sum(cnt) OVER p AS n_docs
+      FROM filled
+      WINDOW w AS (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING),
+             p AS (PARTITION BY source)
+    )
+    SELECT source, CAST(max(n_docs) AS BIGINT) AS n_docs,
+           round(CAST(max(abs(fs - fr)) AS DOUBLE), 6) AS ks_vs_rest
+    FROM cdf GROUP BY source ORDER BY source
+    """,
+    sort=("source",),
+    doc="Per-source distribution-drift monitor: one-vs-rest binned KS "
+    "distance of each source's document-length distribution against the "
+    "remainder of the corpus — the standing dashboard that flags a "
+    "crawler or supplier whose content suddenly changes shape. Same "
+    "100-bin ECDF machinery as ks_binned_click_view, vectorized across "
+    "ALL sources in one pass: per-(source,bin) counts (one shuffle at "
+    "source×bin grain), a dense sources×100 grid so missing bins still "
+    "accumulate, and cumulative windows that run over the grid (bounded "
+    "rows), never over data.",
+)
+def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    ext = d.agg(
+        F.min("n_chars").alias("lo"),
+        F.greatest(F.max("n_chars") - F.min("n_chars"), F.lit(1)).alias("rng"),
+    )
+    bin_expr = F.least(
+        F.floor(
+            (F.col("n_chars") - F.col("lo")) / F.col("rng").cast("double") * 100
+        ).cast("int"),
+        F.lit(99),
+    )
+    counts = (
+        d.crossJoin(F.broadcast(ext))
+        .select("source", bin_expr.alias("bin"))
+        .groupBy("source", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bin_tot = counts.groupBy("bin").agg(F.sum("cnt").alias("tot"))
+    sources = d.select("source").distinct()
+    bins = spark.range(100).select(F.col("id").cast("int").alias("bin"))
+    grid = sources.crossJoin(F.broadcast(bins))
+    filled = (
+        grid.join(counts, ["source", "bin"], "left")
+        .join(F.broadcast(bin_tot), "bin", "left")
+        .select(
+            "source",
+            "bin",
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+            (F.coalesce("tot", F.lit(0)) - F.coalesce("cnt", F.lit(0))).alias("rest"),
+        )
+    )
+    # grid-bounded windows: 100 rows per source, never data grain
+    wc = W.partitionBy("source").orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    wp = W.partitionBy("source")
+    cdf = filled.select(
+        "source",
+        (F.sum("cnt").over(wc) / F.sum("cnt").over(wp).cast("double")).alias("fs"),
+        (F.sum("rest").over(wc) / F.sum("rest").over(wp).cast("double")).alias("fr"),
+        F.sum("cnt").over(wp).alias("n_docs"),
+    )
+    return (
+        cdf.groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.round(F.max(F.abs(F.col("fs") - F.col("fr"))), 6).alias("ks_vs_rest"),
+        )
+        .orderBy("source")
+    )
