@@ -307,3 +307,150 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "strict_funnel_3step",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+      FROM events GROUP BY user_id
+    ),
+    step2 AS (
+      SELECT e.user_id,
+             min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN per_user p ON p.user_id = e.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > p.t_view
+      GROUP BY e.user_id
+    ),
+    step3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN step2 s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST(sum(CASE WHEN p.t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_viewed,
+           CAST(count(s2.user_id) AS BIGINT) AS n_clicked_after_view,
+           CAST(count(s3.user_id) AS BIGINT) AS n_purchased_after_click,
+           round(CAST(count(s3.user_id) AS DOUBLE)
+                 / sum(CASE WHEN p.t_view IS NOT NULL THEN 1 ELSE 0 END), 6)
+               AS full_funnel_rate
+    FROM per_user p
+    LEFT JOIN step2 s2 ON s2.user_id = p.user_id
+    LEFT JOIN step3 s3 ON s3.user_id = p.user_id
+    """,
+    doc="Strict ORDERED 3-step funnel (view → later click → later "
+    "purchase): each step's anchor is the FIRST qualifying event after "
+    "the previous step's anchor, so out-of-order events never count "
+    "(funnel_view_purchase only tests unordered existence). Computed as "
+    "chained per-user min-aggregations — two keyed joins on user_id, no "
+    "window over the event stream, no self-join at event grain; the "
+    "conversion denominator stays the step-1 cohort.",
+)
+def strict_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view"),
+    )
+    step2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(per_user.where(F.col("t_view").isNotNull()), "user_id")
+        .where(F.col("t") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    step3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(step2, "user_id")
+        .where(F.col("t") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+    return (
+        per_user.join(step2.select("user_id", F.lit(1).alias("_s2")), "user_id", "left")
+        .join(step3.select("user_id", F.lit(1).alias("_s3")), "user_id", "left")
+        .agg(
+            F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias(
+                "n_viewed"
+            ),
+            F.count("_s2").alias("n_clicked_after_view"),
+            F.count("_s3").alias("n_purchased_after_click"),
+            F.round(
+                F.count("_s3").cast("double")
+                / F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)),
+                6,
+            ).alias("full_funnel_rate"),
+        )
+    )
+
+
+@register(
+    "event_type_cooccurrence",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (SELECT count(DISTINCT user_id) AS n FROM events),
+    singles AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_both,
+           round(CAST(count(*) AS DOUBLE) / max(sa.n_t), 6) AS conf_a_to_b,
+           round(CAST(count(*) AS DOUBLE) * max(u.n)
+                 / (CAST(max(sa.n_t) AS DOUBLE) * max(sb.n_t)), 6) AS lift
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND b.event_type > a.event_type
+    JOIN singles sa ON sa.event_type = a.event_type
+    JOIN singles sb ON sb.event_type = b.event_type
+    CROSS JOIN n_users u
+    GROUP BY a.event_type, b.event_type
+    ORDER BY type_a, type_b
+    """,
+    sort=("type_a", "type_b"),
+    doc="Event-type co-occurrence (market-basket pairs at user grain): "
+    "support, confidence, and lift for every unordered type pair — the "
+    "association-mining primitive behind 'users who X also Y'. The pair "
+    "join runs on DISTINCT (user, type) rows, so its width is bounded by "
+    "|types| per user (≤5 here) — |types|²/2 pairs per user, never "
+    "event-grain quadratic; singles and the user count broadcast back "
+    "onto a |types|²-bounded aggregate.",
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = a.join(b, "user_id").where(F.col("type_b") > F.col("type_a"))
+    sa = singles.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    sb = singles.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("type_a", "type_b")
+    )
