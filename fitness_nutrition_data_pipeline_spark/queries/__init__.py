@@ -93,6 +93,13 @@ _CHECK_PRIORITY = (
     "tpch_q20_dominant_suppliers",
     "tpch_q21_waiting_suppliers",
     "multimodal_format_profile",
+    # round-5 additions wave 2: tokenizer/eval/detection/drift/behavior
+    "bpe_merge_candidates",
+    "lang_id_kappa",
+    "winnowing_cross_matches",
+    "source_length_drift",
+    "strict_funnel_3step",
+    "event_type_cooccurrence",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",
