@@ -100,6 +100,10 @@ _CHECK_PRIORITY = (
     "source_length_drift",
     "strict_funnel_3step",
     "event_type_cooccurrence",
+    # round-5 additions wave 3: scale diagnostics + sketch-verify + MMR
+    "join_key_skew_profile",
+    "heavy_hitters_verified",
+    "mmr_diversified_topk",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -995,3 +995,122 @@ def pca_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("dim"),
         F.round(F.col("sd") / F.col("n"), 6).alias("v1_comp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified selection
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unrolled k-stage MMR: stage i picks argmax of
+    0.7*rel - 0.3*max_sim_to_selected over the remaining candidates.
+    (Literal 0.7/0.3 strings on both engines — ``1 - 0.7`` in Python
+    would print 0.30000000000000004.)"""
+    cos = _COS_SQL
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    q AS (SELECT emb AS q_emb FROM e WHERE vec_id = 0),
+    cand AS (
+      SELECT e.vec_id, e.emb,
+             round({cos.format(a='q.q_emb', b='e.emb')}, 6) AS rel
+      FROM e CROSS JOIN q WHERE e.vec_id >= 1
+    ),
+    s1 AS (
+      SELECT vec_id, emb, rel, 0.7 * rel AS score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    for i in range(2, k + 1):
+        prev = ", ".join(f"s{j}" for j in range(1, i))
+        notin = ", ".join(f"s{j}.vec_id" for j in range(1, i))
+        sims = [
+            f"round({cos.format(a='c.emb', b=f's{j}.emb')}, 6)"
+            for j in range(1, i)
+        ]
+        div = sims[0] if len(sims) == 1 else "greatest(" + ", ".join(sims) + ")"
+        sql += f""",
+    s{i} AS (
+      SELECT c.vec_id, c.emb, c.rel,
+             0.7 * c.rel - 0.3 * {div} AS score
+      FROM cand c, {prev}
+      WHERE c.vec_id NOT IN ({notin})
+      ORDER BY score DESC, c.vec_id LIMIT 1
+    )"""
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS sel_rank, vec_id, rel, round(score, 6) AS mmr_score"
+        f" FROM s{i}"
+        for i in range(1, k + 1)
+    )
+    return sql + f"\n    {union}\n    ORDER BY sel_rank"
+
+
+@register(
+    "mmr_diversified_topk",
+    _mmr_oracle(),
+    sort=("sel_rank",),
+    doc="Maximal-marginal-relevance selection (k=5, lambda=0.7) against "
+    "query vector vec_id 0: greedily pick the candidate maximizing "
+    "0.7*rel - 0.3*max_cos_to_already_selected — the diversity-aware "
+    "variant of top-k used to de-redundify retrieval results and "
+    "curriculum batches. Execution is k TakeOrdered(1) passes over a "
+    "cached relevance-scored corpus: the selected set (<= k vectors) "
+    "rides into each pass as broadcast literals, the corpus never "
+    "re-shuffles, and no pass sorts globally. At 100 TB this is k cheap "
+    "scans — the only way to do exact MMR without materializing an "
+    "all-pairs similarity matrix; the oracle is the same greedy unrolled "
+    "into k SQL stages.",
+)
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import cosine
+
+    e = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q_emb = e.where(F.col("vec_id") == 0).select("emb").head()[0]
+    q_lit = F.array(*[F.lit(float(x)) for x in q_emb])
+    cand = (
+        e.where(F.col("vec_id") >= 1)
+        .select(
+            "vec_id", "emb", F.round(cosine(F.col("emb"), q_lit), 6).alias("rel")
+        )
+        .persist()
+    )
+    selected: list = []
+    try:
+        for _ in range(5):
+            if selected:
+                sims = [
+                    F.round(
+                        cosine(
+                            F.col("emb"),
+                            F.array(*[F.lit(float(x)) for x in s["emb"]]),
+                        ),
+                        6,
+                    )
+                    for s in selected
+                ]
+                div = sims[0] if len(sims) == 1 else F.greatest(*sims)
+                score = F.lit(0.7) * F.col("rel") - F.lit(0.3) * div
+                pool = cand.where(
+                    ~F.col("vec_id").isin([s["vec_id"] for s in selected])
+                )
+            else:
+                score = F.lit(0.7) * F.col("rel")
+                pool = cand
+            best = (
+                pool.select("vec_id", "emb", "rel", score.alias("score"))
+                .orderBy(F.desc("score"), "vec_id")
+                .limit(1)
+                .head()
+            )
+            selected.append(best)
+    finally:
+        cand.unpersist()
+    rows = [
+        (i + 1, s["vec_id"], s["rel"], s["score"]) for i, s in enumerate(selected)
+    ]
+    out = spark.createDataFrame(
+        rows, "sel_rank int, vec_id bigint, rel double, score double"
+    )
+    return out.select(
+        "sel_rank", "vec_id", "rel", F.round("score", 6).alias("mmr_score")
+    )

@@ -145,3 +145,59 @@ def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("window_revenue"),
         )
     )
+
+
+@register(
+    "join_key_skew_profile",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    stats AS (
+      SELECT count(*) AS n_keys,
+             sum(n_rows) AS total_rows,
+             CAST(max(n_rows) AS DOUBLE) /
+               (CAST(sum(n_rows) AS DOUBLE) / count(*)) AS skew
+      FROM per_key
+    )
+    SELECT p.user_id, p.n_rows,
+           round(CAST(p.n_rows AS DOUBLE) / s.total_rows, 6) AS row_share,
+           round(s.skew, 4) AS skew_factor,
+           s.n_keys
+    FROM per_key p CROSS JOIN stats s
+    ORDER BY p.n_rows DESC, p.user_id
+    LIMIT 10
+    """,
+    doc="Join-key skew diagnostic — the pre-flight check before any big "
+    "shuffle join at 100 TB: per-key row counts (one map-side-combined "
+    "shuffle), a 1-row global summary (broadcast back onto the top-k "
+    "rows), and skew_factor = max/mean key frequency. skew_factor near "
+    "1 clears the join for plain hash partitioning; a large value routes "
+    "the named heavy keys to `salted_join` / AQE skew handling. Top-10 "
+    "via TakeOrderedAndProject — no global sort of the key table.",
+)
+def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n_rows").alias("total_rows"),
+        (
+            F.max("n_rows").cast("double")
+            / (F.sum("n_rows").cast("double") / F.count(F.lit(1)))
+        ).alias("skew"),
+    )
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total_rows"), 6).alias(
+                "row_share"
+            ),
+            F.round(F.col("skew"), 4).alias("skew_factor"),
+            "n_keys",
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(10)
+    )

@@ -87,3 +87,52 @@ def approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("approx_within_tolerance"),
     )
+
+
+@register(
+    "heavy_hitters_verified",
+    """
+    WITH per_key AS (
+      SELECT user_id, count(*) AS n_rows FROM events GROUP BY user_id
+    ),
+    tot AS (SELECT sum(n_rows) AS total FROM per_key)
+    SELECT p.user_id, p.n_rows,
+           round(CAST(p.n_rows AS DOUBLE) / t.total, 6) AS row_share
+    FROM per_key p CROSS JOIN tot t
+    WHERE p.n_rows * 128 > t.total
+    ORDER BY p.n_rows DESC, p.user_id
+    """,
+    doc="Sketch-then-verify heavy hitters (phi = 1/128): a per-partition "
+    "Misra-Gries pass (capacity 256, <= 256 candidate rows per partition "
+    "cross the shuffle) yields a guaranteed SUPERSET of the true heavy "
+    "keys; exact counting then runs only on the candidate set via a "
+    "broadcast semi-join, and the phi filter discards false candidates. "
+    "The emitted set is exactly {key : freq * 128 > N} — deterministic "
+    "and partition-order independent even though the intermediate "
+    "candidate set is not. This is the 100 TB shape: the full-cardinality "
+    "groupBy is replaced by O(partitions * capacity) sketch state plus an "
+    "exact pass over a vanishingly small filtered subset.",
+)
+def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cand = misra_gries_candidates(ev, "user_id", capacity=256)
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        ev.join(F.broadcast(cand), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_rows") * 128 > F.col("total"))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6).alias(
+                "row_share"
+            ),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+    )
