@@ -37,14 +37,23 @@ def register(
 ):
     """Decorator: add a query builder to the global registry.
 
-    ``sort``: output-order contract — columns appended as a final global
-    ``orderBy`` so every registered query returns deterministically ordered
+    ``sort``: output-order contract — columns appended as a final total
+    sort so every registered query returns deterministically ordered
     rows (enforced by tests/test_plans.py::test_deterministic_output_order).
     Declare it here when the builder body doesn't already end in a sort;
-    the oracle SQL must carry the matching final ORDER BY. The sort runs on
-    the (always much smaller) RESULT relation, and at 100 TB a caller that
-    doesn't need ordered output can drop it — it is a contract, not a
-    computation step.
+    the oracle SQL must carry the matching final ORDER BY.
+
+    The contract is implemented as ``repartition(1).sortWithinPartitions``
+    rather than ``orderBy``: a distributed ``orderBy`` inserts a
+    RangePartitioning exchange whose boundary-sampling pass RE-EXECUTES the
+    unmaterialized child subplan — measured +57% on ngram_jaccard_pairs at
+    sf0.1, where the child is a join projecting array_intersect per row.
+    The round-robin repartition materializes the (answer-sized) result
+    once, and a single reduce task sorts it with no sampling job — total
+    order at zero marginal cost. The contract runs on the RESULT relation,
+    which is driver-collectable by construction; at 100 TB a caller that
+    needs a distributed total order of a huge relation should ``orderBy``
+    explicitly — this is an output contract, not a computation step.
     """
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
@@ -54,7 +63,7 @@ def register(
 
             @functools.wraps(fn)
             def sorted_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
-                return fn(spark, sf_dir).orderBy(*sort)
+                return fn(spark, sf_dir).repartition(1).sortWithinPartitions(*sort)
 
             builder = sorted_builder
         _REGISTRY[name] = QuerySpec(

@@ -206,10 +206,16 @@ def test_kmeans_broadcasts_centroids(spark, sf_dir):
 
 def test_sequence_packing_partitions_by_shard(spark, sf_dir):
     """The running sum must be partitioned by lang (parallel), not a
-    global single-partition window."""
+    global single-partition window. (The answer-sized contract sort at the
+    plan ROOT is allowed to be SinglePartition; the Window below it must
+    run over the lang hash partitioning.)"""
     plan = plan_of(spark, sf_dir, "sequence_packing_windows")
-    assert "SinglePartition" not in plan
     assert "hashpartitioning(lang" in plan
+    # every Window's required child distribution must be the lang hash
+    # partitioning — none may sit on SinglePartition
+    for seg in plan.split("Window")[1:]:
+        spec = seg.split("]", 1)[0]
+        assert "SinglePartition" not in spec
 
 
 def test_cdc_windows_partition_per_doc(spark, sf_dir):
@@ -303,25 +309,37 @@ def test_multimodal_metadata_stays_jvm_side(spark, sf_dir):
 def test_deterministic_output_order(spark, sf_dir):
     """Every registered query must return deterministically ORDERED rows:
     the optimized plan's root (looking through order-preserving Project /
-    Filter / Limit nodes) is either a GLOBAL Sort or an ungrouped
-    Aggregate (≤1 row). Guards the registry's output-order contract — a
-    grouped aggregate or join without a final sort surfaces rows in
-    post-shuffle arrival order, which varies run to run (the r4
+    Filter / Limit nodes) is a GLOBAL Sort, a single-partition local sort
+    (Sort false over Repartition 1 — the registry's contract-sort shape,
+    total order with no range-sampling pass), or an ungrouped Aggregate
+    (≤1 row). Guards the registry's output-order contract — a grouped
+    aggregate or join without a final sort surfaces rows in post-shuffle
+    arrival order, which varies run to run (the r4
     winsorized_price_stats hash-flake class of bug)."""
     import re
 
     passthrough = ("Project", "Filter", "GlobalLimit", "LocalLimit")
 
     def root_kind(plan_str: str) -> str:
+        pending_local_sort = False
         for ln in plan_str.splitlines():
             m = re.match(r"^[:+\-\s]*([A-Za-z]+)", ln)
             if not m:
                 continue
             node = m.group(1)
+            if pending_local_sort:
+                # a local sort is a total order iff its direct child
+                # collapses everything into one partition
+                if node == "Repartition" and re.search(r"Repartition 1\b", ln):
+                    return "single-partition-sort"
+                return "local-sort-multi-partition"
             if node in passthrough:
                 continue
             if node == "Sort" and ln.rstrip().endswith("true"):
                 return "global-sort"
+            if node == "Sort" and ln.rstrip().endswith("false"):
+                pending_local_sort = True
+                continue
             if node == "Aggregate":
                 # ungrouped prints `Aggregate [aggs]`; grouped prints
                 # `Aggregate [keys], [aggs]` — a top-level comma splits them
@@ -347,8 +365,8 @@ def test_deterministic_output_order(spark, sf_dir):
         if max_rows.isDefined() and max_rows.get() <= 1:
             continue
         kind = root_kind(plan.toString())
-        if kind not in ("global-sort", "scalar-aggregate"):
-            bad.append(f"{name}: plan root is {kind}, not a global sort")
+        if kind not in ("global-sort", "single-partition-sort", "scalar-aggregate"):
+            bad.append(f"{name}: plan root is {kind}, not a total-order sort")
     assert not bad, "unordered query outputs:\n" + "\n".join(bad)
 
 
