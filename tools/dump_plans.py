@@ -52,6 +52,9 @@ SHOWCASE = [
     ("tpch_q2_min_cost_supplier", "correlated MIN as per-part argmin window; supplier snowflake broadcast"),
     ("tpch_q21_waiting_suppliers", "EXISTS/NOT-EXISTS pair as per-order counts — one aggregation pyramid, no fact self-joins"),
     ("multimodal_format_profile", "binary column: JVM magic-number sniff at scan, ONE Arrow-batched MapInPandas stage"),
+    ("join_key_skew_profile", "pre-join skew diagnostic: keyed count shuffle, 1-row stats broadcast, TakeOrdered top-k"),
+    ("heavy_hitters_verified", "Misra-Gries candidates (bounded MapInPandas) → broadcast semi-join → exact recount of candidates only"),
+    ("mmr_diversified_topk", "greedy MMR: k TakeOrdered(1) passes, selected set as broadcast literals, corpus never re-shuffles"),
 ]
 
 
