@@ -113,6 +113,7 @@ _CHECK_PRIORITY = (
     "join_key_skew_profile",
     "heavy_hitters_verified",
     "mmr_diversified_topk",
+    "dedup_cluster_size_histogram",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -1114,3 +1114,51 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "sel_rank", "vec_id", "rel", F.round("score", 6).alias("mmr_score")
     )
+
+
+def _cluster_size_hist_sql(iterations: int = _CC_ITERS) -> str:
+    """Oracle: same label-prop labels, rolled up to a size histogram."""
+    return (
+        _bands_cte()
+        + """
+    , mem AS (
+      SELECT doc_id, CAST(band_id AS VARCHAR) || band_key AS bucket FROM bands
+    )"""
+        + _label_prop_sql("doc_id", iterations)
+        + f"""
+    , sizes AS (
+      SELECT label, count(*) AS n FROM l{iterations} GROUP BY label
+    )
+    SELECT n AS cluster_size, count(*) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY n ORDER BY cluster_size
+    """
+    )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    _cluster_size_hist_sql(),
+    sort=("cluster_size",),
+    doc="Corpus-health histogram over duplicate-cluster sizes (singletons "
+    "included): how much of the corpus is unique (size 1), how heavy the "
+    "duplication tail is, and whether any mega-cluster exists (boilerplate "
+    "explosion — the classic web-crawl failure mode that silently eats "
+    "training-token budget). Same bounded label propagation as "
+    "lsh_dedup_clusters, then two more keyed aggregations on cluster "
+    "grain and size grain — both orders of magnitude smaller than the "
+    "corpus, so the rollup cost is nil at any scale.",
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH)
+    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS)
+    membership = bands.select(
+        "doc_id",
+        F.concat(F.col("band_id").cast("string"), F.col("band_key")).alias("bucket"),
+    )
+    clusters = dedup_clusters(membership, "doc_id", "bucket", iterations=_CC_ITERS)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.groupBy("n").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+    ).select(F.col("n").alias("cluster_size"), "n_clusters", "n_docs")
