@@ -377,3 +377,17 @@ def test_calibration_joins_on_doc_grain(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "minhash_jaccard_calibration")
     # both the est and exact sides reduce to doc grain before joining
     assert plan.count("HashAggregate") >= 4
+
+
+def test_contract_sort_avoids_range_exchange(spark, sf_dir):
+    """The sort= contract must not plan a RangePartitioning exchange: a
+    distributed orderBy's boundary-sampling pass re-executes the
+    unmaterialized child subplan (measured +57% on ngram_jaccard_pairs at
+    sf0.1). The wrapper's repartition(1).sortWithinPartitions shape keeps
+    the root sort exchange round-robin. Guards the r5 perf fix for every
+    wrapper-sorted query, spot-checked on the heavy ones."""
+    for name in ("ngram_jaccard_pairs", "simhash_signatures",
+                 "minhash_lsh_buckets", "vocab_inventory"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "rangepartitioning" not in plan.lower(), name
+        assert "SinglePartition, REPARTITION_BY_NUM" in plan, name
