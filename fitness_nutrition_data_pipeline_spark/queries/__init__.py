@@ -114,6 +114,7 @@ _CHECK_PRIORITY = (
     "heavy_hitters_verified",
     "mmr_diversified_topk",
     "dedup_cluster_size_histogram",
+    "selfjoin_blowup_estimate",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -201,3 +201,39 @@ def join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), "user_id")
         .limit(10)
     )
+
+
+@register(
+    "selfjoin_blowup_estimate",
+    """
+    WITH per_key AS (
+      SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY l_partkey
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(sum(n * n) AS BIGINT) AS predicted_pairs,
+           CAST(max(n) AS BIGINT) AS max_key_rows,
+           round(CAST(sum(n * n) AS DOUBLE) / sum(n), 4) AS avg_fanout
+    FROM per_key
+    """,
+    doc="Pre-flight estimator for the quadratic term of a self-join on a "
+    "blocking key (the candidate-pairing stage of every dedup family "
+    "here): per-key counts in one map-side-combined shuffle, then "
+    "sum(n^2) = exact output cardinality of the equi-self-join, plus the "
+    "max single-key fan-out that decides `max_bucket_size` caps and "
+    "salting. At 100 TB this one cheap aggregate is the difference "
+    "between launching a pairing stage that finishes and one that "
+    "explodes — estimate first, then pair.",
+)
+def selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"),
+        F.sum(F.col("n") * F.col("n")).alias("predicted_pairs"),
+        F.max("n").alias("max_key_rows"),
+        F.round(
+            (F.sum(F.col("n") * F.col("n"))).cast("double") / F.sum("n"), 4
+        ).alias("avg_fanout"),
+    )
