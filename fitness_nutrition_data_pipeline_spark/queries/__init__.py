@@ -115,6 +115,7 @@ _CHECK_PRIORITY = (
     "mmr_diversified_topk",
     "dedup_cluster_size_histogram",
     "selfjoin_blowup_estimate",
+    "cross_source_dup_leakage",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -1162,3 +1162,68 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("n").alias("n_docs"),
     ).select(F.col("n").alias("cluster_size"), "n_clusters", "n_docs")
+
+
+def _cross_source_leakage_sql(iterations: int = _CC_ITERS) -> str:
+    """Oracle: label-prop clusters joined back to doc sources; emit
+    clusters whose members span >1 source."""
+    return (
+        _bands_cte()
+        + """
+    , mem AS (
+      SELECT doc_id, CAST(band_id AS VARCHAR) || band_key AS bucket FROM bands
+    )"""
+        + _label_prop_sql("doc_id", iterations)
+        + f"""
+    , clustered AS (
+      SELECT l.doc_id, CAST(l.label AS BIGINT) AS cluster_id, d.source
+      FROM l{iterations} l JOIN documents d USING (doc_id)
+    ),
+    spanning AS (
+      SELECT cluster_id,
+             count(*) AS n_docs,
+             count(DISTINCT source) AS n_sources,
+             min(source) AS source_a,
+             max(source) AS source_b
+      FROM clustered GROUP BY cluster_id
+      HAVING count(*) >= 2 AND count(DISTINCT source) >= 2
+    )
+    SELECT cluster_id, n_docs, n_sources, source_a, source_b
+    FROM spanning ORDER BY cluster_id
+    """
+    )
+
+
+@register(
+    "cross_source_dup_leakage",
+    _cross_source_leakage_sql(),
+    sort=("cluster_id",),
+    doc="Split-leakage detector: duplicate clusters whose members span "
+    "MORE THAN ONE source — the failure mode where near-identical text "
+    "lands on both sides of a train/eval split drawn along source lines. "
+    "Reuses the bounded label propagation, joins labels back to the "
+    "(doc_id, source) projection, and aggregates on cluster grain; "
+    "source extremes bracket the span without shipping member lists. "
+    "The doc↔label join is keyed on doc_id — one shuffle each side, no "
+    "pair materialization.",
+)
+def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=N_MINHASH)
+    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS)
+    membership = bands.select(
+        "doc_id",
+        F.concat(F.col("band_id").cast("string"), F.col("band_key")).alias("bucket"),
+    )
+    clusters = dedup_clusters(membership, "doc_id", "bucket", iterations=_CC_ITERS)
+    clustered = clusters.join(docs.select("doc_id", "source"), "doc_id")
+    return (
+        clustered.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("source").alias("source_a"),
+            F.max("source").alias("source_b"),
+        )
+        .where((F.col("n_docs") >= 2) & (F.col("n_sources") >= 2))
+    )
