@@ -116,6 +116,7 @@ _CHECK_PRIORITY = (
     "dedup_cluster_size_histogram",
     "selfjoin_blowup_estimate",
     "cross_source_dup_leakage",
+    "drift_monitor_batch_replay",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

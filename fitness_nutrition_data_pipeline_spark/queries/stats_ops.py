@@ -641,3 +641,67 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_DRIFT_BASELINE = ((0, 0.33), (1, 0.22), (2, 0.15), (3, 0.10), (4, 0.07), (5, 0.13))
+
+
+@register(
+    "drift_monitor_batch_replay",
+    f"""
+    WITH h AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+             CAST(floor(value / 20.0) AS BIGINT) AS bin, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    wins AS (SELECT window_start, sum(n) AS n_rows FROM h GROUP BY 1),
+    base(bin, share) AS (VALUES {', '.join(f'({b}, {s})' for b, s in _DRIFT_BASELINE)}),
+    bins AS (SELECT DISTINCT bin FROM h UNION SELECT bin FROM base),
+    grid AS (SELECT w.window_start, w.n_rows, b.bin
+             FROM wins w CROSS JOIN bins b),
+    j AS (
+      SELECT g.window_start, g.n_rows, g.bin,
+             coalesce(h.n, 0) AS n_obs,
+             coalesce(base.share, 0.0) AS base_share
+      FROM grid g
+      LEFT JOIN h ON h.window_start = g.window_start AND h.bin = g.bin
+      LEFT JOIN base ON base.bin = g.bin
+    ),
+    cdf AS (
+      SELECT window_start, n_rows,
+             sum(n_obs) OVER (PARTITION BY window_start ORDER BY bin)
+               * 1.0 / n_rows AS cdf_obs,
+             sum(base_share) OVER (PARTITION BY window_start ORDER BY bin)
+               AS cdf_base
+      FROM j
+    )
+    SELECT window_start, n_rows,
+           round(CAST(max(abs(cdf_obs - cdf_base)) AS DOUBLE), 6) AS ks_stat
+    FROM cdf GROUP BY window_start, n_rows
+    ORDER BY window_start
+    """,
+    doc="Batch replay of the STREAMING drift monitor (streaming/drift.py) "
+    "— the same two functions the live path runs: "
+    "windowed_value_histogram (withWatermark is a no-op on a batch "
+    "DataFrame, F.window buckets identically) then binned_drift_scores "
+    "against a fixed reference distribution. Registering the replay puts "
+    "the streaming operators' LOGIC under the driver's DuckDB oracle even "
+    "though the harness has no streaming surface; the stream/batch parity "
+    "itself is pinned by tests/test_streaming_drift.py. Day-window KS "
+    "series over a month of events: state grain (windows x bins) and one "
+    "windowed groupBy, exactly as the stream runs it.",
+)
+def drift_monitor_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.streaming.drift import (
+        binned_drift_scores,
+        windowed_value_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    hist = windowed_value_histogram(
+        ev, "ts", "value", window_len="1 day", bin_width=20.0, late_threshold="1 day"
+    )
+    baseline = spark.createDataFrame(
+        [(b, s) for b, s in _DRIFT_BASELINE], "bin long, share double"
+    )
+    return binned_drift_scores(hist, baseline)

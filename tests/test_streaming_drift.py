@@ -71,3 +71,29 @@ def test_drift_scores_flag_shifted_window(spark, drift_stream_dir):
     shifted = scores["2016-04-01 10:10:00"]
     assert in_dist.ks_stat == 0.0 and in_dist.n_rows == 20
     assert shifted.ks_stat == 1.0 and shifted.n_rows == 20
+
+
+def test_stream_batch_histogram_parity(spark, drift_stream_dir):
+    """The SAME windowed_value_histogram function over the same rows must
+    produce identical histograms streamed (availableNow drain) and batch
+    (withWatermark no-op) — the parity that lets the driver's batch-replay
+    query vouch for the streaming path."""
+    schema = "event_id LONG, ts TIMESTAMP, value DOUBLE"
+    src = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)
+        .csv(drift_stream_dir)
+    )
+    streamed = _drain_complete(
+        windowed_value_histogram(src, "ts", "value", bin_width=10.0), "parity_hist"
+    )
+    batch = windowed_value_histogram(
+        spark.read.schema(schema).option("header", True).csv(drift_stream_dir),
+        "ts",
+        "value",
+        bin_width=10.0,
+    )
+    s_rows = sorted(tuple(r) for r in streamed.collect())
+    b_rows = sorted(tuple(r) for r in batch.collect())
+    assert s_rows == b_rows
