@@ -117,6 +117,7 @@ _CHECK_PRIORITY = (
     "selfjoin_blowup_estimate",
     "cross_source_dup_leakage",
     "drift_monitor_batch_replay",
+    "attribution_batch_replay",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

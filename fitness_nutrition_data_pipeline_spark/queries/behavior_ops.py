@@ -454,3 +454,42 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    "attribution_batch_replay",
+    """
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_id
+      FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_ts, p.purchase_ts, v.view_id, p.purchase_id,
+           CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+             - CAST(floor(epoch(v.view_ts)) AS BIGINT) AS lag_seconds
+    FROM v JOIN p ON p.user_id = v.user_id
+      AND p.purchase_ts >= v.view_ts
+      AND p.purchase_ts <= v.view_ts + INTERVAL 1 HOUR
+    ORDER BY view_id, purchase_id
+    """,
+    sort=("view_id", "purchase_id"),
+    doc="Batch replay of the STREAMING attribution join "
+    "(streaming/joins.py::stream_stream_attribution): the identical "
+    "function runs on batch inputs (withWatermark no-ops; the equi+range "
+    "join is a plain range join) under the DuckDB oracle — so the "
+    "stream-stream join's pairing logic is driver-checked even though "
+    "the harness has no streaming surface. In the live form the same "
+    "two bounds that define attribution also bound the join state.",
+)
+def attribution_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.streaming.joins import (
+        stream_stream_attribution,
+    )
+
+    ev = _ev(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    return stream_stream_attribution(views, purchases)
