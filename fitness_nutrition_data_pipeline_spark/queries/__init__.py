@@ -118,6 +118,12 @@ _CHECK_PRIORITY = (
     "cross_source_dup_leakage",
     "drift_monitor_batch_replay",
     "attribution_batch_replay",
+    # round-5 additions wave 4: corpus administration (data card, capped
+    # inverted index, prefix/truncation audit, embedding dim health)
+    "inverted_index_postings",
+    "corpus_datacard",
+    "prefix_dup_groups",
+    "embedding_dim_variance",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",
@@ -166,6 +172,7 @@ _CHECK_PRIORITY = (
 _QUERY_MODULES = (
     "analytics_ops",
     "behavior_ops",
+    "corpus_ops",
     "curation",
     "graph_ops",
     "llm_ops",

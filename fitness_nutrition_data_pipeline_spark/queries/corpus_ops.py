@@ -1,0 +1,288 @@
+r"""Corpus-administration operators: the bookkeeping queries a training-
+data team runs over a petabyte corpus before a tokenization run — a
+per-source data card, a capped inverted-index sample, prefix-duplicate
+(truncation) auditing, and per-dimension embedding health.
+
+Complements the curation/dedup/sampling families: those decide what to
+keep; this family describes what is there, in the shapes (bounded
+outputs, hash-sampled postings, dimension-grain rollups) that stay
+answer-sized no matter how large the corpus grows.
+
+Reference parity note: the reference pipeline's profiling surface is the
+validation corpus (validation.sql:1-462 — row counts, domains, ranges);
+these queries are the LLM-corpus analogue of that same "describe the
+warehouse before shipping it" stage.
+
+Tokenization parity with the text suite: lowercase, split on ``\s+``,
+drop empties — identical expressions both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.queries.sampling import (
+    _BUCKET_SQL,
+    hash_bucket,
+)
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "inverted_index_postings",
+    rf"""
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+        FROM documents)
+      WHERE tok <> ''
+    ),
+    df AS (SELECT tok, count(*) AS df FROM pairs GROUP BY tok),
+    top AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 20),
+    posts AS (
+      SELECT tok, count(*) AS n_sampled,
+             array_to_string(list_sort(list(doc_id)), ',') AS sampled_postings
+      FROM pairs
+      WHERE {_BUCKET_SQL.format(key="doc_id")} % 10 = 0
+        AND tok IN (SELECT tok FROM top)
+      GROUP BY tok
+    )
+    SELECT t.tok AS term, t.df,
+           CAST(COALESCE(p.n_sampled, 0) AS BIGINT) AS n_sampled,
+           COALESCE(p.sampled_postings, '') AS sampled_postings
+    FROM top t LEFT JOIN posts p USING (tok)
+    ORDER BY df DESC, term
+    """,
+    doc="Inverted-index build, serving-sample edition: document frequency "
+    "per term (exact, map-side partial count) for the top-20 terms, plus "
+    "a DETERMINISTIC ~10%% hash-sampled posting list (md5-bucketed on "
+    "doc_id, the sampling.py portability contract). The cap is the scale "
+    "story: exact df is a bounded agg at any corpus size, while full "
+    "posting lists for stopword-class terms would be corpus-sized — the "
+    "hash sample keeps every group's collected state at ~df/10 with no "
+    "rand() and no skew surprise, and the same predicate prunes at the "
+    "scan when postings are materialized per-partition.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = df.orderBy(F.desc("df"), "tok").limit(20)
+    # restrict to the top terms BEFORE collecting postings: the posting
+    # agg then has ≤20 groups (broadcastable by construction) instead of
+    # vocab-sized state, and the collected lists are 1/10-sampled
+    posts = (
+        pairs.where(hash_bucket(F.col("doc_id"), 10) == 0)
+        .join(F.broadcast(top.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("sampled_postings"),
+        )
+    )
+    return (
+        top.join(F.broadcast(posts), "tok", "left")
+        .select(
+            F.col("tok").alias("term"),
+            "df",
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce("sampled_postings", F.lit("")).alias("sampled_postings"),
+        )
+        .orderBy(F.desc("df"), "term")
+    )
+
+
+@register(
+    "corpus_datacard",
+    r"""
+    WITH base AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS ws_tokens,
+             round(CAST(avg(length(text)) AS DOUBLE), 2) AS avg_chars
+      FROM documents GROUP BY source
+    ),
+    dup AS (
+      SELECT source, CAST(sum(c - 1) AS BIGINT) AS exact_dup_docs
+      FROM (SELECT source, md5(text) AS h, count(*) AS c
+            FROM documents GROUP BY source, md5(text))
+      GROUP BY source
+    ),
+    langtop AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY count(*) DESC, lang) AS rn
+        FROM documents GROUP BY source, lang)
+      WHERE rn = 1
+    )
+    SELECT b.source, b.n_docs, b.n_langs, l.top_lang,
+           b.ws_tokens, b.avg_chars, d.exact_dup_docs
+    FROM base b JOIN dup d USING (source) JOIN langtop l USING (source)
+    ORDER BY source
+    """,
+    doc="Per-source data card — the datasheet table published alongside a "
+    "training corpus: doc count, language spread and majority language "
+    "(deterministic argmax: count desc, lang asc tie-break), whitespace-"
+    "token mass, mean doc length, and the within-source exact-duplicate "
+    "count (sum(c-1) over md5(text) groups). Three aggregation passes "
+    "that each reduce to source grain (~constant cardinality) before "
+    "joining, so the joins are broadcast-sized at any corpus scale; the "
+    "argmax window partitions on (source) over lang-grain rows, never "
+    "data-grain.",
+    sort=("source",),
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    base = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws_tokens"),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    )
+    dup = (
+        d.groupBy("source", F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("exact_dup_docs"))
+    )
+    lang_counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("c"), "lang")
+    )
+    langtop = (
+        lang_counts.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(dup, "source")
+        .join(langtop, "source")
+        .select(
+            "source", "n_docs", "n_langs", "top_lang",
+            "ws_tokens", "avg_chars", "exact_dup_docs",
+        )
+    )
+
+
+@register(
+    "prefix_dup_groups",
+    """
+    WITH p AS (
+      SELECT doc_id, source, md5(substr(text, 1, 64)) AS h, md5(text) AS fh
+      FROM documents WHERE length(text) >= 64
+    ),
+    g AS (
+      SELECT h, count(*) AS c,
+             count(DISTINCT source) AS ns,
+             count(DISTINCT fh) AS nv
+      FROM p GROUP BY h
+    )
+    SELECT CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_docs_in_groups,
+           CAST(max(c) AS BIGINT) AS largest_group,
+           CAST(sum(CASE WHEN c >= 2 AND ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS cross_source_groups,
+           CAST(sum(CASE WHEN c >= 2 AND nv > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS truncation_suspects
+    FROM g
+    """,
+    doc="Prefix-duplicate audit: documents sharing an identical 64-char "
+    "prefix (md5 of the prefix, one shuffle on the prefix hash) form a "
+    "group; groups whose FULL texts differ are truncation suspects — the "
+    "copy-then-truncate failure mode exact dedup misses and near-dup "
+    "pipelines pay quadratic candidates to find. Group stats reduce to "
+    "one row; distinct-source and distinct-fulltext counts detect "
+    "cross-source leakage and real truncation respectively. At 100 TB "
+    "the prefix hash is computed in the scan projection, so the shuffle "
+    "carries 3 short hash/source columns, never text.",
+)
+def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    p = d.where(F.length("text") >= 64).select(
+        "source",
+        F.md5(F.substring("text", 1, 64)).alias("h"),
+        F.md5("text").alias("fh"),
+    )
+    g = p.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("fh").alias("nv"),
+    )
+    dup = F.col("c") >= 2
+    return g.agg(
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("n_groups"),
+        F.sum(F.when(dup, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_docs_in_groups"),
+        F.max("c").cast("long").alias("largest_group"),
+        F.sum(F.when(dup & (F.col("ns") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("cross_source_groups"),
+        F.sum(F.when(dup & (F.col("nv") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("truncation_suspects"),
+    )
+
+
+@register(
+    "embedding_dim_variance",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(emb, 1) - 1 AS i, unnest(emb) AS x
+      FROM (SELECT embedding::DOUBLE[] AS emb FROM embeddings)
+    )
+    SELECT i,
+           round(CAST(avg(x) AS DOUBLE), 6) AS mean_val,
+           round(CAST(var_samp(x) AS DOUBLE), 6) AS var_val,
+           round(CAST(min(x) AS DOUBLE), 6) AS min_val,
+           round(CAST(max(x) AS DOUBLE), 6) AS max_val,
+           CASE WHEN var_samp(x) < 0.0001 THEN 1 ELSE 0 END AS is_dead
+    FROM dims GROUP BY i
+    ORDER BY i
+    """,
+    doc="Per-dimension embedding health: mean, sample variance, range, "
+    "and a dead-dimension flag (variance < 1e-4) per coordinate — the "
+    "feature-collapse check run before trusting an embedding column for "
+    "dedup/ANN (a dead or near-constant dimension adds index cost but no "
+    "discrimination; a drifted mean breaks quantization offsets computed "
+    "on an older snapshot, see embedding_quantization_params). One "
+    "posexplode + dimension-grain agg: only n_dims rows cross the "
+    "shuffle regardless of corpus size.",
+    sort=("i",),
+)
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+    )
+    return dims.groupBy("i").agg(
+        F.round(F.avg("x"), 6).alias("mean_val"),
+        F.round(F.var_samp("x"), 6).alias("var_val"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+        F.when(F.var_samp("x") < 0.0001, 1).otherwise(0).alias("is_dead"),
+    )

@@ -391,3 +391,25 @@ def test_contract_sort_avoids_range_exchange(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "rangepartitioning" not in plan.lower(), name
         assert "SinglePartition, REPARTITION_BY_NUM" in plan, name
+
+
+def test_inverted_index_posting_join_broadcasts(spark, sf_dir):
+    """The posting collection must be restricted to the top-k terms via a
+    broadcast join BEFORE aggregation (≤k groups of sampled postings),
+    and the final enrich join is broadcast too — the full vocab never
+    crosses a join as the build side."""
+    plan = plan_of(spark, sf_dir, "inverted_index_postings")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_corpus_datacard_window_on_lang_grain(spark, sf_dir):
+    """The top-lang argmax window runs over (source, lang) aggregate rows
+    — a Window above a HashAggregate — never over document-grain input;
+    all three stats passes reduce to source grain before joining."""
+    plan = plan_of(spark, sf_dir, "corpus_datacard")
+    assert "Window" in plan
+    # every join in the plan is on source-grain aggregates (tiny): no SMJ
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -149,3 +149,59 @@ def test_strict_import_mode_reraises(monkeypatch):
     Q.all_specs()
     assert "definitely_not_a_module" in Q.IMPORT_FAILURES
     Q.IMPORT_FAILURES.clear()
+
+
+def test_inverted_index_postings_sample_bounded(spark, sf_dir):
+    """The hash-sampled posting list must never exceed the exact df, and
+    the rendered postings must agree with n_sampled (deterministic ~10%
+    sample of a term's documents, not the full corpus-sized list)."""
+    rows = SPECS["inverted_index_postings"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.n_sampled <= r.df, r.term
+        n_listed = len(r.sampled_postings.split(",")) if r.sampled_postings else 0
+        assert n_listed == r.n_sampled, r.term
+        # postings render sorted ascending — deterministic serialization
+        if n_listed > 1:
+            ids = [int(x) for x in r.sampled_postings.split(",")]
+            assert ids == sorted(ids), r.term
+
+
+def test_corpus_datacard_consistency(spark, sf_dir):
+    """Data-card invariants: one row per source, doc counts add back to
+    the corpus size, the majority language is one of the source's
+    languages, and dup counts never exceed n_docs - 1."""
+    df = SPECS["corpus_datacard"].builder(spark, sf_dir)
+    rows = df.collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    langs = {
+        (r.source, r.lang)
+        for r in docs.select("source", "lang").distinct().collect()
+    }
+    for r in rows:
+        assert (r.source, r.top_lang) in langs
+        assert 0 <= r.exact_dup_docs <= r.n_docs - 1
+        assert 1 <= r.n_langs
+
+
+def test_prefix_dup_groups_arithmetic(spark, sf_dir):
+    """Every dup group holds ≥2 docs, so the member count is bounded
+    below by 2×groups; cross-source/truncation splits are subsets."""
+    row = SPECS["prefix_dup_groups"].builder(spark, sf_dir).first()
+    assert row.n_docs_in_groups >= 2 * row.n_groups
+    assert row.cross_source_groups <= row.n_groups
+    assert row.truncation_suspects <= row.n_groups
+    if row.n_groups:
+        assert row.largest_group >= 2
+
+
+def test_embedding_dim_variance_shape(spark, sf_dir):
+    """One row per dimension; the synthetic embeddings are unit-norm with
+    no collapsed coordinate, so every dim carries real variance."""
+    rows = SPECS["embedding_dim_variance"].builder(spark, sf_dir).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.min_val <= r.mean_val <= r.max_val
+        assert r.var_val > 0
+        assert r.is_dead == 0

@@ -55,6 +55,8 @@ SHOWCASE = [
     ("join_key_skew_profile", "pre-join skew diagnostic: keyed count shuffle, 1-row stats broadcast, TakeOrdered top-k"),
     ("heavy_hitters_verified", "Misra-Gries candidates (bounded MapInPandas) → broadcast semi-join → exact recount of candidates only"),
     ("mmr_diversified_topk", "greedy MMR: k TakeOrdered(1) passes, selected set as broadcast literals, corpus never re-shuffles"),
+    ("inverted_index_postings", "capped inverted index: exact df agg, postings collected only for broadcast top-k terms, hash-sampled 10%"),
+    ("corpus_datacard", "per-source data card: three source-grain agg passes joined broadcast, argmax window on lang grain"),
 ]
 
 
