@@ -124,6 +124,11 @@ _CHECK_PRIORITY = (
     "corpus_datacard",
     "prefix_dup_groups",
     "embedding_dim_variance",
+    # round-5 additions wave 5: packing percentiles (value-grain CDF),
+    # collocation mining, cross-modal integrity
+    "token_length_percentiles",
+    "bigram_pmi_collocations",
+    "embedding_coverage_check",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -249,6 +249,159 @@ def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "token_length_percentiles",
+    r"""
+    WITH lens AS (
+      SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    hist AS (
+      SELECT lang, n_tok, count(*) AS c FROM lens GROUP BY lang, n_tok
+    ),
+    cdf AS (
+      SELECT lang, n_tok, c,
+             sum(c) OVER (PARTITION BY lang ORDER BY n_tok
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(c) OVER (PARTITION BY lang) AS n
+      FROM hist
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN n_tok END) AS BIGINT)
+             AS p50_tokens,
+           CAST(min(CASE WHEN cum >= (9 * n + 9) // 10 THEN n_tok END) AS BIGINT)
+             AS p90_tokens,
+           CAST(min(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_tok END) AS BIGINT)
+             AS p99_tokens,
+           CAST(max(n_tok) AS BIGINT) AS max_tokens
+    FROM cdf GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Per-language token-length percentiles (nearest-rank p50/p90/p99) "
+    "for sequence-packing and truncation planning — computed EXACTLY at "
+    "any scale via the value-grain histogram CDF: lengths collapse to a "
+    "(lang, n_tok) histogram first (map-side combine), the cumulative "
+    "window runs over histogram rows (bounded by max doc length, never "
+    "data grain), and thresholds are pure integer ceil-division — no "
+    "float boundary, no per-group data sort, unlike percentile()/"
+    "quantile_cont which sort each group's raw values "
+    "(percentile_stats documents that trade). ",
+    sort=("lang",),
+)
+def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    lens = d.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    hist = lens.groupBy("lang", "n_tok").agg(F.count(F.lit(1)).alias("c"))
+    w_cdf = (
+        W.partitionBy("lang")
+        .orderBy("n_tok")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cdf = hist.select(
+        "lang",
+        "n_tok",
+        F.sum("c").over(w_cdf).alias("cum"),
+        F.sum("c").over(W.partitionBy("lang")).alias("n"),
+    )
+
+    def rank_at(num: int, den: int, alias: str):
+        thr = F.expr(f"({num} * n + {num}) div {den}")
+        return (
+            F.min(F.when(F.col("cum") >= thr, F.col("n_tok")))
+            .cast("long")
+            .alias(alias)
+        )
+
+    return cdf.groupBy("lang").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        rank_at(1, 2, "p50_tokens"),
+        rank_at(9, 10, "p90_tokens"),
+        rank_at(99, 100, "p99_tokens"),
+        F.max("n_tok").cast("long").alias("max_tokens"),
+    )
+
+
+@register(
+    "embedding_coverage_check",
+    """
+    WITH e AS (
+      SELECT vec_id,
+             CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END AS bad_dim
+      FROM embeddings
+    ),
+    per_src AS (
+      SELECT d.source,
+             count(*) AS n_docs,
+             CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_with_vec,
+             CAST(sum(COALESCE(e.bad_dim, 0)) AS BIGINT) AS n_bad_dim,
+             round(100.0 * sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                   / count(*), 4) AS coverage_pct
+      FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
+      GROUP BY d.source
+    ),
+    orphans AS (
+      SELECT '__orphan_vecs__' AS source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(0 AS BIGINT) AS n_with_vec,
+             CAST(COALESCE(sum(bad_dim), 0) AS BIGINT) AS n_bad_dim,
+             CAST(0.0 AS DOUBLE) AS coverage_pct
+      FROM e WHERE vec_id NOT IN (SELECT doc_id FROM documents
+                                  WHERE doc_id IS NOT NULL)
+    )
+    SELECT * FROM per_src UNION ALL SELECT * FROM orphans
+    ORDER BY source
+    """,
+    doc="Cross-modal integrity: per-source embedding coverage of the "
+    "document table (left-join grain), malformed-vector count (dimension "
+    "≠ 64), and a summary row counting orphan vectors with no backing "
+    "document (anti-join) — the referential checks run before trusting "
+    "a (text, vector) pair table for dedup or ANN. One id-keyed join "
+    "plus one anti-join, both reducing to source grain; the orphan row "
+    "keeps the result a single relation for the report sink.",
+    sort=("source",),
+)
+def embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.when(F.size("embedding") == 64, 0).otherwise(1).alias("bad_dim"),
+    )
+    joined = d.join(e, d.doc_id == e.vec_id, "left")
+    per_src = joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_vec"),
+        F.sum(F.coalesce("bad_dim", F.lit(0))).cast("long").alias("n_bad_dim"),
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("coverage_pct"),
+    )
+    orphans = (
+        e.join(d, e.vec_id == d.doc_id, "left_anti")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("bad_dim"), F.lit(0)).cast("long").alias("n_bad_dim"),
+        )
+        .select(
+            F.lit("__orphan_vecs__").alias("source"),
+            "n_docs",
+            F.lit(0).cast("long").alias("n_with_vec"),
+            "n_bad_dim",
+            F.lit(0.0).alias("coverage_pct"),
+        )
+    )
+    return per_src.unionByName(orphans)
+
+
+@register(
     "embedding_dim_variance",
     """
     WITH dims AS (

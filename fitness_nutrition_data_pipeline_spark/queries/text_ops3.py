@@ -298,3 +298,95 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "bigram_pmi_collocations",
+    r"""
+    WITH docs_t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT tok, count(*) AS c FROM (
+        SELECT unnest(t) AS tok FROM docs_t) GROUP BY tok
+    ),
+    nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n_uni FROM uni),
+    bg AS (
+      SELECT t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2,
+             count(*) AS c_ab
+      FROM docs_t, unnest(range(1, len(t))) AS u(i)
+      WHERE len(t) >= 2
+      GROUP BY 1, 2
+    ),
+    nb AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n_bg FROM bg)
+    SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+           round(CAST(ln((CAST(c_ab AS DOUBLE) / n_bg)
+                 / ((CAST(a.c AS DOUBLE) / n_uni)
+                    * (CAST(b.c AS DOUBLE) / n_uni))) AS DOUBLE), 6) AS pmi
+    FROM bg JOIN uni a ON a.tok = w1 JOIN uni b ON b.tok = w2, nu, nb
+    WHERE c_ab >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Pointwise mutual information over adjacent token bigrams (min "
+    "support 5): pmi = ln(p(ab) / (p(a)p(b))) with p(ab) over the full "
+    "bigram mass and p(w) over the unigram mass — the classic "
+    "collocation extractor for building phrase vocabularies before "
+    "tokenizer training. Bigram and unigram tables are one explode + "
+    "count each (map-side combined); the enrichment joins key on vocab "
+    "tokens (vocab-sized, shuffle join that AQE turns broadcast when it "
+    "fits), the two mass scalars ride as broadcast 1-row aggregates, "
+    "and the result is a TakeOrdered top-20. Support filtering happens "
+    "AFTER the mass totals so probabilities stay true corpus "
+    "frequencies.",
+)
+def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    dt = docs.select(t.alias("t"))
+    uni = (
+        dt.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    pairs = (
+        dt.where(F.size("t") >= 2)
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("t") - 1)).alias("i"), "t"
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + 1).alias("w2"),
+        )
+    )
+    bg_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    nb = bg_all.agg(F.sum("c_ab").cast("double").alias("n_bg"))
+    a = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        bg_all.where(F.col("c_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            F.round(
+                F.log(
+                    (F.col("c_ab").cast("double") / F.col("n_bg"))
+                    / (
+                        (F.col("c_a").cast("double") / F.col("n_uni"))
+                        * (F.col("c_b").cast("double") / F.col("n_uni"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(20)
+    )

@@ -205,3 +205,49 @@ def test_embedding_dim_variance_shape(spark, sf_dir):
         assert r.min_val <= r.mean_val <= r.max_val
         assert r.var_val > 0
         assert r.is_dead == 0
+
+
+def test_token_length_percentiles_monotone(spark, sf_dir):
+    """Nearest-rank percentiles are order statistics: p50 ≤ p90 ≤ p99 ≤
+    max per language, and each is an actually-occurring length."""
+    rows = SPECS["token_length_percentiles"].builder(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lens = {
+        (r.lang, r.n_tok)
+        for r in docs.select(
+            "lang", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok")
+        ).collect()
+    }
+    for r in rows:
+        assert r.p50_tokens <= r.p90_tokens <= r.p99_tokens <= r.max_tokens
+        for p in (r.p50_tokens, r.p90_tokens, r.p99_tokens):
+            assert (r.lang, p) in lens
+
+
+def test_bigram_pmi_support_floor(spark, sf_dir):
+    """Every reported collocation meets min support and has finite PMI."""
+    import math
+
+    rows = SPECS["bigram_pmi_collocations"].builder(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.c_ab >= 5
+        assert math.isfinite(r.pmi)
+    # descending pmi with deterministic tie-break
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_embedding_coverage_full_on_fixture(spark, sf_dir):
+    """The synthetic tables are id-aligned: every source fully covered,
+    no orphan vectors, no malformed dimensions — the all-green baseline
+    this check exists to defend."""
+    rows = SPECS["embedding_coverage_check"].builder(spark, sf_dir).collect()
+    orphan = [r for r in rows if r.source == "__orphan_vecs__"]
+    assert len(orphan) == 1 and orphan[0].n_docs == 0
+    for r in rows:
+        if r.source != "__orphan_vecs__":
+            assert r.coverage_pct == 100.0
+            assert r.n_with_vec == r.n_docs
+        assert r.n_bad_dim == 0
