@@ -129,6 +129,7 @@ _CHECK_PRIORITY = (
     "token_length_percentiles",
     "bigram_pmi_collocations",
     "embedding_coverage_check",
+    "concurrent_sessions_peak",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -493,3 +493,102 @@ def attribution_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     views = ev.where(F.col("event_type") == "view")
     purchases = ev.where(F.col("event_type") == "purchase")
     return stream_stream_attribution(views, purchases)
+
+
+@register(
+    "concurrent_sessions_peak",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    bounds AS (
+      SELECT user_id, session_no,
+             min(ts_us) // 60000000 AS start_m,
+             max(ts_us) // 60000000 AS end_m
+      FROM sess GROUP BY user_id, session_no
+    ),
+    mc AS (
+      SELECT m, count(*) AS c FROM (
+        SELECT unnest(range(start_m, end_m + 1)) AS m FROM bounds)
+      GROUP BY m
+    ),
+    mcd AS (
+      SELECT m, c, CAST(make_timestamp(m * 60000000) AS DATE) AS day FROM mc
+    ),
+    pk AS (SELECT day, max(c) AS peak FROM mcd GROUP BY day)
+    SELECT CAST(mcd.day AS VARCHAR) AS day,
+           CAST(pk.peak AS BIGINT) AS peak_concurrency,
+           CAST(min(mcd.m) % 1440 AS BIGINT) AS first_peak_minute
+    FROM mcd JOIN pk ON pk.day = mcd.day AND mcd.c = pk.peak
+    GROUP BY mcd.day, pk.peak
+    ORDER BY day
+    """,
+    sort=("day",),
+    doc="Peak concurrent sessions per day — the interval-stabbing sweep "
+    "reformulated for bounded explode: 30-min-gap sessions reduce to "
+    "(start, end) minute bounds, each session explodes to its covered "
+    "minutes (bounded: the gap rule adds at most 30 minutes per event, "
+    "so minute rows are <= 30x events — the dau_wau 7x-explode pattern, "
+    "never a time-ordered global cumulative sum over raw events), and "
+    "concurrency is a count per epoch-minute. The per-day argmax runs "
+    "over minute-grain rows (<=1440/day, value grain); ties resolve to "
+    "the earliest minute. One user-keyed shuffle (sessionize), one "
+    "minute-keyed shuffle (concurrency), one day-grain join.",
+)
+def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    starts = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(gap > 1800000000, 1)
+        .when(gap.isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = starts.withColumn("session_no", F.sum("is_start").over(w2))
+    bounds = sess.groupBy("user_id", "session_no").agg(
+        F.expr("min(ts_us) div 60000000").alias("start_m"),
+        F.expr("max(ts_us) div 60000000").alias("end_m"),
+    )
+    mc = (
+        bounds.select(
+            F.explode(F.sequence("start_m", "end_m")).alias("m")
+        )
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mcd = mc.withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("m") * 60000000))
+    )
+    pk = mcd.groupBy("day").agg(F.max("c").alias("peak"))
+    return (
+        mcd.join(pk, "day")
+        .where(F.col("c") == F.col("peak"))
+        .groupBy(F.col("day").cast("string").alias("day"), "peak")
+        .agg((F.min("m") % 1440).cast("long").alias("first_peak_minute"))
+        .select(
+            "day",
+            F.col("peak").cast("long").alias("peak_concurrency"),
+            "first_peak_minute",
+        )
+    )

@@ -251,3 +251,14 @@ def test_embedding_coverage_full_on_fixture(spark, sf_dir):
             assert r.coverage_pct == 100.0
             assert r.n_with_vec == r.n_docs
         assert r.n_bad_dim == 0
+
+
+def test_concurrent_sessions_peak_bounds(spark, sf_dir):
+    """Peak concurrency is at least 1 on every active day, never exceeds
+    the number of sessions, and the peak minute is a valid minute-of-day."""
+    rows = SPECS["concurrent_sessions_peak"].builder(spark, sf_dir).collect()
+    assert rows
+    n_sessions = SPECS["sessionize_events"].builder(spark, sf_dir).count()
+    for r in rows:
+        assert 1 <= r.peak_concurrency <= n_sessions
+        assert 0 <= r.first_peak_minute < 1440

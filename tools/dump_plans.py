@@ -57,6 +57,8 @@ SHOWCASE = [
     ("mmr_diversified_topk", "greedy MMR: k TakeOrdered(1) passes, selected set as broadcast literals, corpus never re-shuffles"),
     ("inverted_index_postings", "capped inverted index: exact df agg, postings collected only for broadcast top-k terms, hash-sampled 10%"),
     ("corpus_datacard", "per-source data card: three source-grain agg passes joined broadcast, argmax window on lang grain"),
+    ("token_length_percentiles", "exact per-group percentiles with NO data-grain sort: value-grain histogram CDF + integer rank thresholds"),
+    ("bigram_pmi_collocations", "collocation mining: two explode+count passes, vocab-key joins, mass scalars broadcast, TakeOrdered top-20"),
 ]
 
 
