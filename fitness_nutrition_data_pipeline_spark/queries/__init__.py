@@ -130,6 +130,8 @@ _CHECK_PRIORITY = (
     "bigram_pmi_collocations",
     "embedding_coverage_check",
     "concurrent_sessions_peak",
+    "psi_value_drift",
+    "incremental_agg_merge",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

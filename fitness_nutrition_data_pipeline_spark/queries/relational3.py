@@ -288,3 +288,61 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("h_fp").isNull(), 1).otherwise(0).alias("is_novel"),
         )
     )
+
+
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS total_value,
+           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 / count(*), 4) AS avg_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY CAST(ts AS DATE), event_type
+    ORDER BY day, event_type
+    """,
+    sort=("day", "event_type"),
+    doc="Mergeable-state contract for incremental view maintenance: the "
+    "builder aggregates a frozen snapshot (days before 2024-01-20) and a "
+    "delta batch (the rest) SEPARATELY into partial states (count + "
+    "DECIMAL sum — both associative/commutative), unions the partials, "
+    "and re-aggregates; the oracle recomputes from scratch. Hash-equality "
+    "proves the merge path is exact, which is what lets a 100 TB daily "
+    "rollup absorb late partitions by merging yesterday's materialized "
+    "state with today's delta instead of rescanning the fact history. "
+    "Averages derive from merged sums, never averaged averages.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s")
+        )
+
+    snapshot = partial(ev.where(F.col("day") < "2024-01-20"))
+    delta = partial(ev.where(F.col("day") >= "2024-01-20"))
+    merged = (
+        snapshot.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("cnt").alias("n_events"), F.sum("s").alias("total"))
+    )
+    return merged.select(
+        F.col("day").cast("string").alias("day"),
+        "event_type",
+        "n_events",
+        F.round(F.col("total").cast("double"), 2).alias("total_value"),
+        F.round(F.col("total").cast("double") / F.col("n_events"), 4).alias(
+            "avg_value"
+        ),
+    )

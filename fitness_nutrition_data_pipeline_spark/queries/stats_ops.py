@@ -705,3 +705,98 @@ def drift_monitor_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(b, s) for b, s in _DRIFT_BASELINE], "bin long, share double"
     )
     return binned_drift_scores(hist, baseline)
+
+
+@register(
+    "psi_value_drift",
+    """
+    WITH pop AS (
+      SELECT value,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 0 ELSE 1 END AS period
+      FROM events WHERE value IS NOT NULL
+    ),
+    ext AS (SELECT min(value) AS lo, max(value) AS hi FROM pop),
+    binned AS (
+      SELECT period,
+             least(CAST(floor((value - lo) / (hi - lo) * 10) AS INT), 9) AS bin
+      FROM pop, ext
+    ),
+    counts AS (
+      SELECT bin,
+             sum(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS c_base,
+             sum(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS c_cur
+      FROM binned GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(sum(c_base) AS DOUBLE) AS n_base,
+             CAST(sum(c_cur) AS DOUBLE) AS n_cur
+      FROM counts
+    ),
+    contrib AS (
+      SELECT bin, c_base, c_cur,
+             ((c_base + 1) / (n_base + 10) - (c_cur + 1) / (n_cur + 10))
+             * ln(((c_base + 1) / (n_base + 10))
+                  / ((c_cur + 1) / (n_cur + 10))) AS psi_c
+      FROM counts, tot
+    )
+    SELECT bin, CAST(c_base AS BIGINT) AS c_base, CAST(c_cur AS BIGINT) AS c_cur,
+           round(CAST(psi_c AS DOUBLE), 6) AS psi_contrib,
+           round(CAST(sum(psi_c) OVER () AS DOUBLE), 6) AS psi_total
+    FROM contrib
+    ORDER BY bin
+    """,
+    sort=("bin",),
+    doc="Population Stability Index between the first and second half of "
+    "the event window, on a shared 10-bin equal-width grid (the "
+    "ks_binned pattern: scalar extremes broadcast, bin index row-local, "
+    "one <=10-key shuffle) with add-one smoothing so empty bins stay "
+    "finite — the standard model-monitoring drift score (PSI > 0.2 = "
+    "action threshold). Per-bin contributions plus the grand total; the "
+    "cumulative/total windows run over bin-grain rows, never data.",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.to_date("ts") < "2024-01-16", 0).otherwise(1).alias("period"),
+        )
+    )
+    ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    bin_expr = F.least(
+        F.floor(
+            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
+        ).cast("int"),
+        F.lit(9),
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(ext))
+        .select("period", bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("c_base"),
+            F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_base").cast("double").alias("n_base"),
+        F.sum("c_cur").cast("double").alias("n_cur"),
+    )
+    p_base = (F.col("c_base") + 1) / (F.col("n_base") + 10)
+    p_cur = (F.col("c_cur") + 1) / (F.col("n_cur") + 10)
+    contrib = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "c_base",
+        "c_cur",
+        ((p_base - p_cur) * F.log(p_base / p_cur)).alias("psi_c"),
+    )
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return contrib.select(
+        "bin",
+        F.col("c_base").cast("long").alias("c_base"),
+        F.col("c_cur").cast("long").alias("c_cur"),
+        F.round("psi_c", 6).alias("psi_contrib"),
+        F.round(F.sum("psi_c").over(wt), 6).alias("psi_total"),
+    )

@@ -262,3 +262,44 @@ def test_concurrent_sessions_peak_bounds(spark, sf_dir):
     for r in rows:
         assert 1 <= r.peak_concurrency <= n_sessions
         assert 0 <= r.first_peak_minute < 1440
+
+
+def test_psi_total_consistent(spark, sf_dir):
+    """psi_total equals the sum of per-bin contributions and is the same
+    on every row; PSI of a genuinely stationary synthetic stream stays
+    below the conventional 0.2 action threshold."""
+    rows = SPECS["psi_value_drift"].builder(spark, sf_dir).collect()
+    assert rows
+    total = rows[0].psi_total
+    assert all(abs(r.psi_total - total) < 1e-9 for r in rows)
+    assert abs(sum(r.psi_contrib for r in rows) - total) < 1e-4
+    assert total < 0.2
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """The unioned partial states must re-aggregate to exactly the
+    single-pass rollup — the mergeable-state contract."""
+    merged = SPECS["incremental_agg_merge"].builder(spark, sf_dir)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("value").isNotNull())
+    )
+    # independent single-pass recompute (decimal, same grain)
+    full = (
+        ev.select(
+            F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+            "event_type",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("v").alias("total"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n_events",
+            F.round(F.col("total").cast("double"), 2).alias("total_value"),
+        )
+    )
+    m = {(r.day, r.event_type): (r.n_events, r.total_value) for r in merged.collect()}
+    f = {(r.day, r.event_type): (r.n_events, r.total_value) for r in full.collect()}
+    assert m == f
