@@ -132,6 +132,7 @@ _CHECK_PRIORITY = (
     "concurrent_sessions_peak",
     "psi_value_drift",
     "incremental_agg_merge",
+    "zorder_locality_stats",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

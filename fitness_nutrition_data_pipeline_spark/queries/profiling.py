@@ -237,3 +237,108 @@ def selfjoin_blowup_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("n") * F.col("n"))).cast("double") / F.sum("n"), 4
         ).alias("avg_fanout"),
     )
+
+
+def _zorder_oracle() -> str:
+    from fitness_nutrition_data_pipeline_spark.operators.layout import zvalue_sql
+
+    z_expr = zvalue_sql("qx", "qy", bits=8)
+    return f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd
+      FROM orders
+    ),
+    ext AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+                   min(dd) AS dd_lo, max(dd) AS dd_hi FROM base),
+    q AS (
+      SELECT least(CAST(floor((ck - ck_lo) / (ck_hi - ck_lo) * 256) AS BIGINT),
+                   255) AS qx,
+             least(CAST(floor((dd - dd_lo) / (dd_hi - dd_lo) * 256) AS BIGINT),
+                   255) AS qy
+      FROM base, ext
+    ),
+    files AS (
+      SELECT 'custkey_sorted' AS layout, qx AS file_id, qx, qy FROM q
+      UNION ALL
+      SELECT 'date_sorted' AS layout, qy AS file_id, qx, qy FROM q
+      UNION ALL
+      SELECT 'zorder' AS layout, ({z_expr}) >> 8 AS file_id, qx, qy FROM q
+    ),
+    spans AS (
+      SELECT layout, file_id,
+             max(qx) - min(qx) AS cust_span,
+             max(qy) - min(qy) AS day_span
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           round(CAST(avg(cust_span) AS DOUBLE), 4) AS avg_cust_span,
+           round(CAST(avg(day_span) AS DOUBLE), 4) AS avg_day_span
+    FROM spans GROUP BY layout
+    ORDER BY layout
+    """
+
+
+@register(
+    "zorder_locality_stats",
+    _zorder_oracle(),
+    sort=("layout",),
+    doc="Z-order (Morton curve) layout vs single-column sorts, measured "
+    "as what min/max pruning actually sees: quantize (custkey, orderdate) "
+    "onto a 256x256 grid, assign rows to 256 'files' under three layouts "
+    "(custkey-sorted, date-sorted, bit-interleaved Z-order), and report "
+    "each file's per-dimension value span — a file skips a filtered scan "
+    "iff the predicate misses its span, so avg span ~ fraction of files "
+    "a point query must read. Single-column sorts give span 0 on their "
+    "own dimension and ~full range on the other; Z-order lands small on "
+    "BOTH — the reason lakehouse formats cluster multi-filter tables on "
+    "a space-filling curve. The curve key (operators/layout.py::zvalue) "
+    "is pure integer shift/mask codegen; stats are one grouped agg over "
+    "file grain.",
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.layout import (
+        quantize,
+        zvalue,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dd"),
+    )
+    ext = base.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dd").alias("dd_lo"),
+        F.max("dd").alias("dd_hi"),
+    )
+    q = base.crossJoin(F.broadcast(ext)).select(
+        quantize(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), 8).alias("qx"),
+        quantize(F.col("dd"), F.col("dd_lo"), F.col("dd_hi"), 8).alias("qy"),
+    )
+    layouts = (
+        q.select(F.lit("custkey_sorted").alias("layout"), F.col("qx").alias("file_id"), "qx", "qy")
+        .unionByName(
+            q.select(F.lit("date_sorted").alias("layout"), F.col("qy").alias("file_id"), "qx", "qy")
+        )
+        .unionByName(
+            q.select(
+                F.lit("zorder").alias("layout"),
+                F.shiftright(zvalue(F.col("qx"), F.col("qy"), 8), 8).alias("file_id"),
+                "qx",
+                "qy",
+            )
+        )
+    )
+    spans = layouts.groupBy("layout", "file_id").agg(
+        (F.max("qx") - F.min("qx")).alias("cust_span"),
+        (F.max("qy") - F.min("qy")).alias("day_span"),
+    )
+    return spans.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.round(F.avg("cust_span"), 4).alias("avg_cust_span"),
+        F.round(F.avg("day_span"), 4).alias("avg_day_span"),
+    )

@@ -303,3 +303,36 @@ def test_incremental_merge_equals_full_recompute(spark, sf_dir):
     m = {(r.day, r.event_type): (r.n_events, r.total_value) for r in merged.collect()}
     f = {(r.day, r.event_type): (r.n_events, r.total_value) for r in full.collect()}
     assert m == f
+
+
+def test_zorder_beats_single_sorts_on_both_dims(spark, sf_dir):
+    """The curve's whole value proposition, asserted: each single-column
+    sort has zero span on its own dimension and near-full range on the
+    other; Z-order keeps BOTH average spans a small fraction of the
+    256-cell grid."""
+    rows = {
+        r.layout: r
+        for r in SPECS["zorder_locality_stats"].builder(spark, sf_dir).collect()
+    }
+    assert rows["custkey_sorted"].avg_cust_span == 0.0
+    assert rows["date_sorted"].avg_day_span == 0.0
+    z = rows["zorder"]
+    assert z.avg_cust_span < 32
+    assert z.avg_day_span < 32
+    assert z.avg_cust_span < rows["date_sorted"].avg_cust_span / 4
+    assert z.avg_day_span < rows["custkey_sorted"].avg_day_span / 4
+
+
+def test_zvalue_roundtrip_bits(spark):
+    """zvalue interleaves exactly: de-interleaving the curve key
+    recovers both inputs for every 8-bit pair sampled."""
+    from fitness_nutrition_data_pipeline_spark.operators.layout import zvalue
+
+    df = spark.range(0, 256, 17).selectExpr(
+        "id AS x", "CAST(255 - id AS LONG) AS y"
+    )
+    out = df.select("x", "y", zvalue(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    for r in out:
+        x_back = sum(((r.z >> (2 * b)) & 1) << b for b in range(8))
+        y_back = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(8))
+        assert (x_back, y_back) == (r.x, r.y)
