@@ -135,6 +135,7 @@ _CHECK_PRIORITY = (
     "zorder_locality_stats",
     "sessionize_native_window",
     "k_anonymity_audit",
+    "ewma_daily_value",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -592,3 +592,58 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_minute",
         )
     )
+
+
+@register(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, avg(value) AS x
+      FROM events WHERE value IS NOT NULL GROUP BY CAST(ts AS DATE)
+    ),
+    idx AS (
+      SELECT day, x,
+             row_number() OVER (ORDER BY day) AS t
+      FROM daily
+    )
+    SELECT CAST(a.day AS VARCHAR) AS day,
+           round(CAST(a.x AS DOUBLE), 6) AS daily_avg,
+           round(CAST(sum(b.x * power(0.7, a.t - b.t))
+                      / sum(power(0.7, a.t - b.t)) AS DOUBLE), 6) AS ewma
+    FROM idx a JOIN idx b ON b.t <= a.t
+    GROUP BY a.day, a.x
+    ORDER BY day
+    """,
+    sort=("day",),
+    doc="Adjusted exponentially-weighted moving average (alpha = 0.3) of "
+    "the daily mean event value — the smoothing curve behind most "
+    "monitoring dashboards, here in closed form: ewma_t = sum(0.7^(t-i) "
+    "x_i) / sum(0.7^(t-i)) over the day spine. The recursion is "
+    "eliminated by a day-grain triangle join (calendar x calendar, "
+    "bounded by days-in-window, never data grain), so there is no "
+    "sequential dependency to schedule — the event stream itself reduces "
+    "to daily means in one map-side-combined shuffle first. The "
+    "unpartitioned row_number runs over day-grain rows only.",
+)
+def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.avg("value").alias("x")
+    )
+    # day-grain global window: bounded by the calendar, documented safe
+    idx = daily.withColumn("t", F.row_number().over(W.orderBy("day")))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    wgt = F.pow(F.lit(0.7), F.col("a.t") - F.col("b.t"))
+    return (
+        a.join(b, F.col("b.t") <= F.col("a.t"))
+        .groupBy(F.col("a.day").alias("day"), F.col("a.x").alias("x"))
+        .agg(
+            (F.sum(F.col("b.x") * wgt) / F.sum(wgt)).alias("ewma_raw")
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(F.col("x"), 6).alias("daily_avg"),
+            F.round("ewma_raw", 6).alias("ewma"),
+        )
+    )

@@ -83,3 +83,40 @@ def test_strip_units_matches_reference(spark, values):
             assert g is None
         else:
             assert g is not None and abs(g - e) < 1e-9
+
+
+def test_histogram_cdf_percentiles_match_sort_based(spark):
+    """Property check for the token_length_percentiles mechanism: the
+    value-grain histogram-CDF nearest-rank must agree with a direct
+    sort-based nearest-rank on arbitrary integer multisets."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    for trial in range(5):
+        vals = [rng.randint(0, 40) for _ in range(rng.randint(1, 300))]
+        df = spark.createDataFrame([(v,) for v in vals], "v int")
+        hist = df.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        cdf = hist.select(
+            "v",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)).alias("n"),
+        )
+        got = cdf.agg(
+            F.min(F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("v"))).alias("p50"),
+            F.min(F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("v"))).alias("p90"),
+            F.min(F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"), F.col("v"))).alias("p99"),
+        ).first()
+        s = sorted(vals)
+        n = len(s)
+
+        def nearest_rank(p_num, p_den):
+            k = -((-p_num * n) // p_den)  # ceil(n * p)
+            return s[max(k, 1) - 1]
+
+        assert got.p50 == nearest_rank(1, 2), (trial, vals)
+        assert got.p90 == nearest_rank(9, 10), (trial, vals)
+        assert got.p99 == nearest_rank(99, 100), (trial, vals)

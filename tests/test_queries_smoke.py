@@ -365,3 +365,22 @@ def test_k_anonymity_arithmetic(spark, sf_dir):
     assert row.n_risky_groups <= row.n_groups
     assert row.n_rows_at_risk <= n_customers
     assert 0.0 <= row.pct_rows_at_risk <= 100.0
+
+
+def test_ewma_tracks_series(spark, sf_dir):
+    """EWMA invariants: the first day's EWMA equals its daily average
+    (nothing to smooth yet), every EWMA lies inside the running min/max
+    envelope of the series, and the smoothed series has no more
+    variance than the raw one."""
+    rows = SPECS["ewma_daily_value"].builder(spark, sf_dir).collect()
+    assert rows
+    assert abs(rows[0].ewma - rows[0].daily_avg) < 1e-6
+    lo = hi = rows[0].daily_avg
+    for r in rows:
+        lo, hi = min(lo, r.daily_avg), max(hi, r.daily_avg)
+        assert lo - 1e-9 <= r.ewma <= hi + 1e-9
+    import statistics
+
+    assert statistics.pvariance([r.ewma for r in rows]) <= statistics.pvariance(
+        [r.daily_avg for r in rows]
+    )
