@@ -147,28 +147,55 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training corpus: doc count, language spread and majority language "
     "(deterministic argmax: count desc, lang asc tie-break), whitespace-"
     "token mass, mean doc length, and the within-source exact-duplicate "
-    "count (sum(c-1) over md5(text) groups). Three aggregation passes "
-    "that each reduce to source grain (~constant cardinality) before "
-    "joining, so the joins are broadcast-sized at any corpus scale; the "
-    "argmax window partitions on (source) over lang-grain rows, never "
-    "data-grain.",
+    "count (sum(c-1) over md5(text) groups). The text column is scanned "
+    "and tokenized exactly ONCE into a materialized doc-grain stats "
+    "relation (localCheckpoint — per-branch column pruning would "
+    "otherwise defeat exchange reuse and re-scan per statistic family); "
+    "every rollup then reads that tiny metadata table, reduces to source "
+    "grain, and joins broadcast-sized. The argmax window partitions on "
+    "(source) over lang-grain rows, never data-grain.",
     sort=("source",),
 )
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan diamond: ONE pass builds the (source, lang, text-hash)
+    # grain with everything the card needs (count, token/char mass); the
+    # rollups below consume the materialized grain (pinned by
+    # tests/test_plans.py::test_corpus_datacard_window_on_lang_grain).
     d = _docs(spark, sf_dir)
-    base = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("lang").alias("n_langs"),
-        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("ws_tokens"),
-        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+    grain = d.groupBy(
+        "source", "lang", F.md5("text").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("toks"),
+        F.sum(F.length("text")).alias("chars"),
     )
+    # materialize the doc-grain stats ONCE: per-branch column pruning
+    # gives each rollup a different partial-agg payload, so Spark cannot
+    # reuse the exchange across them and would re-scan (and re-tokenize)
+    # the text column per statistic family — the checkpoint turns that
+    # into one heavy pass + three reads of a tiny metadata relation,
+    # exactly how a warehouse materializes a stats table before reporting
+    grain = grain.localCheckpoint()
+    base = grain.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("toks").alias("ws_tokens"),
+        F.round(F.sum("chars") / F.sum("c"), 2).alias("avg_chars"),
+    )
+    # dup grain is (source, h) REGARDLESS of lang label — re-rolled from
+    # the shared grain, matching the oracle's GROUP BY source, md5(text)
     dup = (
-        d.groupBy("source", F.md5("text").alias("h"))
-        .agg(F.count(F.lit(1)).alias("c"))
+        grain.groupBy("source", "h")
+        .agg(F.sum("c").alias("ch"))
         .groupBy("source")
-        .agg(F.sum(F.col("c") - 1).cast("long").alias("exact_dup_docs"))
+        .agg(F.sum(F.col("ch") - 1).cast("long").alias("exact_dup_docs"))
     )
-    lang_counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_counts = grain.groupBy("source", "lang").agg(F.sum("c").alias("c"))
+    # n_langs from the lang-grain rollup, NOT countDistinct in `base`:
+    # a distinct aggregate plans its own expansion path and breaks the
+    # shared-exchange diamond (re-scanning documents a second time)
+    nlangs = lang_counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_langs")
+    )
     rn = F.row_number().over(
         W.partitionBy("source").orderBy(F.desc("c"), "lang")
     )
@@ -179,6 +206,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(dup, "source")
+        .join(nlangs, "source")
         .join(langtop, "source")
         .select(
             "source", "n_docs", "n_langs", "top_lang",

@@ -319,19 +319,29 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), 8).alias("qx"),
         quantize(F.col("dd"), F.col("dd_lo"), F.col("dd_hi"), 8).alias("qy"),
     )
-    layouts = (
-        q.select(F.lit("custkey_sorted").alias("layout"), F.col("qx").alias("file_id"), "qx", "qy")
-        .unionByName(
-            q.select(F.lit("date_sorted").alias("layout"), F.col("qy").alias("file_id"), "qx", "qy")
-        )
-        .unionByName(
-            q.select(
-                F.lit("zorder").alias("layout"),
-                F.shiftright(zvalue(F.col("qx"), F.col("qy"), 8), 8).alias("file_id"),
-                "qx",
-                "qy",
-            )
-        )
+    # one scan, not a 3-branch union (which would re-read the fact per
+    # layout at scale): each row explodes into its 3 layout assignments —
+    # a fixed 3x row expansion inside the same scan stage
+    layout_structs = F.array(
+        F.struct(
+            F.lit("custkey_sorted").alias("layout"),
+            F.col("qx").alias("file_id"),
+        ),
+        F.struct(
+            F.lit("date_sorted").alias("layout"), F.col("qy").alias("file_id")
+        ),
+        F.struct(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(zvalue(F.col("qx"), F.col("qy"), 8), 8).alias(
+                "file_id"
+            ),
+        ),
+    )
+    layouts = q.select(F.explode(layout_structs).alias("lf"), "qx", "qy").select(
+        F.col("lf.layout").alias("layout"),
+        F.col("lf.file_id").alias("file_id"),
+        "qx",
+        "qy",
     )
     spans = layouts.groupBy("layout", "file_id").agg(
         (F.max("qx") - F.min("qx")).alias("cust_span"),

@@ -405,11 +405,14 @@ def test_inverted_index_posting_join_broadcasts(spark, sf_dir):
 
 
 def test_corpus_datacard_window_on_lang_grain(spark, sf_dir):
-    """The top-lang argmax window runs over (source, lang) aggregate rows
-    — a Window above a HashAggregate — never over document-grain input;
-    all three stats passes reduce to source grain before joining."""
+    """The text column is scanned/tokenized exactly once: the rollups all
+    read the materialized doc-grain stats relation (no parquet scan in
+    the reporting plan at all), the top-lang argmax window runs over
+    (source, lang) aggregate rows, and every join is on source-grain
+    aggregates (tiny): no SMJ, no cartesian."""
     plan = plan_of(spark, sf_dir, "corpus_datacard")
+    assert "documents.parquet" not in plan  # one upstream checkpoint pass
+    assert "Scan ExistingRDD" in plan
     assert "Window" in plan
-    # every join in the plan is on source-grain aggregates (tiny): no SMJ
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
