@@ -580,9 +580,12 @@ def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     mcd = mc.withColumn(
         "day", F.to_date(F.timestamp_micros(F.col("m") * 60000000))
     )
-    pk = mcd.groupBy("day").agg(F.max("c").alias("peak"))
+    # per-day argmax as a window over minute-grain rows (<=1440/day) —
+    # the aggregate-then-join form recomputes the whole sessionize
+    # pipeline for the peak lookup (audited: 2 event scans -> 1)
+    peak = F.max("c").over(W.partitionBy("day"))
     return (
-        mcd.join(pk, "day")
+        mcd.withColumn("peak", peak)
         .where(F.col("c") == F.col("peak"))
         .groupBy(F.col("day").cast("string").alias("day"), "peak")
         .agg((F.min("m") % 1440).cast("long").alias("first_peak_minute"))
@@ -630,8 +633,12 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.avg("value").alias("x")
     )
-    # day-grain global window: bounded by the calendar, documented safe
-    idx = daily.withColumn("t", F.row_number().over(W.orderBy("day")))
+    # day-grain global window: bounded by the calendar, documented safe.
+    # Pinned because the triangle join consumes TWO instances of the
+    # spine — unpinned, each side re-runs the event rollup (2 scans -> 1)
+    idx = daily.withColumn(
+        "t", F.row_number().over(W.orderBy("day"))
+    ).localCheckpoint()
     a = idx.alias("a")
     b = idx.alias("b")
     wgt = F.pow(F.lit(0.7), F.col("a.t") - F.col("b.t"))

@@ -81,7 +81,10 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df = pairs.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    top = df.orderBy(F.desc("df"), "tok").limit(20)
+    # pin the 20-row top-k: it is consumed twice (posting semi-join +
+    # final enrich), and unpinned each consumer re-runs the whole
+    # explode+distinct+count pass (audited: 3 parquet scans -> 2)
+    top = df.orderBy(F.desc("df"), "tok").limit(20).localCheckpoint()
     # restrict to the top terms BEFORE collecting postings: the posting
     # agg then has ≤20 groups (broadcastable by construction) instead of
     # vocab-sized state, and the collected lists are 1/10-sampled
@@ -398,35 +401,46 @@ def embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.when(F.size("embedding") == 64, 0).otherwise(1).alias("bad_dim"),
     )
-    joined = d.join(e, d.doc_id == e.vec_id, "left")
-    per_src = joined.groupBy("source").agg(
+    # ONE full-outer join feeds both the per-source rows and the orphan
+    # summary (orphan vectors fall into a synthetic source key) — the
+    # left-join + anti-join formulation scans both tables twice
+    # (audited: 4 parquet scans -> 2, one per table)
+    joined = d.join(e, d.doc_id == e.vec_id, "full_outer")
+    grp = F.coalesce("source", F.lit("__orphan_vecs__"))
+    is_orphan = F.col("source").isNull()
+    has_vec = F.col("vec_id").isNotNull() & ~is_orphan
+    per_grp = joined.groupBy(grp.alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_with_vec"),
+        F.sum(F.when(has_vec, 1).otherwise(0)).cast("long").alias("n_with_vec"),
         F.sum(F.coalesce("bad_dim", F.lit(0))).cast("long").alias("n_bad_dim"),
-        F.round(
-            100.0
-            * F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0))
-            / F.count(F.lit(1)),
-            4,
-        ).alias("coverage_pct"),
-    )
-    orphans = (
-        e.join(d, e.vec_id == d.doc_id, "left_anti")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.coalesce(F.sum("bad_dim"), F.lit(0)).cast("long").alias("n_bad_dim"),
+        F.when(
+            F.max(F.when(is_orphan, 1).otherwise(0)) == 1, F.lit(0.0)
         )
-        .select(
-            F.lit("__orphan_vecs__").alias("source"),
-            "n_docs",
-            F.lit(0).cast("long").alias("n_with_vec"),
-            "n_bad_dim",
-            F.lit(0.0).alias("coverage_pct"),
+        .otherwise(
+            F.round(
+                100.0
+                * F.sum(F.when(has_vec, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            )
         )
+        .alias("coverage_pct"),
     )
-    return per_src.unionByName(orphans)
+    # keep the orphan summary row present even when there are no orphans
+    empty_orphan = spark.createDataFrame(
+        [("__orphan_vecs__", 0, 0, 0, 0.0)],
+        "source string, n_docs long, n_with_vec long, n_bad_dim long, "
+        "coverage_pct double",
+    )
+    from pyspark.sql.window import Window as _W
+
+    dedup_w = _W.partitionBy("source").orderBy(F.desc("n_docs"))
+    return (
+        per_grp.unionByName(empty_orphan)
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 @register(

@@ -780,19 +780,26 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("c_cur"),
         )
     )
-    tot = counts.agg(
-        F.sum("c_base").cast("double").alias("n_base"),
-        F.sum("c_cur").cast("double").alias("n_cur"),
+    # totals as windows over the <=10 bin-grain rows, NOT a separate
+    # aggregate branch: a crossJoin'd scalar agg re-runs the event scan
+    # for the totals (audited: 4 parquet scans); the window form keeps
+    # one binning pass + the extremes pass
+    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    withtot = counts.select(
+        "bin",
+        "c_base",
+        "c_cur",
+        F.sum("c_base").over(wt).cast("double").alias("n_base"),
+        F.sum("c_cur").over(wt).cast("double").alias("n_cur"),
     )
     p_base = (F.col("c_base") + 1) / (F.col("n_base") + 10)
     p_cur = (F.col("c_cur") + 1) / (F.col("n_cur") + 10)
-    contrib = counts.crossJoin(F.broadcast(tot)).select(
+    contrib = withtot.select(
         "bin",
         "c_base",
         "c_cur",
         ((p_base - p_cur) * F.log(p_base / p_cur)).alias("psi_c"),
     )
-    wt = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return contrib.select(
         "bin",
         F.col("c_base").cast("long").alias("c_base"),

@@ -346,10 +346,15 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     t = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
     dt = docs.select(t.alias("t"))
+    # materialize the two count tables once (vocab- and bigram-grain —
+    # tiny next to the corpus): each is consumed by both its mass total
+    # and the enrichment joins, and without pinning, every consumer
+    # re-runs the corpus explode+count pass (audited: 5 parquet scans)
     uni = (
         dt.select(F.explode("t").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     pairs = (
@@ -362,7 +367,11 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", F.col("i") + 1).alias("w2"),
         )
     )
-    bg_all = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    bg_all = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint()
+    )
     nb = bg_all.agg(F.sum("c_ab").cast("double").alias("n_bg"))
     a = uni.select(F.col("tok").alias("w1"), F.col("c").alias("c_a"))
     b = uni.select(F.col("tok").alias("w2"), F.col("c").alias("c_b"))
