@@ -76,14 +76,18 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-5 front of window: the one query no
-# round has ever driver-checked (event_transition_matrix — registered after
-# the r4 window froze), then the two r4 hash-fails with their determinism/
-# canonicalization fixes (winsorized ORDER BY; decimal final projection to
-# rounded DOUBLE), then the two ADVICE-touched queries (locale-free
-# day_name; Jaccard 0-denominator guard), then new round-5 registrations,
-# then 3 stable anchors as regression canaries, then the long-tail of
-# queries last driver-checked in round 2 (oldest confirmations first).
+# ordering is signal allocation. Round-5 window: the one query no round
+# has ever driver-checked (event_transition_matrix — registered after the
+# r4 window froze), then the two r4 hash-fails with their determinism/
+# canonicalization fixes (winsorized ORDER BY; decimal final projection
+# to rounded DOUBLE), then the two ADVICE-touched queries (locale-free
+# day_name; Jaccard 0-denominator guard), then every round-5 registration
+# (waves 1-8: TPC-H completion, multimodal, tokenizer/eval/drift,
+# scale diagnostics, corpus administration, packing/integrity/PMI,
+# concurrency sweep, PSI/incremental-merge, Z-order, native-sessionize/
+# k-anonymity, EWMA — all get their first check this round), then 3
+# stable r4-green anchors as regression canaries, then long-tail
+# re-confirmations (last driver-checked in round 2).
 _CHECK_PRIORITY = (
     # never driver-checked — the only registry gap (VERDICT r4 item 3)
     "event_transition_matrix",

@@ -59,6 +59,8 @@ SHOWCASE = [
     ("corpus_datacard", "per-source data card: three source-grain agg passes joined broadcast, argmax window on lang grain"),
     ("token_length_percentiles", "exact per-group percentiles with NO data-grain sort: value-grain histogram CDF + integer rank thresholds"),
     ("bigram_pmi_collocations", "collocation mining: two explode+count passes, vocab-key joins, mass scalars broadcast, TakeOrdered top-20"),
+    ("zorder_locality_stats", "Z-order layout: one scan, 3x layout explode, pure shift/mask codegen curve key"),
+    ("concurrent_sessions_peak", "interval concurrency: bounded minute explode, per-day argmax window on minute grain, one event scan"),
 ]
 
 
