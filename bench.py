@@ -62,7 +62,11 @@ def main() -> None:
         builder = specs[name].builder
         best = None
         try:
-            for _ in range(3):  # best-of-3: strips GC/compilation/page-cache noise
+            # best-of-5: local[32] shows ~15% run-to-run spread from
+            # scheduler/GC noise that best-of-3 sometimes failed to strip
+            # (same code measured 9.3 s and 10.8 s totals an hour apart);
+            # the min over 5 reps is a stabler floor at +~1 min bench time
+            for _ in range(5):
                 t0 = time.time()
                 builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
