@@ -495,23 +495,13 @@ def attribution_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_attribution(views, purchases)
 
 
-@register(
-    "concurrent_sessions_peak",
-    """
-    WITH gaps AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                    OR lag(epoch_us(ts)) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS is_start
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id, ts_us,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM gaps
-    ),
+def _peak_oracle() -> str:
+    from fitness_nutrition_data_pipeline_spark.queries.relational2 import (
+        SESSIONIZE_SQL_CTES,
+    )
+
+    return f"""
+    WITH {SESSIONIZE_SQL_CTES},
     bounds AS (
       SELECT user_id, session_no,
              min(ts_us) // 60000000 AS start_m,
@@ -533,7 +523,12 @@ def attribution_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM mcd JOIN pk ON pk.day = mcd.day AND mcd.c = pk.peak
     GROUP BY mcd.day, pk.peak
     ORDER BY day
-    """,
+    """
+
+
+@register(
+    "concurrent_sessions_peak",
+    _peak_oracle(),
     sort=("day",),
     doc="Peak concurrent sessions per day — the interval-stabbing sweep "
     "reformulated for bounded explode: 30-min-gap sessions reduce to "
@@ -547,25 +542,12 @@ def attribution_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minute-keyed shuffle (concurrency), one day-grain join.",
 )
 def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.queries.relational2 import (
+        sessionized,
+    )
+
     ev = _ev(spark, sf_dir)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros("ts")
-    gap = ts_us - F.lag(ts_us).over(w)
-    starts = ev.select(
-        "user_id",
-        "event_id",
-        ts_us.alias("ts_us"),
-        F.when(gap > 1800000000, 1)
-        .when(gap.isNull(), 1)
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    w2 = (
-        W.partitionBy("user_id")
-        .orderBy("ts_us", "event_id")
-        .rowsBetween(W.unboundedPreceding, 0)
-    )
-    sess = starts.withColumn("session_no", F.sum("is_start").over(w2))
+    sess = sessionized(ev)
     bounds = sess.groupBy("user_id", "session_no").agg(
         F.expr("min(ts_us) div 60000000").alias("start_m"),
         F.expr("max(ts_us) div 60000000").alias("end_m"),

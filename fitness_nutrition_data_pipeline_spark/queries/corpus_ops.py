@@ -62,13 +62,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Inverted-index build, serving-sample edition: document frequency "
     "per term (exact, map-side partial count) for the top-20 terms, plus "
-    "a DETERMINISTIC ~10%% hash-sampled posting list (md5-bucketed on "
+    "a DETERMINISTIC ~10 percent hash-sampled posting list (md5-bucketed on "
     "doc_id, the sampling.py portability contract). The cap is the scale "
     "story: exact df is a bounded agg at any corpus size, while full "
     "posting lists for stopword-class terms would be corpus-sized — the "
-    "hash sample keeps every group's collected state at ~df/10 with no "
-    "rand() and no skew surprise, and the same predicate prunes at the "
-    "scan when postings are materialized per-partition.",
+    "hash sample keeps every group's collected state at about df/10 of "
+    "a 20-term subset with no rand() and no skew surprise, and the same "
+    "predicate prunes at the scan when postings are materialized "
+    "per-partition.",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
@@ -118,19 +119,23 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "corpus_datacard",
     r"""
-    WITH base AS (
+    WITH docs AS (
+      SELECT * FROM documents
+      WHERE text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+    ),
+    base AS (
       SELECT source,
              count(*) AS n_docs,
              CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
              CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
                AS ws_tokens,
              round(CAST(avg(length(text)) AS DOUBLE), 2) AS avg_chars
-      FROM documents GROUP BY source
+      FROM docs GROUP BY source
     ),
     dup AS (
       SELECT source, CAST(sum(c - 1) AS BIGINT) AS exact_dup_docs
       FROM (SELECT source, md5(text) AS h, count(*) AS c
-            FROM documents GROUP BY source, md5(text))
+            FROM docs GROUP BY source, md5(text))
       GROUP BY source
     ),
     langtop AS (
@@ -138,7 +143,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source, lang,
                row_number() OVER (PARTITION BY source
                                   ORDER BY count(*) DESC, lang) AS rn
-        FROM documents GROUP BY source, lang)
+        FROM docs GROUP BY source, lang)
       WHERE rn = 1
     )
     SELECT b.source, b.n_docs, b.n_langs, l.top_lang,
@@ -164,7 +169,14 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grain with everything the card needs (count, token/char mass); the
     # rollups below consume the materialized grain (pinned by
     # tests/test_plans.py::test_corpus_datacard_window_on_lang_grain).
-    d = _docs(spark, sf_dir)
+    # NULL contract, explicit on BOTH engines: cards describe well-formed
+    # docs only (non-null text/lang/source) — without the filter the two
+    # sides diverge on how NULLs enter averages and distinct counts
+    d = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("source").isNotNull()
+    )
     grain = d.groupBy(
         "source", "lang", F.md5("text").alias("h")
     ).agg(
@@ -361,7 +373,11 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT vec_id,
              CASE WHEN len(embedding) = 64 THEN 0 ELSE 1 END AS bad_dim
-      FROM embeddings
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ),
+    d0 AS (
+      SELECT doc_id, source FROM documents
+      WHERE doc_id IS NOT NULL AND source IS NOT NULL
     ),
     per_src AS (
       SELECT d.source,
@@ -371,7 +387,7 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(sum(COALESCE(e.bad_dim, 0)) AS BIGINT) AS n_bad_dim,
              round(100.0 * sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
                    / count(*), 4) AS coverage_pct
-      FROM documents d LEFT JOIN e ON e.vec_id = d.doc_id
+      FROM d0 d LEFT JOIN e ON e.vec_id = d.doc_id
       GROUP BY d.source
     ),
     orphans AS (
@@ -380,8 +396,7 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(0 AS BIGINT) AS n_with_vec,
              CAST(COALESCE(sum(bad_dim), 0) AS BIGINT) AS n_bad_dim,
              CAST(0.0 AS DOUBLE) AS coverage_pct
-      FROM e WHERE vec_id NOT IN (SELECT doc_id FROM documents
-                                  WHERE doc_id IS NOT NULL)
+      FROM e WHERE vec_id NOT IN (SELECT doc_id FROM d0)
     )
     SELECT * FROM per_src UNION ALL SELECT * FROM orphans
     ORDER BY source
@@ -396,10 +411,21 @@ def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort=("source",),
 )
 def embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "source")
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.when(F.size("embedding") == 64, 0).otherwise(1).alias("bad_dim"),
+    # same NULL contract as the oracle's d0/e CTEs: null ids and null
+    # sources are excluded explicitly rather than falling into engine-
+    # specific NOT IN / full-outer NULL semantics
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source")
+        .where(F.col("doc_id").isNotNull() & F.col("source").isNotNull())
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id").isNotNull())
+        .select(
+            "vec_id",
+            F.when(F.size("embedding") == 64, 0).otherwise(1).alias("bad_dim"),
+        )
     )
     # ONE full-outer join feeds both the per-source rows and the orphan
     # summary (orphan vectors fall into a synthetic source key) — the
@@ -432,9 +458,7 @@ def embedding_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs long, n_with_vec long, n_bad_dim long, "
         "coverage_pct double",
     )
-    from pyspark.sql.window import Window as _W
-
-    dedup_w = _W.partitionBy("source").orderBy(F.desc("n_docs"))
+    dedup_w = W.partitionBy("source").orderBy(F.desc("n_docs"))
     return (
         per_grp.unionByName(empty_orphan)
         .withColumn("_rn", F.row_number().over(dedup_w))

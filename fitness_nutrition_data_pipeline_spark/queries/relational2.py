@@ -96,10 +96,11 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "sessionize_events",
-    """
-    WITH gaps AS (
+# The 30-minute-gap sessionizer, shared by every query that builds on
+# sessions (sessionize_events, behavior_ops.concurrent_sessions_peak):
+# ONE definition of the gap rule / tie-break on each engine side, so a
+# change to session semantics edits exactly two strings.
+SESSIONIZE_SQL_CTES = """gaps AS (
       SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
                     OR lag(epoch_us(ts)) OVER w IS NULL
@@ -112,7 +113,36 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                  ROWS UNBOUNDED PRECEDING) AS session_no
       FROM gaps
+    )"""
+
+
+def sessionized(ev: DataFrame) -> DataFrame:
+    """events → (user_id, event_id, ts_us, session_no): the Spark twin of
+    SESSIONIZE_SQL_CTES (30-min gap, (ts, event_id) tie-break)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    gap = ts_us - F.lag(ts_us).over(w)
+    starts = ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.when(gap > 1800000000, 1)
+        .when(gap.isNull(), 1)
+        .otherwise(0)
+        .alias("is_start"),
     )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return starts.withColumn("session_no", F.sum("is_start").over(w2))
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH {SESSIONIZE_SQL_CTES}
     SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            max(ts_us) - min(ts_us) AS duration_us
@@ -127,19 +157,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_us = F.unix_micros("ts")
-    gap = ts_us - F.lag(ts_us).over(w)
-    starts = ev.select(
-        "user_id",
-        "event_id",
-        ts_us.alias("ts_us"),
-        F.when(gap > 1800000000, 1).when(gap.isNull(), 1).otherwise(0).alias("is_start"),
-    )
-    w2 = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    sess = starts.withColumn("session_no", F.sum("is_start").over(w2))
+    sess = sessionized(ev)
     return sess.groupBy("user_id", F.col("session_no").cast("long").alias("session_no")).agg(
         F.count(F.lit(1)).alias("n_events"),
         (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),

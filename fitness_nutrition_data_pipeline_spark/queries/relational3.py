@@ -299,7 +299,7 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS total_value,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                  / count(*), 4) AS avg_value
-    FROM events WHERE value IS NOT NULL
+    FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY CAST(ts AS DATE), event_type
     ORDER BY day, event_type
     """,
@@ -317,7 +317,10 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         _t(spark, sf_dir, "events")
-        .where(F.col("value").isNotNull())
+        # ts NOT NULL is explicit on both sides: a NULL day would fall
+        # through both period filters here while the oracle keeps it as
+        # its own group
+        .where(F.col("value").isNotNull() & F.col("ts").isNotNull())
         .select(
             F.to_date("ts").alias("day"),
             "event_type",
