@@ -710,21 +710,8 @@ def user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_native_window",
-    """
-    WITH gaps AS (
-      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
-             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
-                    OR lag(epoch_us(ts)) OVER w IS NULL
-                  THEN 1 ELSE 0 END AS is_start
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ),
-    sess AS (
-      SELECT user_id, event_id, ts_us,
-             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM gaps
-    )
+    f"""
+    WITH {SESSIONIZE_SQL_CTES}
     SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            max(ts_us) - min(ts_us) AS duration_us
