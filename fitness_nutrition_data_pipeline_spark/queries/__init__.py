@@ -140,6 +140,7 @@ _CHECK_PRIORITY = (
     "sessionize_native_window",
     "k_anonymity_audit",
     "ewma_daily_value",
+    "hopping_window_rollup",
     # stable anchors (driver-green r4) — regression canaries
     "star_join_topk",
     "minhash_lsh_buckets",

@@ -636,3 +636,50 @@ def ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ewma_raw", 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "hopping_window_rollup",
+    """
+    WITH hops AS (
+      SELECT event_type, user_id,
+             (epoch_us(ts) // 21600000000 - k) * 21600000000 AS hop_us
+      FROM events, unnest(range(0, 4)) AS u(k)
+    )
+    SELECT CAST(make_timestamp(hop_us) AS VARCHAR) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM hops
+    GROUP BY hop_us, event_type
+    ORDER BY window_start, event_type
+    """,
+    sort=("window_start", "event_type"),
+    doc="Hopping-window rollup (24 h windows sliding every 6 h) — the "
+    "batch twin of a Structured Streaming sliding aggregation, computed "
+    "with the SAME F.window(ts, '1 day', '6 hours') expression the "
+    "streaming rollups use, so batch backfill and live stream produce "
+    "identical window keys. Each event lands in exactly window/hop = 4 "
+    "windows — a fixed 4x expansion Spark generates inside the scan "
+    "stage, then one (window, type)-keyed shuffle with map-side "
+    "partials; the oracle derives the same epoch-aligned hop starts "
+    "with integer division. Window grain is calendar-bounded, never "
+    "data-bounded.",
+)
+def hopping_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 day", "6 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )

@@ -297,8 +297,9 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
              AS total_value,
-           round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-                 / count(*), 4) AS avg_value
+           CAST((CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                 * 100 * 2 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000
+             AS avg_value
     FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
     GROUP BY CAST(ts AS DATE), event_type
     ORDER BY day, event_type
@@ -340,12 +341,22 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.sum("cnt").alias("n_events"), F.sum("s").alias("total"))
     )
-    return merged.select(
-        F.col("day").cast("string").alias("day"),
-        "event_type",
-        "n_events",
-        F.round(F.col("total").cast("double"), 2).alias("total_value"),
-        F.round(F.col("total").cast("double") / F.col("n_events"), 4).alias(
-            "avg_value"
-        ),
+    # avg via exact integer half-up over 1e-4 units (the
+    # monthly_customer_spend idiom): round(double_total / n, 4) lands
+    # exactly on half boundaries for 2-decimal inputs (e.g. 307.03/8 =
+    # 38.37875), where Spark and DuckDB round doubles in opposite
+    # directions — caught by the sf0.001 sweep
+    scaled = (F.col("total") * 100).cast("long") * 100
+    avg4 = (
+        F.expr("CAST(_num div (2 * n_events) AS DOUBLE)") / 10000
+    )
+    return (
+        merged.withColumn("_num", scaled * 2 + F.col("n_events"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n_events",
+            F.round(F.col("total").cast("double"), 2).alias("total_value"),
+            avg4.alias("avg_value"),
+        )
     )

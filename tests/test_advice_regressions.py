@@ -201,3 +201,39 @@ def test_half_boundary_rounding_diverges_and_integer_formula_agrees(spark):
         f"SELECT (CAST({sp} AS BIGINT) * 20000 + {sq}) // (2 * {sq}) AS c"
     ).fetchone()[0]
     assert s2 == expect and d2 == expect
+
+
+def test_avg_half_boundary_integer_formula(spark):
+    """sf0.001 sweep regression: 307.03/8 = 38.37875 exactly — a 4dp half
+    boundary where Spark's round (BigDecimal HALF_UP on the double's
+    exact value) gives .3788 while DuckDB's scale-multiply can land a ulp
+    below the midpoint and give .3787. incremental_agg_merge's integer
+    half-up formula must produce the same digits as DuckDB's version of
+    the same integer formula, boundary included."""
+    import duckdb
+
+    df = spark.createDataFrame([(307.03, 8)], "total double, n long")
+    got = (
+        df.select(
+            (
+                # the DECIMAL cast before scaling is load-bearing: a raw
+                # double total*100 can land at 30702.999... and truncate
+                F.expr(
+                    "CAST(((CAST(CAST(total AS DECIMAL(18,2)) * 100 AS LONG)"
+                    " * 100 * 2 + n) div (2 * n)) AS DOUBLE)"
+                )
+                / 10000
+            ).alias("avg4")
+        )
+        .first()
+        .avg4
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "SELECT CAST((CAST(307.03 * 100 AS BIGINT) * 100 * 2 + 8) "
+            "// (2 * 8) AS DOUBLE) / 10000"
+        )
+        .fetchone()[0]
+    )
+    assert got == want == 38.3788

@@ -384,3 +384,14 @@ def test_ewma_tracks_series(spark, sf_dir):
     assert statistics.pvariance([r.ewma for r in rows]) <= statistics.pvariance(
         [r.daily_avg for r in rows]
     )
+
+
+def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
+    """24h/6h hopping windows: total event mass across windows is exactly
+    4x the stream, and every per-type window count is positive."""
+    df = SPECS["hopping_window_rollup"].builder(spark, sf_dir)
+    rows = df.collect()
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r.n_events for r in rows) == 4 * total
+    for r in rows:
+        assert r.n_events >= r.n_users >= 1
