@@ -539,7 +539,7 @@ def _peak_oracle() -> str:
     "concurrency is a count per epoch-minute. The per-day argmax runs "
     "over minute-grain rows (<=1440/day, value grain); ties resolve to "
     "the earliest minute. One user-keyed shuffle (sessionize), one "
-    "minute-keyed shuffle (concurrency), one day-grain join.",
+    "minute-keyed shuffle (concurrency), one day-partitioned window.",
 )
 def concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fitness_nutrition_data_pipeline_spark.queries.relational2 import (
