@@ -249,3 +249,149 @@ def test_stream_rate_limiter(spark, tmp_path_factory):
     # worked regardless of it (the container env has changed between
     # rounds before — don't pin the gate's value, pin that it's honest)
     assert second_gen_available() in (True, False)
+
+
+# --- CEP sequence detection ------------------------------------------------
+
+
+def test_stream_sequence_detector(spark, tmp_path_factory):
+    """view→cart→purchase with a 30-min step deadline, single-attempt
+    skip-till-next-match policy. The fixture covers: a clean match, noise
+    events mid-pattern, a deadline break that restarts the attempt, two
+    matches for one user, and a user who never completes. Events arrive
+    reversed across 4 files with a 2-row Arrow cap, so the detector fails
+    if the NFA runs in chunk order instead of (ts, event_id) order."""
+    import datetime
+
+    from fitness_nutrition_data_pipeline_spark.streaming.cep import (
+        run_detector_once,
+    )
+    from fitness_nutrition_data_pipeline_spark.streaming.sessions import (
+        EVENT_SCHEMA,
+    )
+
+    t0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid, etype):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, etype, 1.0)
+
+    rows = [
+        # user 1: clean match with a noise event inside
+        ev(1, 0, 1, "view"),
+        ev(2, 5, 1, "click"),
+        ev(3, 10, 1, "cart"),
+        ev(4, 20, 1, "purchase"),
+        # user 1 again: second match later
+        ev(5, 60, 1, "view"),
+        ev(6, 70, 1, "cart"),
+        ev(7, 90, 1, "purchase"),
+        # user 2: deadline break (cart 40 min after view), then restart
+        ev(8, 0, 2, "view"),
+        ev(9, 40, 2, "cart"),       # expired: no attempt running afterwards
+        ev(10, 45, 2, "view"),
+        ev(11, 50, 2, "cart"),
+        ev(12, 55, 2, "purchase"),  # match from the restarted attempt
+        # user 3: never completes
+        ev(13, 0, 3, "view"),
+        ev(14, 10, 3, "cart"),
+    ]
+    d = str(tmp_path_factory.mktemp("cep"))
+    indir = os.path.join(d, "in")
+    spark.createDataFrame(list(reversed(rows)), EVENT_SCHEMA).repartition(
+        4
+    ).write.mode("overwrite").parquet(indir)
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        out = run_detector_once(spark, indir, "cep_out")
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
+
+    us = lambda minutes: int(  # noqa: E731
+        (t0 + datetime.timedelta(minutes=minutes)).replace(
+            tzinfo=datetime.timezone.utc
+        ).timestamp() * 1_000_000
+    )
+    got = sorted(
+        (r.user_id, r.t_view_us, r.t_cart_us, r.t_purchase_us)
+        for r in out.collect()
+    )
+    assert got == [
+        (1, us(0), us(10), us(20)),
+        (1, us(60), us(70), us(90)),
+        (2, us(45), us(50), us(55)),
+    ]
+
+
+def test_sequence_detector_state_survives_restart(spark, tmp_path_factory):
+    """A pattern split across two checkpointed drains completes: view+cart
+    land in drain 1 (no output), the purchase arrives before drain 2, and
+    the restarted query emits the match from restored state — per-key NFA
+    state must live in the checkpoint, not the process."""
+    import datetime
+
+    from fitness_nutrition_data_pipeline_spark.streaming.cep import (
+        stream_detect_sequences,
+    )
+    from fitness_nutrition_data_pipeline_spark.streaming.sessions import (
+        EVENT_SCHEMA,
+    )
+
+    base = str(tmp_path_factory.mktemp("cep_restart"))
+    indir, outdir, ckpt = (os.path.join(base, n) for n in ("in", "out", "ck"))
+    os.makedirs(indir)
+    t0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+
+    def drain():
+        q = (
+            stream_detect_sequences(spark, indir)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_events(fname, rows):
+        # the file source lists top-level files: stage the parquet dir,
+        # then move its single part file into place as indir/<fname>
+        import glob as _glob
+        import shutil
+
+        stage = os.path.join(base, "stage_" + fname)
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(indir, fname))
+
+    write_events(
+        "f1.parquet",
+        [
+            (1, t0, 7, "view", 1.0),
+            (2, t0 + datetime.timedelta(minutes=10), 7, "cart", 1.0),
+        ],
+    )
+    drain()
+    # pattern still open: the sink holds zero match rows after drain 1
+    assert spark.read.parquet(outdir).count() == 0
+
+    write_events(
+        "f2.parquet",
+        [(3, t0 + datetime.timedelta(minutes=20), 7, "purchase", 1.0)],
+    )
+    drain()
+    got = spark.read.parquet(outdir).collect()
+    assert len(got) == 1
+    us = lambda m: int(  # noqa: E731
+        (t0 + datetime.timedelta(minutes=m))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    r = got[0]
+    assert (r.user_id, r.t_view_us, r.t_cart_us, r.t_purchase_us) == (
+        7, us(0), us(10), us(20),
+    )
