@@ -304,3 +304,93 @@ def sample_video_frames(
     return df.select("media_id", binary_col).repartition("media_id").mapInPandas(
         sample, out_schema
     )
+
+
+def audio_waveform_stats(df: DataFrame, binary_col: str = "payload") -> DataFrame:
+    """Decode WAV blobs to (duration_s, sample_rate, n_channels, rms, peak).
+
+    RIFF/WAVE with integer PCM is decoded for REAL via the stdlib ``wave``
+    reader + numpy (no external codec needed); anything else gets the
+    clearly-marked deterministic hash-derived fallback, same contract as
+    decode_images. Arrow-batched mapInPandas: one batch of blobs per
+    task, so peak memory is one payload batch; swap the stats block for
+    a mel-spectrogram or an encoder forward pass without touching the
+    plumbing.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("duration_s", T.FloatType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_channels", T.IntegerType(), True),
+            T.StructField("rms", T.FloatType(), True),
+            T.StructField("peak", T.FloatType(), True),
+            T.StructField("decoded", T.BooleanType(), False),
+        ]
+    )
+
+    def stats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import hashlib
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        _widths = {1: "int8", 2: "int16", 4: "int32"}
+
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf[binary_col]):
+                if blob is None:
+                    rows.append((mid, None, None, None, None, None, False))
+                    continue
+                raw = bytes(blob)
+                try:
+                    with wave.open(io.BytesIO(raw)) as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nframes = w.getnframes()
+                        width = w.getsampwidth()
+                        pcm = np.frombuffer(
+                            w.readframes(nframes), dtype=_widths[width]
+                        ).astype("float64")
+                    full_scale = float(2 ** (8 * width - 1))
+                    x = pcm / full_scale
+                    rows.append(
+                        (
+                            mid,
+                            float(nframes) / sr if sr else None,
+                            sr,
+                            nch,
+                            float(np.sqrt(np.mean(x * x))) if x.size else 0.0,
+                            float(np.max(np.abs(x))) if x.size else 0.0,
+                            True,
+                        )
+                    )
+                    continue
+                except Exception:
+                    pass
+                # STUB DECODE (not a parseable PCM WAV): deterministic fake
+                # derived from the payload hash — NOT real audio data.
+                h = hashlib.md5(raw).digest()
+                rows.append(
+                    (
+                        mid,
+                        float(1 + h[0] % 30),
+                        8000 * (1 + h[1] % 6),
+                        1 + h[2] % 2,
+                        float(h[3]) / 512.0,
+                        float(h[4]) / 256.0,
+                        False,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "duration_s", "sample_rate", "n_channels",
+                    "rms", "peak", "decoded",
+                ],
+            )
+
+    return df.select("media_id", binary_col).mapInPandas(stats, out_schema)

@@ -109,3 +109,50 @@ def test_video_frame_sampling_contract(media):
     again = sample_video_frames(media, every_n_seconds=1.0).collect()
     key = lambda rs: sorted((r.media_id, r.frame_no, bytes(r.frame)) for r in rs)
     assert key(out) == key(again)
+
+
+def test_audio_waveform_stats_real_wav_decode(spark):
+    """A genuine PCM WAV (stdlib-written 440 Hz int16 sine) must decode on
+    the REAL path with exact header values and the analytically-known
+    sine RMS (1/sqrt(2) of the amplitude); a non-WAV payload must take
+    the marked fallback with decoded=False."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from fitness_nutrition_data_pipeline_spark.operators.multimodal import (
+        audio_waveform_stats,
+    )
+
+    sr, secs, amp = 16000, 2, 0.5
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        samples = [
+            int(amp * 32767 * math.sin(2 * math.pi * 440 * i / sr))
+            for i in range(sr * secs)
+        ]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    wav_bytes = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(wav_bytes)), (2, bytearray(b"not audio at all"))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_waveform_stats(df).collect()}
+
+    real = rows[1]
+    assert real.decoded is True
+    assert real.sample_rate == sr
+    assert real.n_channels == 1
+    assert abs(real.duration_s - secs) < 1e-6
+    # sine RMS = amp/sqrt(2); int16 quantization keeps it within 1e-3
+    assert abs(real.rms - amp / math.sqrt(2)) < 1e-3
+    assert abs(real.peak - amp) < 1e-3
+
+    fake = rows[2]
+    assert fake.decoded is False
+    assert fake.sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
