@@ -24,10 +24,15 @@ from pyspark.sql import functions as F
 def quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Map a numeric column onto the integer grid [0, 2^bits) given its
     min/max (pass as broadcast scalar columns). The top cell is closed so
-    ``hi`` itself stays in range."""
+    ``hi`` itself stays in range. A degenerate range (constant column,
+    hi == lo) maps everything to cell 0 — without the guard Spark yields
+    NULL bins while a SQL oracle raises/infs on the zero divide, i.e.
+    the engines diverge exactly when they can't be compared."""
     cells = 1 << bits
     scaled = F.floor((col - lo) / (hi - lo) * cells).cast("long")
-    return F.least(scaled, F.lit(cells - 1))
+    return F.when(hi == lo, F.lit(0)).otherwise(
+        F.least(scaled, F.lit(cells - 1))
+    )
 
 
 def zvalue(x: Column, y: Column, bits: int = 8) -> Column:

@@ -337,7 +337,9 @@ def audio_waveform_stats(df: DataFrame, binary_col: str = "payload") -> DataFram
         import numpy as np
         import pandas as pd
 
-        _widths = {1: "int8", 2: "int16", 4: "int32"}
+        # 8-bit WAV PCM is UNSIGNED (0..255, midpoint 128) per the RIFF
+        # spec; 16/32-bit are signed two's complement.
+        _widths = {1: "uint8", 2: "int16", 4: "int32"}
 
         for pdf in batches:
             rows = []
@@ -356,7 +358,11 @@ def audio_waveform_stats(df: DataFrame, binary_col: str = "payload") -> DataFram
                             w.readframes(nframes), dtype=_widths[width]
                         ).astype("float64")
                     full_scale = float(2 ** (8 * width - 1))
-                    x = pcm / full_scale
+                    if width == 1:
+                        # recentre unsigned samples so silence (128) → 0.0
+                        x = (pcm - 128.0) / 128.0
+                    else:
+                        x = pcm / full_scale
                     rows.append(
                         (
                             mid,

@@ -297,6 +297,7 @@ def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lens AS (
       SELECT lang, len(string_split_regex(trim(text), '\s+')) AS n_tok
       FROM documents
+      WHERE text IS NOT NULL
     ),
     hist AS (
       SELECT lang, n_tok, count(*) AS c FROM lens GROUP BY lang, n_tok
@@ -333,7 +334,11 @@ def prefix_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    lens = d.select(
+    # text IS NOT NULL on both sides (ADVICE r5): a NULL-text doc gets a
+    # NULL n_tok, which Spark's CDF window sorts FIRST but DuckDB sorts
+    # LAST — shifting every cumulative count. The NULL-contract filter
+    # removes the latent divergence (corpus_datacard pattern).
+    lens = d.where(F.col("text").isNotNull()).select(
         "lang",
         F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
     )

@@ -252,10 +252,12 @@ def _zorder_oracle() -> str:
     ext AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
                    min(dd) AS dd_lo, max(dd) AS dd_hi FROM base),
     q AS (
-      SELECT least(CAST(floor((ck - ck_lo) / (ck_hi - ck_lo) * 256) AS BIGINT),
-                   255) AS qx,
-             least(CAST(floor((dd - dd_lo) / (dd_hi - dd_lo) * 256) AS BIGINT),
-                   255) AS qy
+      SELECT CASE WHEN ck_hi = ck_lo THEN 0
+                  ELSE least(CAST(floor((ck - ck_lo) / (ck_hi - ck_lo) * 256)
+                                  AS BIGINT), 255) END AS qx,
+             CASE WHEN dd_hi = dd_lo THEN 0
+                  ELSE least(CAST(floor((dd - dd_lo) / (dd_hi - dd_lo) * 256)
+                                  AS BIGINT), 255) END AS qy
       FROM base, ext
     ),
     files AS (

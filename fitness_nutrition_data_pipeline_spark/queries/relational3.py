@@ -345,10 +345,19 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # monthly_customer_spend idiom): round(double_total / n, 4) lands
     # exactly on half boundaries for 2-decimal inputs (e.g. 307.03/8 =
     # 38.37875), where Spark and DuckDB round doubles in opposite
-    # directions — caught by the sf0.001 sweep
+    # directions — caught by the sf0.001 sweep. FLOOR division, not
+    # `div`: Spark `div` truncates toward zero while DuckDB `//` floors,
+    # which diverges for negative sums (ADVICE r5 — latent with the
+    # all-positive testdata, real for any signed measure). pmod is
+    # non-negative, so (_num - pmod) is an exact multiple and the div is
+    # exact floor for the always-positive denominator.
     scaled = (F.col("total") * 100).cast("long") * 100
     avg4 = (
-        F.expr("CAST(_num div (2 * n_events) AS DOUBLE)") / 10000
+        F.expr(
+            "CAST((_num - pmod(_num, 2 * n_events)) div (2 * n_events)"
+            " AS DOUBLE)"
+        )
+        / 10000
     )
     return (
         merged.withColumn("_num", scaled * 2 + F.col("n_events"))

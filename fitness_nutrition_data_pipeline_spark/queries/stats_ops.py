@@ -134,7 +134,9 @@ def chi_square_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     binned AS (
       SELECT event_type,
-             least(CAST(floor((value - lo) / (hi - lo) * 100) AS INT), 99) AS bin
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo) / (hi - lo) * 100)
+                                  AS INT), 99) END AS bin
       FROM events, ext
       WHERE event_type IN ('click', 'view') AND value IS NOT NULL
     ),
@@ -165,11 +167,18 @@ def ks_binned_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "value")
     )
     ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    bin_expr = F.least(
-        F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 100).cast(
-            "int"
-        ),
-        F.lit(99),
+    # degenerate-range guard (ADVICE r5): constant column -> hi==lo makes
+    # the divide NULL in Spark but an error/inf in SQL engines; bin 0 on
+    # both sides keeps the engines aligned exactly when values collapse
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 100
+            ).cast("int"),
+            F.lit(99),
+        )
     )
     counts = (
         ev.crossJoin(F.broadcast(ext))
@@ -327,8 +336,9 @@ def zipf_slope_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ext AS (
       SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem
     )
-    SELECT least(CAST(floor((l_extendedprice - lo) / (hi - lo) * 20) AS INT), 19)
-             AS bin,
+    SELECT CASE WHEN hi = lo THEN 0
+                ELSE least(CAST(floor((l_extendedprice - lo) / (hi - lo) * 20)
+                                AS INT), 19) END AS bin,
            count(*) AS n,
            round(CAST(min(l_extendedprice) AS DOUBLE), 2) AS bin_min,
            round(CAST(max(l_extendedprice) AS DOUBLE), 2) AS bin_max
@@ -345,11 +355,15 @@ def histogram_equi_width_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
-    bin_expr = F.least(
-        F.floor(
-            (F.col("l_extendedprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20
-        ).cast("int"),
-        F.lit(19),
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 20
+            ).cast("int"),
+            F.lit(19),
+        )
     )
     return (
         li.crossJoin(F.broadcast(ext))
@@ -676,7 +690,8 @@ _DRIFT_BASELINE = ((0, 0.33), (1, 0.22), (2, 0.15), (3, 0.10), (4, 0.07), (5, 0.
       FROM j
     )
     SELECT window_start, n_rows,
-           round(CAST(max(abs(cdf_obs - cdf_base)) AS DOUBLE), 6) AS ks_stat
+           CAST(CAST(round(CAST(max(abs(cdf_obs - cdf_base)) AS DOUBLE), 6)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS ks_stat
     FROM cdf GROUP BY window_start, n_rows
     ORDER BY window_start
     """,
@@ -704,7 +719,17 @@ def drift_monitor_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline = spark.createDataFrame(
         [(b, s) for b, s in _DRIFT_BASELINE], "bin long, share double"
     )
-    return binned_drift_scores(hist, baseline)
+    scores = binned_drift_scores(hist, baseline)
+    # Canonicalize the rounded KS stat through DECIMAL and back to DOUBLE
+    # in the REPLAY WRAPPER (not in streaming/drift.py — the stream/batch
+    # parity tests pin the live operator untouched): each engine's
+    # round(x, 6) can emit a different nearest-double for the same
+    # 6-decimal value (float-summed CDF → ulp residue); decimal→double is
+    # exact on both engines, so the driver's strict hash sees identical
+    # bits. Same treatment that fixed decimal_money_totals.
+    return scores.withColumn(
+        "ks_stat", F.col("ks_stat").cast("decimal(18,6)").cast("double")
+    )
 
 
 @register(
@@ -719,7 +744,9 @@ def drift_monitor_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext AS (SELECT min(value) AS lo, max(value) AS hi FROM pop),
     binned AS (
       SELECT period,
-             least(CAST(floor((value - lo) / (hi - lo) * 10) AS INT), 9) AS bin
+             CASE WHEN hi = lo THEN 0
+                  ELSE least(CAST(floor((value - lo) / (hi - lo) * 10)
+                                  AS INT), 9) END AS bin
       FROM pop, ext
     ),
     counts AS (
@@ -765,11 +792,15 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     ext = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
-    bin_expr = F.least(
-        F.floor(
-            (F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10
-        ).cast("int"),
-        F.lit(9),
+    bin_expr = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("int"),
+            F.lit(9),
+        )
     )
     counts = (
         ev.crossJoin(F.broadcast(ext))

@@ -126,9 +126,11 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o.o_orderpriority,
            count(*) AS n_orders,
-           round(avg(least(greatest(o.o_totalprice, q.p01), q.p99)), 2)
+           CAST(CAST(round(avg(least(greatest(o.o_totalprice, q.p01), q.p99)),
+                           2) AS DECIMAL(18,2)) AS DOUBLE)
                AS winsorized_mean,
-           round(avg(o.o_totalprice), 2) AS raw_mean,
+           CAST(CAST(round(avg(o.o_totalprice), 2) AS DECIMAL(18,2))
+                AS DOUBLE) AS raw_mean,
            sum(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
                     THEN 1 ELSE 0 END) AS n_clipped
     FROM orders o JOIN q USING (o_orderpriority)
@@ -140,7 +142,12 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interpolated percentiles rounded to 4dp BEFORE clipping so both "
     "engines clip at the identical boundary. The threshold table is one "
     "row per group → broadcast back onto the facts; facts shuffle once "
-    "for the final group-by.",
+    "for the final group-by. The rounded means are canonicalized through "
+    "DECIMAL(18,2) and back to DOUBLE: each engine's round() can emit a "
+    "different nearest-double for the same cent value (ulp residue that "
+    "a strict value hash catches); decimal→double conversion is exact "
+    "and correctly rounded, so both engines hand back identical bits — "
+    "the same treatment that fixed decimal_money_totals.",
 )
 def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -152,8 +159,14 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_orders"),
-        F.round(F.avg(clipped), 2).alias("winsorized_mean"),
-        F.round(F.avg("o_totalprice"), 2).alias("raw_mean"),
+        F.round(F.avg(clipped), 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("winsorized_mean"),
+        F.round(F.avg("o_totalprice"), 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("raw_mean"),
         F.sum(
             F.when(
                 (F.col("o_totalprice") < F.col("p01"))

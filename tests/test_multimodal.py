@@ -156,3 +156,41 @@ def test_audio_waveform_stats_real_wav_decode(spark):
     fake = rows[2]
     assert fake.decoded is False
     assert fake.sample_rate in {8000, 16000, 24000, 32000, 40000, 48000}
+
+
+def test_audio_waveform_stats_8bit_unsigned(spark):
+    """8-bit WAV PCM stores UNSIGNED samples (0-255, silence = 128) — the
+    ADVICE-r5 finding: decoding them as signed int8 reported rms=1.0 for
+    a silence file. A u8 silence file must decode to rms≈0 peak≈0, and a
+    full-scale u8 square wave to rms≈peak≈1."""
+    import io
+    import wave
+
+    from fitness_nutrition_data_pipeline_spark.operators.multimodal import (
+        audio_waveform_stats,
+    )
+
+    def u8_wav(samples: bytes) -> bytes:
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(samples)
+        return buf.getvalue()
+
+    silence = u8_wav(bytes([128]) * 8000)
+    square = u8_wav(bytes([0, 255]) * 4000)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(silence)), (2, bytearray(square))],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in audio_waveform_stats(df).collect()}
+
+    assert rows[1].decoded is True
+    assert abs(rows[1].rms) < 1e-6
+    assert abs(rows[1].peak) < 1e-6
+    assert rows[2].decoded is True
+    assert abs(rows[2].rms - 1.0) < 5e-3
+    assert abs(rows[2].peak - 1.0) < 5e-3
