@@ -81,8 +81,12 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="TPC-H Q3 (shipping priority): selective dim filter → fact joins → "
-    "grouped top-k. Customer filter broadcast; lineitem never shuffles for "
-    "the join, only for the final group.",
+    "grouped top-k. No forced broadcast on customer — it scales with the "
+    "data (150k x SF), so the join strategy is left to AQE, which "
+    "broadcasts the filtered side when its runtime size is under the "
+    "threshold and falls back to a shuffle join when it is not; a "
+    "hard-pinned hint would force a GB-scale broadcast (and an OOM) at "
+    "100x. Lineitem shuffles only for the final group.",
 )
 def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -90,7 +94,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1998-03-15")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"), "o_orderpriority")
         .agg(
             F.round(
@@ -122,7 +126,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q5 (local supplier volume): the snowflake join chain with "
     "the same-nation theta condition folded into the supplier equi-join — "
-    "the join-order/broadcast stress test.",
+    "the join-order/broadcast stress test. Broadcast hints only on "
+    "nation/region (fixed 25/5 rows); customer and supplier scale with "
+    "SF, so their join strategy is AQE's runtime-size call.",
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -135,9 +141,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

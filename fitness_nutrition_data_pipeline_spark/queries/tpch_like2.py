@@ -101,8 +101,10 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND l.l_shipdate < TIMESTAMP '1997-04-01'
     """,
     doc="TPC-H Q14 (promotion effect): fact-dim join feeding a conditional "
-    "aggregate ratio. Part broadcasts; the date filter is pushed to the "
-    "lineitem scan so only one quarter is read.",
+    "aggregate ratio. Part scales with SF (200k x SF), so no forced "
+    "broadcast — AQE broadcasts it while small and shuffles at scale. "
+    "The date filter is pushed to the lineitem scan so only one quarter "
+    "is read.",
 )
 def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
@@ -111,7 +113,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0
@@ -138,9 +140,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     sort=("p_brand", "p_type", "p_size"),
     doc="TPC-H Q16 shape (supplier relationship count): NOT IN over a "
-    "non-null key column is a broadcast LEFT ANTI join (the blacklist is "
-    "tiny); then a distinct count per part group. lineitem stands in for "
-    "partsupp, negative account balance for the complaints predicate.",
+    "non-null key column is a LEFT ANTI join; then a distinct count per "
+    "part group. lineitem stands in for partsupp, negative account "
+    "balance for the complaints predicate. The blacklist and the "
+    "filtered part table are SUBSETS of scaling tables, so neither is "
+    "hint-broadcast — their runtime size is AQE's call.",
 )
 def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -150,8 +154,8 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -180,7 +184,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(part_avg.withColumnRenamed("l_partkey", "pa_partkey"),
               F.col("l_partkey") == F.col("pa_partkey"))
         .where(F.col("l_quantity") < F.col("qty_threshold"))
@@ -223,7 +227,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
                 li.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "c_name",
             "c_custkey",

@@ -62,8 +62,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), s.s_nationkey == n1.n_nationkey)
         .join(F.broadcast(n2), c.c_nationkey == F.col("n2_nationkey"))
         .where(F.col("n_name") != F.col("n2_name"))
@@ -127,10 +127,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
@@ -167,8 +167,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q10 (returned items): lost-revenue top-k per customer over "
     "one quarter of returns. Returnflag + date predicates push to the "
-    "scans; customer/nation broadcast; rank on rounded revenue with "
-    "custkey tie-break for engine portability.",
+    "scans; nation broadcast (customer scales with SF — join strategy "
+    "left to AQE); rank on rounded revenue with custkey tie-break for "
+    "engine portability.",
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
@@ -179,7 +180,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
@@ -218,8 +219,10 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q15 (top supplier): quarterly revenue rollup, then the "
     "argmax via a broadcast single-row max join (the view + subquery of "
-    "the original). Comparing on the ROUNDED revenue keeps the argmax "
-    "engine-portable.",
+    "the original); the ~1-row argmax survivor set is then broadcast "
+    "against supplier (broadcasting supplier itself would pin a scaling "
+    "table — the r5 wrong-side finding). Comparing on the ROUNDED "
+    "revenue keeps the argmax engine-portable.",
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(
@@ -232,9 +235,11 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mx = revenue.agg(F.max("total_revenue").alias("_mx"))
     s = _t(spark, sf_dir, "supplier")
+    # the argmax survivor set (revenue ⋈ 1-row max) is ~1 row — THAT is
+    # the broadcast side; supplier scales with SF and joins in place
+    top = revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
     return (
-        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        s.join(F.broadcast(top), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -256,9 +261,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q19 (discounted revenue, adapted to the slimmed part "
     "schema: brand/size/quantity keep the disjunctive-predicate shape; "
-    "no p_container/l_shipmode columns exist). Part broadcast; the OR-of-"
-    "ANDs evaluates post-join inside codegen while each side's range "
-    "predicates still prune its scan.",
+    "no p_container/l_shipmode columns exist). Part scales with SF so "
+    "its join strategy is AQE's runtime call; the OR-of-ANDs evaluates "
+    "post-join inside codegen while each side's range predicates still "
+    "prune its scan.",
 )
 def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -281,7 +287,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(
             F.round(

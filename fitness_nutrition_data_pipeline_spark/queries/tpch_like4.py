@@ -120,8 +120,8 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("p_partkey").orderBy("unit_cost", "l_suppkey")
     ranked = (
-        cost.join(F.broadcast(p.select("p_partkey")), cost.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(sup), cost.l_suppkey == sup.s_suppkey)
+        cost.join(p.select("p_partkey"), cost.l_partkey == F.col("p_partkey"))
+        .join(sup, cost.l_suppkey == sup.s_suppkey)
         .withColumn("rn", F.row_number().over(w))
     )
     return (
@@ -166,8 +166,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == s.s_suppkey)
+        li.join(p.select("p_partkey", "p_retailprice"), li.l_partkey == p.p_partkey)
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n.select("n_nationkey", "n_name")), s.s_nationkey == n.n_nationkey)
         .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -205,8 +205,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold is relative (original's fixed 0.0001 fraction empties at "
     "growing part counts — mean-relative stays selective-but-nonempty "
     "at any scale factor), and both compare sides are rounded to 2dp so "
-    "no boundary part flips on float drift. One shuffle on l_partkey, "
-    "supplier/nation broadcast.",
+    "no boundary part flips on float drift. One shuffle on l_partkey; "
+    "nation broadcast, supplier left to AQE (it scales with SF).",
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -215,7 +215,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_3", "NATION_7")
     )
     v = (
-        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")), li.l_suppkey == s.s_suppkey)
+        li.join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n.select("n_nationkey")), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("raw_value"))
@@ -309,8 +309,9 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     "two-level aggregation (per (part,supplier) then per part) joined "
     "back. The threshold is RELATIVE so the query stays selective-but-"
     "nonempty at any scale factor; both compare sides are 6dp-rounded so "
-    "no boundary pair flips on float drift. Part filter broadcast-semis "
-    "the fact; one shuffle on l_partkey.",
+    "no boundary pair flips on float drift. The part filter joins the "
+    "fact under AQE's runtime-size call (part scales with SF); one "
+    "shuffle on l_partkey.",
 )
 def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -318,7 +319,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     per = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == p.p_partkey)
+        li.join(p.select("p_partkey"), li.l_partkey == p.p_partkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
@@ -331,7 +332,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("qty") / F.col("part_qty"), 6)
             > F.round(2.5 / F.col("n_supps"), 6)
         )
-        .join(F.broadcast(s.select("s_suppkey", "s_name", "s_nationkey")),
+        .join(s.select("s_suppkey", "s_name", "s_nationkey"),
               per.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n.select("n_nationkey", "n_name")),
               s.s_nationkey == n.n_nationkey)
@@ -398,7 +399,7 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_pair.join(per_order, "l_orderkey")
         .where((F.col("is_late") == 1) & (F.col("n_supps") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s.select("s_suppkey", "s_name")),
+        .join(s.select("s_suppkey", "s_name"),
               per_pair.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

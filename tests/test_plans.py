@@ -21,6 +21,23 @@ def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def final_plan_of(spark, sf_dir, name: str) -> str:
+    """The AQE-FINAL physical plan: execute, then explain and cut the
+    echoed '== Initial Plan ==' section. This is the plan that actually
+    ran — the right place to assert join strategy now that scaling-table
+    joins carry no broadcast hint and the choice is AQE's runtime call
+    (r5 verdict: a pinned F.broadcast on customer/supplier/part forces a
+    GB-scale broadcast at 100× where AQE would shuffle)."""
+    df = SPECS[name].builder(spark, sf_dir)
+    df.collect()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    text = buf.getvalue()
+    cut = text.find("Initial Plan")
+    return text[:cut] if cut != -1 else text
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "scan_filter_project")
     assert "PushedFilters:" in plan
@@ -149,8 +166,9 @@ def test_incremental_dedup_broadcasts_history(spark, sf_dir):
 
 def test_q7_broadcasts_all_dims(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
-    # supplier, customer, nation ×2 all broadcast; only orders⋈lineitem and
-    # the final rollup may shuffle
+    # nation ×2 hint-broadcast; supplier/customer carry NO hint (they
+    # scale with SF) but the size-based planner still picks broadcast at
+    # this SF — the point is the CHOICE is the optimizer's, not pinned
     assert plan.count("BroadcastHashJoin") >= 4
     assert "CartesianProduct" not in plan
 
@@ -171,7 +189,8 @@ def test_q10_pushdown_and_broadcast(spark, sf_dir):
 
 def test_q15_argmax_broadcasts_scalar(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
-    # the single-row max side and the supplier dim both broadcast
+    # the ~1-row argmax survivor set is the hinted broadcast side (r5
+    # verdict: broadcasting the SF-scaling supplier was the wrong side)
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
 
@@ -276,12 +295,16 @@ def test_unigram_lm_no_global_window(spark, sf_dir):
 
 def test_q2_argmin_is_partitioned_window(spark, sf_dir):
     """Q2's correlated MIN subquery must be a per-part window (partitioned,
-    parallel), with every dim side broadcast — no shuffle of the cost agg
-    for the dim joins and no global sort before the final output one."""
+    parallel). Since r6 the part/supplier sides carry NO broadcast hint
+    (they scale with SF — a pinned hint OOMs at 100×), so the STATIC plan
+    may show a sort-merge join for them; what's pinned is AQE's runtime
+    choice: at this SF every one of those sides converts to broadcast in
+    the final plan. Nation/region keep their hints (fixed 25/5 rows)."""
     plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
     assert "hashpartitioning(p_partkey" in plan
     assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan
+    final = final_plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "SortMergeJoin" not in final
 
 
 def test_q21_counts_not_self_joins(spark, sf_dir):
