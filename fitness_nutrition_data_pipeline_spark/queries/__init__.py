@@ -76,113 +76,120 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-5 window: the one query no round
-# has ever driver-checked (event_transition_matrix — registered after the
-# r4 window froze), then the two r4 hash-fails with their determinism/
-# canonicalization fixes (winsorized ORDER BY; decimal final projection
-# to rounded DOUBLE), then the two ADVICE-touched queries (locale-free
-# day_name; Jaccard 0-denominator guard), then every round-5 registration
-# (waves 1-8: TPC-H completion, multimodal, tokenizer/eval/drift,
-# scale diagnostics, corpus administration, packing/integrity/PMI,
-# concurrency sweep, PSI/incremental-merge, Z-order, native-sessionize/
-# k-anonymity, EWMA — all get their first check this round), then 3
-# stable r4-green anchors as regression canaries, then long-tail
-# re-confirmations (last driver-checked in round 2).
+# ordering is signal allocation. Round-6 window: the two r5 hash-reds
+# with their DECIMAL-canonicalization fixes, the four r6 registrations
+# (multimodal oracle companion, CEP/ratelimit batch replays, end-to-end
+# near-dedup), the six ADVICE-touched queries, the ENTIRE r2-stale block
+# (verdict r5 item 5: rotate the stale third back through the driver),
+# and eight TPC-H queries whose broadcast plans changed this round. The
+# r3-stale block is queued directly after the fold for the r7 window.
 _CHECK_PRIORITY = (
-    # never driver-checked — the only registry gap (VERDICT r4 item 3)
-    "event_transition_matrix",
-    # r4 hash-fails, fixed this round — prove the flip
+    # --- round-6 window (driver checks the FIRST 50) ---
+    # r5 hash-reds, fixed this round via DECIMAL canonicalization of the
+    # rounded measures (the decimal_money_totals treatment) — prove the
+    # flip under the strict driver hash
     "winsorized_price_stats",
-    "decimal_money_totals",
-    # ADVICE-touched (green r4, re-confirm after the robustness edits)
-    "weekday_seasonality",
-    "minhash_jaccard_calibration",
-    # round-5 additions: TPC-H completion (22/22) + first driver-visible
-    # multimodal entry (rows-only — mapInPandas has no SQL oracle)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "multimodal_format_profile",
-    # round-5 additions wave 2: tokenizer/eval/detection/drift/behavior
-    "bpe_merge_candidates",
-    "lang_id_kappa",
-    "winnowing_cross_matches",
-    "source_length_drift",
-    "strict_funnel_3step",
-    "event_type_cooccurrence",
-    # round-5 additions wave 3: scale diagnostics + sketch-verify + MMR
-    "join_key_skew_profile",
-    "heavy_hitters_verified",
-    "mmr_diversified_topk",
-    "dedup_cluster_size_histogram",
-    "selfjoin_blowup_estimate",
-    "cross_source_dup_leakage",
     "drift_monitor_batch_replay",
-    "attribution_batch_replay",
-    # round-5 additions wave 4: corpus administration (data card, capped
-    # inverted index, prefix/truncation audit, embedding dim health)
-    "inverted_index_postings",
-    "corpus_datacard",
-    "prefix_dup_groups",
-    "embedding_dim_variance",
-    # round-5 additions wave 5: packing percentiles (value-grain CDF),
-    # collocation mining, cross-modal integrity
-    "token_length_percentiles",
-    "bigram_pmi_collocations",
-    "embedding_coverage_check",
-    "concurrent_sessions_peak",
+    # r6 registrations: first oracle-checked multimodal entry, the two
+    # streaming batch replays (CEP NFA, rate limiter), and the flagship
+    # end-to-end near-dedup composition
+    "multimodal_meta_profile",
+    "cep_batch_replay",
+    "ratelimit_batch_replay",
+    "near_dup_pipeline",
+    # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
+    # ordering) — re-confirm after the robustness edits
+    "zorder_locality_stats",
+    "ks_binned_click_view",
+    "histogram_equi_width_prices",
     "psi_value_drift",
     "incremental_agg_merge",
-    "zorder_locality_stats",
-    "sessionize_native_window",
-    "k_anonymity_audit",
-    "ewma_daily_value",
-    "hopping_window_rollup",
-    # stable anchors (driver-green r4) — regression canaries
-    "star_join_topk",
-    "minhash_lsh_buckets",
-    "dau_wau_stickiness",
-    # long-tail: last driver-checked in round 2, re-confirm (incl. the
-    # entity_resolution perf claw-back and anything keys.py touches)
-    "entity_resolution_profiles",
-    "surrogate_key_assignment",
-    "column_profile_orders",
-    "composite_pk_check",
-    "date_dimension",
-    "dedup_exact_summary",
+    "token_length_percentiles",
+    # r2-stale third of the registry (last driver-checked round 2) —
+    # rotate the whole block back through the hard signal
+    "ngram_jaccard_pairs",
+    "minhash_dedup_flags",
+    "simhash_signatures",
+    "embedding_knn_bruteforce",
+    "embedding_centroid_assign",
+    "embedding_near_dup_pairs",
+    "embedding_ann_ivf_probe",
+    "simhash_hamming_pairs",
+    "price_histogram",
+    "interval_range_join",
+    "scan_filter_project",
+    "pk_uniqueness_check",
     "distribution_stats",
     "domain_inventory_concat",
-    "embedding_ann_ivf_probe",
-    "embedding_centroid_assign",
-    "embedding_knn_bruteforce",
-    "embedding_near_dup_pairs",
-    "fact_dim_key_resolution",
-    "fk_coverage_pct",
-    "grouping_sets_revenue",
-    "interval_range_join",
-    "keyword_categorization",
-    "metric_unpivot",
-    "minhash_dedup_flags",
-    "monthly_customer_spend",
-    "ngram_jaccard_pairs",
-    "orphan_fk_check",
-    "percentile_stats",
-    "pivot_status_counts",
-    "pk_uniqueness_check",
-    "price_histogram",
+    "table_counts_union",
     "recent_window_topk",
+    "orphan_fk_check",
+    "fk_coverage_pct",
+    "fact_dim_key_resolution",
+    "metric_unpivot",
+    "keyword_categorization",
+    "pivot_status_counts",
     "rollup_qty",
-    "running_revenue",
-    "scan_filter_project",
+    "grouping_sets_revenue",
+    "topn_per_group",
     "semi_join_active_customers",
     "set_ops_customers",
-    "simhash_hamming_pairs",
-    "simhash_signatures",
-    "table_counts_union",
-    "topn_per_group",
+    "percentile_stats",
+    "running_revenue",
+    "monthly_customer_spend",
+    # TPC-H queries whose broadcast strategy changed this round (hints on
+    # SF-scaling tables removed; q15 wrong-side fix) — driver-confirm the
+    # results are unchanged on the new plans
+    "tpch_q15_top_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q1_pricing_summary",
+    # --- below the 50-line: r3-stale block queued for the r7 window ---
+    "range_validity_nullout",
+    "daily_rollup_sum",
+    "daily_rollup_mean",
+    "conditional_range_check",
+    "window_dedup_first_seen",
+    "regex_extract_cast",
+    "json_props_parse",
+    "salted_event_counts",
+    "asof_join_last_view",
+    "funnel_view_purchase",
+    "retention_cohorts",
+    "violations_materialization",
+    "range_frame_trailing_avg",
+    "order_gap_analysis",
+    "correlated_subquery_big_spenders",
+    "stats_correlation",
+    "cube_revenue",
+    "window_rank_suite",
+    "edit_distance_pairs",
+    "date_spine_gap_fill",
+    "dedup_keep_best",
+    "incremental_ingest_dedup",
+    "hash_stratified_sample",
+    "train_val_test_split",
+    "domain_mixing_budget",
+    "approx_distinct_contract",
+    "approx_quantile_contract",
+    "vocab_inventory",
+    "token_count",
+    "doc_quality_score",
+    "lang_id_scores",
+    "doc_fingerprint",
+    "winnowing_fingerprints",
+    "tfidf_top_terms",
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_custdist",
+    "tpch_q22_dormant_capital",
+    "corpus_curation_pipeline",
+    "lsh_dedup_clusters",
+    "kmeans_lloyd_update",
 )
 
 

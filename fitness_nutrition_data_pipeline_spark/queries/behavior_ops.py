@@ -683,3 +683,164 @@ def hopping_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "cep_batch_replay",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id, epoch_us(ts) AS t, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    machine AS (
+      SELECT user_id,
+             0 AS rn, 0 AS stage,
+             CAST(0 AS BIGINT) AS t_first, CAST(0 AS BIGINT) AS t_second,
+             CAST(0 AS BIGINT) AS t_prev,
+             CAST(NULL AS BIGINT) AS m_first, CAST(NULL AS BIGINT) AS m_second,
+             CAST(NULL AS BIGINT) AS m_third
+      FROM (SELECT DISTINCT user_id FROM seq)
+      UNION ALL
+      SELECT s.user_id, s.rn,
+             CASE WHEN eff = 0 AND s.event_type = 'view' THEN 1
+                  WHEN eff = 1 AND s.event_type = 'click' THEN 2
+                  WHEN eff = 2 AND s.event_type = 'purchase' THEN 0
+                  ELSE eff END,
+             CASE WHEN eff = 0 AND s.event_type = 'view' THEN s.t
+                  ELSE m.t_first END,
+             CASE WHEN eff = 1 AND s.event_type = 'click' THEN s.t
+                  ELSE m.t_second END,
+             CASE WHEN (eff = 0 AND s.event_type = 'view')
+                       OR (eff = 1 AND s.event_type = 'click') THEN s.t
+                  ELSE m.t_prev END,
+             CASE WHEN eff = 2 AND s.event_type = 'purchase'
+                  THEN m.t_first END,
+             CASE WHEN eff = 2 AND s.event_type = 'purchase'
+                  THEN m.t_second END,
+             CASE WHEN eff = 2 AND s.event_type = 'purchase'
+                  THEN s.t END
+      FROM machine m
+      JOIN seq s ON s.user_id = m.user_id AND s.rn = m.rn + 1
+      CROSS JOIN LATERAL (SELECT CASE WHEN m.stage > 0
+                                       AND s.t - m.t_prev > 86400000000
+                                      THEN 0 ELSE m.stage END AS eff) x
+    )
+    SELECT user_id, m_first AS t_view_us, m_second AS t_click_us,
+           m_third AS t_purchase_us
+    FROM machine WHERE m_third IS NOT NULL
+    ORDER BY user_id, t_view_us
+    """,
+    sort=("user_id", "t_view_us"),
+    doc="Batch replay of the STREAMING sequence detector (streaming/"
+    "cep.py): the IDENTICAL per-group NFA callback the live "
+    "applyInPandasWithState path runs — make_detector() instantiated "
+    "with view→click→purchase and a 1-day step deadline (the testdata "
+    "has no cart events and its per-user event spacing is hours — the "
+    "default 30-min deadline matches zero sequences, an empty signal) — "
+    "executed via batch applyInPandas with empty initial state, exactly "
+    "one whole-history 'micro-batch'. The DuckDB oracle re-derives the "
+    "same single-attempt skip-till-next-match semantics (step deadline, "
+    "(ts,event_id) order, deadline break may restart on a view) as a "
+    "recursive-CTE automaton over per-user event sequences — "
+    "a real cross-paradigm check: imperative Arrow-batch NFA vs pure-SQL "
+    "recursion must emit the identical match set. Streaming parity "
+    "itself is pinned by tests/test_streaming.py.",
+)
+def cep_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from fitness_nutrition_data_pipeline_spark.streaming.cep import (
+        MATCH_SCHEMA,
+        make_detector,
+    )
+
+    detector = make_detector(
+        ("view", "click", "purchase"), step_window_us=86_400_000_000
+    )
+
+    class _BatchState:
+        """GroupState stand-in for the one-shot batch pass: no prior
+        state, updates discarded (the whole history is one group)."""
+
+        exists = False
+
+        def update(self, value):  # noqa: D102 — protocol shim
+            self._final = value
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        frames = list(detector(key, iter([pdf]), _BatchState()))
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "t_view_us": pd.Series(dtype="int64"),
+                "t_cart_us": pd.Series(dtype="int64"),
+                "t_purchase_us": pd.Series(dtype="int64"),
+            }
+        )
+
+    ev = _ev(spark, sf_dir).select("event_id", "ts", "user_id", "event_type")
+    matches = ev.groupBy("user_id").applyInPandas(run, MATCH_SCHEMA)
+    return matches.select(
+        "user_id",
+        "t_view_us",
+        F.col("t_cart_us").alias("t_click_us"),
+        "t_purchase_us",
+    )
+
+
+@register(
+    "ratelimit_batch_replay",
+    """
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+             AS admitted_no
+    FROM events
+    QUALIFY admitted_no <= 5
+    ORDER BY user_id, event_id
+    """,
+    sort=("user_id", "event_id"),
+    doc="Batch replay of the STREAMING rate limiter (streaming/"
+    "ratelimit.py): the IDENTICAL _limiter(5) callback the live "
+    "applyInPandasWithState path runs, executed via batch applyInPandas "
+    "with empty initial state — the whole history as one 'micro-batch', "
+    "so the quota admits each user's first 5 events in event_id order. "
+    "The oracle states the same admission rule declaratively: "
+    "row_number per user ordered by event_id, kept while <= limit. "
+    "Chunk-order robustness (the r4 ADVICE bug: per-chunk sorting made "
+    "admission order batch-layout-dependent) is separately pinned by "
+    "tests/test_streaming_ratelimit.py with a forced multi-chunk group.",
+)
+def ratelimit_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from fitness_nutrition_data_pipeline_spark.streaming.ratelimit import (
+        ADMITTED_SCHEMA,
+        _limiter,
+    )
+
+    admit = _limiter(5)
+
+    class _BatchState:
+        exists = False
+
+        def update(self, value):  # noqa: D102 — protocol shim
+            self._final = value
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        frames = list(admit(key, iter([pdf]), _BatchState()))
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "event_id": pd.Series(dtype="int64"),
+                "admitted_no": pd.Series(dtype="int64"),
+            }
+        )
+
+    ev = _ev(spark, sf_dir).select("user_id", "event_id")
+    return ev.groupBy("user_id").applyInPandas(run, ADMITTED_SCHEMA)

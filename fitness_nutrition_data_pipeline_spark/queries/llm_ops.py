@@ -28,6 +28,7 @@ from fitness_nutrition_data_pipeline_spark.operators.dedup import (
     lsh_buckets,
     lsh_dup_flags,
     minhash_signatures,
+    near_dup_pipeline,
     simhash16,
 )
 from fitness_nutrition_data_pipeline_spark.operators.similarity import (
@@ -1226,4 +1227,70 @@ def cross_source_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("source").alias("source_b"),
         )
         .where((F.col("n_docs") >= 2) & (F.col("n_sources") >= 2))
+    )
+
+
+@register(
+    "near_dup_pipeline",
+    _bands_cte()
+    + r"""
+    , bstats AS (
+      SELECT band_id, band_key, count(*) AS n, min(doc_id) AS min_id
+      FROM bands GROUP BY band_id, band_key
+    ),
+    cand AS (
+      SELECT DISTINCT s.min_id AS id_a, b.doc_id AS id_b
+      FROM bands b JOIN bstats s USING (band_id, band_key)
+      WHERE s.n >= 2 AND s.n <= 50 AND b.doc_id <> s.min_id
+    ),
+    shl AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1])) AS shingles
+      FROM documents
+    )
+    SELECT c.id_a AS doc_id_a, c.id_b AS doc_id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4)
+               AS jaccard,
+           CASE WHEN CAST(len(list_intersect(a.shingles, b.shingles))
+                          AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+                THEN 1 ELSE 0 END AS is_near_dup
+    FROM cand c
+    JOIN shl a ON a.doc_id = c.id_a
+    JOIN shl b ON b.doc_id = c.id_b
+    ORDER BY doc_id_a, doc_id_b
+    """,
+    sort=("doc_id_a", "doc_id_b"),
+    doc="The FLAGSHIP 100 TB near-dedup composition end-to-end under one "
+    "oracle (operators/dedup.py::near_dup_pipeline): MinHash signatures "
+    "(8 perms / 2 md5s) → LSH bands (4×2) → in-bucket star pairing "
+    "against the bucket-min survivor, capped at max_bucket_size=50 to "
+    "bound the only quadratic stage → exact 2-shingle Jaccard verify → "
+    "is_near_dup at 0.5. Every stage is linear except the capped "
+    "pairing; the oracle replays the composition CTE-for-CTE (the "
+    "individually-green stage queries minhash_lsh_buckets / "
+    "minhash_dedup_flags / ngram_jaccard_pairs validate the parts — "
+    "this validates their COMPOSITION, including the candidate-dedup "
+    "across bands and the verify join).",
+)
+def near_dup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = near_dup_pipeline(
+        _docs(spark, sf_dir),
+        "doc_id",
+        "text",
+        n_hashes=N_MINHASH,
+        n_bands=N_BANDS,
+        threshold=0.5,
+        max_bucket_size=50,
+    )
+    return out.select(
+        F.col("id_a").alias("doc_id_a"),
+        F.col("id_b").alias("doc_id_b"),
+        F.round("jaccard", 4).alias("jaccard"),
+        "is_near_dup",
     )

@@ -81,3 +81,59 @@ def multimodal_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "multimodal_meta_profile",
+    """
+    WITH media AS (
+      SELECT doc_id % 4 AS fmt_idx,
+             CASE doc_id % 4
+               WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 6 ELSE 4
+             END + octet_length(encode(text)) AS size_bytes
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CASE fmt_idx WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                        WHEN 2 THEN 'gif' ELSE 'riff' END AS format,
+           count(*) AS n_media,
+           sum(size_bytes) AS total_bytes,
+           CAST(CAST(round(avg(size_bytes), 2) AS DECIMAL(18,2)) AS DOUBLE)
+             AS avg_bytes
+    FROM media GROUP BY fmt_idx
+    ORDER BY format
+    """,
+    doc="Oracle-checked companion to multimodal_format_profile: the SAME "
+    "synthesized media table and the SAME production metadata path "
+    "(JVM-side magic-number sniff + byte length at scan time — "
+    "operators/multimodal.py::attach_metadata), minus the Arrow-batched "
+    "histogram stage that has no SQL analogue. The format and size of "
+    "each payload are pure functions of doc_id % 4 and the utf-8 byte "
+    "length of text, so DuckDB recomputes them exactly — giving the "
+    "multimodal family a hard hash-checked signal while the histogram "
+    "column stays in the rows-only entry. avg_bytes is canonicalized "
+    "through DECIMAL(18,2) (the decimal_money_totals treatment).",
+    sort=("format",),
+)
+def multimodal_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    magic = None
+    for i, m in enumerate(_MAGIC_BYTES):
+        cond = F.pmod(F.col("doc_id"), F.lit(len(_MAGIC_BYTES))) == i
+        lit = F.lit(bytearray(m))
+        magic = F.when(cond, lit) if magic is None else magic.when(cond, lit)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(magic, F.encode("text", "UTF-8")).alias("payload"),
+    )
+    meta = attach_metadata(media)
+    return (
+        meta.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("size_bytes").alias("total_bytes"),
+            F.round(F.avg("size_bytes"), 2)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("avg_bytes"),
+        )
+    )

@@ -58,52 +58,71 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
-def _detect_group(
-    key, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
-) -> Iterator["pd.DataFrame"]:
-    import pandas as pd
+def make_detector(
+    pattern: tuple[str, str, str] = PATTERN,
+    step_window_us: int = STEP_WINDOW_US,
+):
+    """Build the per-group NFA callback for a 3-step pattern. Defaults
+    are the module constants; the batch replay (queries/behavior_ops.py::
+    cep_batch_replay) instantiates it with a pattern and deadline that
+    produce real matches in the synthetic testdata (no cart events exist
+    there, and per-user event spacing is hours, not minutes)."""
 
-    (user_id,) = key
-    if state.exists:
-        stage, t_first, t_second, t_prev = state.get
-    else:
-        stage, t_first, t_second, t_prev = 0, 0, 0, 0
+    def _detect(
+        key, pdfs: Iterator["pd.DataFrame"], state: GroupState  # noqa: F821
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
 
-    # order the WHOLE group before running the order-sensitive NFA
-    batch = pd.concat(list(pdfs), ignore_index=True)
-    batch = batch[batch["event_type"].isin(PATTERN)]
-    matches: list[tuple[int, int, int, int]] = []
-    if not batch.empty:
-        batch = batch.assign(_us=batch["ts"].astype("int64") // 1000)
-        batch = batch.sort_values(["_us", "event_id"])
-        for t, etype in zip(batch["_us"], batch["event_type"]):
-            t = int(t)
-            if stage > 0 and t - t_prev > STEP_WINDOW_US:
-                stage = 0  # attempt expired; this event may restart below
-            if stage == 0:
-                if etype == PATTERN[0]:
-                    stage, t_first, t_prev = 1, t, t
-            elif stage == 1:
-                if etype == PATTERN[1]:
-                    stage, t_second, t_prev = 2, t, t
-            elif etype == PATTERN[2]:
-                matches.append((user_id, t_first, t_second, t))
-                stage = 0
+        (user_id,) = key
+        if state.exists:
+            stage, t_first, t_second, t_prev = state.get
+        else:
+            stage, t_first, t_second, t_prev = 0, 0, 0, 0
 
-    state.update((stage, t_first, t_second, t_prev))
-    if matches:
-        yield pd.DataFrame(
-            matches,
-            columns=["user_id", "t_view_us", "t_cart_us", "t_purchase_us"],
-        )
+        # order the WHOLE group before running the order-sensitive NFA
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch[batch["event_type"].isin(pattern)]
+        matches: list[tuple[int, int, int, int]] = []
+        if not batch.empty:
+            batch = batch.assign(_us=batch["ts"].astype("int64") // 1000)
+            batch = batch.sort_values(["_us", "event_id"])
+            for t, etype in zip(batch["_us"], batch["event_type"]):
+                t = int(t)
+                if stage > 0 and t - t_prev > step_window_us:
+                    stage = 0  # attempt expired; event may restart below
+                if stage == 0:
+                    if etype == pattern[0]:
+                        stage, t_first, t_prev = 1, t, t
+                elif stage == 1:
+                    if etype == pattern[1]:
+                        stage, t_second, t_prev = 2, t, t
+                elif etype == pattern[2]:
+                    matches.append((user_id, t_first, t_second, t))
+                    stage = 0
+
+        state.update((stage, t_first, t_second, t_prev))
+        if matches:
+            yield pd.DataFrame(
+                matches,
+                columns=["user_id", "t_view_us", "t_cart_us", "t_purchase_us"],
+            )
+
+    return _detect
 
 
-def stream_detect_sequences(spark: SparkSession, input_dir: str) -> DataFrame:
+_detect_group = make_detector()
+
+
+def stream_detect_sequences(
+    spark: SparkSession,
+    input_dir: str,
+    pattern: tuple[str, str, str] = PATTERN,
+) -> DataFrame:
     """Streaming view→cart→purchase detector over a parquet event feed;
     emits one row per completed sequence (append mode)."""
     src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
     return src.groupBy("user_id").applyInPandasWithState(
-        _detect_group,
+        make_detector(pattern),
         outputStructType=MATCH_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -342,3 +342,80 @@ def _analytical_corpus_sql(present: list[str], bounds: dict[str, float]) -> str:
             """
         )
     return "\n".join(parts)
+
+
+def storage_layout_inventory(
+    spark: SparkSession, table_paths: dict[str, str] | None = None
+) -> list[dict]:
+    """Physical-layout inventory — the Spark analogue of the reference's
+    index inventory (validation.sql:397-404: information_schema.statistics
+    GROUP_CONCAT of index columns per table). Spark has no B-tree
+    indexes; the layout features that stand in are date PARTITIONING
+    (scan pruning — load.py:84-85 partitions PARTITIONED_FACTS by
+    DateKey) and BUCKETING (shuffle-free co-located joins —
+    load.py:write_bucketed, ≙ the fact-FK indexes of db_schema.sql:
+    211-218). One row per table: partition columns read from the
+    hive-style directory layout of its parquet path, bucket spec read
+    from the session catalog for saveAsTable'd tables.
+    """
+    import os
+    import re
+
+    rows: list[dict] = []
+    for name, path in sorted((table_paths or {}).items()):
+        part_cols: list[str] = []
+        try:
+            for entry in sorted(os.listdir(path)):
+                m = re.match(r"([A-Za-z_]\w*)=", entry)
+                if m and os.path.isdir(os.path.join(path, entry)):
+                    if m.group(1) not in part_cols:
+                        part_cols.append(m.group(1))
+        except OSError:
+            pass
+        rows.append(
+            {
+                "table": name,
+                "layout": "partitioned" if part_cols else "unpartitioned",
+                "layout_columns": ",".join(part_cols),
+            }
+        )
+    # catalog tables (bucketed writes land here via saveAsTable)
+    for tbl in spark.catalog.listTables():
+        if tbl.tableType == "VIEW" or tbl.isTemporary:
+            continue
+        buckets, bucket_cols = 0, ""
+        try:
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl.name}").collect():
+                if r.col_name == "Num Buckets":
+                    buckets = int(r.data_type)
+                elif r.col_name == "Bucket Columns":
+                    bucket_cols = r.data_type.strip("[]` ")
+        except Exception:  # lenient like the rest of the corpus
+            continue
+        if buckets:
+            rows.append(
+                {
+                    "table": tbl.name,
+                    "layout": f"bucketed({buckets})",
+                    "layout_columns": bucket_cols,
+                }
+            )
+    return rows
+
+
+def record_layout_checks(
+    res: ValidationResults,
+    inventory: list[dict],
+    *,
+    expect_partitioned: tuple[str, ...] = (),
+) -> None:
+    """Fold the layout inventory into the validation report: violations =
+    tables CONTRACTED to be date-partitioned (load.py:PARTITIONED_FACTS
+    when partition_facts=True) whose physical layout shows no partition
+    columns — the check the reference runs against its expected index
+    set."""
+    laid_out = {
+        r["table"] for r in inventory if r["layout"] != "unpartitioned"
+    }
+    missing = [t for t in expect_partitioned if t not in laid_out]
+    res.record("LAYOUT MISSING PARTITIONING", len(missing))

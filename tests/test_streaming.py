@@ -251,6 +251,73 @@ def test_stream_rate_limiter(spark, tmp_path_factory):
     assert second_gen_available() in (True, False)
 
 
+def test_rate_limiter_state_survives_restart_multichunk(spark, tmp_path_factory):
+    """Quota state must live in the checkpoint across restarts AND stay
+    correct when the post-restart group arrives as MANY Arrow chunks in
+    arbitrary order (r5 ADVICE follow-up: the chunk-order fix must hold
+    for a >1-chunk group in a restarted query, not just a fresh one).
+    Drain 1 admits 2 of one user's events; drain 2 feeds 12 more events
+    with REVERSED ids under a 2-row Arrow cap — the restored counter must
+    admit exactly the 2 lowest remaining ids, numbered 3..4."""
+    import datetime
+    import glob as _glob
+    import shutil
+
+    from fitness_nutrition_data_pipeline_spark.streaming.ratelimit import (
+        EVENT_SCHEMA,
+        rate_limit_stream,
+    )
+
+    base = str(tmp_path_factory.mktemp("rl_restart"))
+    indir, outdir, ckpt = (os.path.join(base, n) for n in ("in", "out", "ck"))
+    os.makedirs(indir)
+    t0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+
+    def drain():
+        q = (
+            rate_limit_stream(spark, indir, limit=4)
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write_events(fname, rows):
+        stage = os.path.join(base, "stage_" + fname)
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(stage)
+        (part,) = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        shutil.move(part, os.path.join(indir, fname))
+
+    write_events("f1.parquet", [(i, t0, 7, "click", 1.0) for i in (10, 20)])
+    drain()
+    first = spark.read.parquet(outdir).collect()
+    assert sorted((r.event_id, r.admitted_no) for r in first) == [
+        (10, 1),
+        (20, 2),
+    ]
+
+    # 12 more events, ids reversed, forced into 2-row Arrow chunks
+    write_events(
+        "f2.parquet",
+        [(i, t0, 7, "click", 1.0) for i in reversed(range(30, 42))],
+    )
+    old_cap = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        drain()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_cap)
+    rows = sorted(
+        (r.event_id, r.admitted_no) for r in spark.read.parquet(outdir).collect()
+    )
+    assert rows == [(10, 1), (20, 2), (30, 3), (31, 4)]
+
+
 # --- CEP sequence detection ------------------------------------------------
 
 

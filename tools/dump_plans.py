@@ -35,7 +35,9 @@ SHOWCASE = [
     ("hash_stratified_sample", "deterministic sample: row-local hash predicate, no join/window"),
     ("ngram_jaccard_pairs", "pair join carries shingle ARRAYS; array_intersect per pair — N rows through the shuffle, not N×shingles"),
     ("contamination_check", "benchmark gram set broadcast; corpus side never shuffles for the join"),
-    ("tpch_q8_market_share", "8-table snowflake: every dim broadcast, single fact shuffle"),
+    ("tpch_q8_market_share", "8-table snowflake: scaling sides unhinted (AQE runtime call), fixed dims broadcast, single fact shuffle"),
+    ("near_dup_pipeline", "end-to-end near-dedup: minhash sigs → LSH bands → capped in-bucket star pairs → shingle-join Jaccard verify"),
+    ("tpch_q15_top_supplier", "argmax: 1-row max broadcast onto revenue, ~1-row survivor set broadcast onto supplier"),
     ("pii_scan_redact", "regexp scan+redact: zero shuffles, pure codegen projection"),
     ("lsh_dedup_clusters", "bounded-round label propagation: per round two keyed groupBys, no edge-pair materialization"),
     ("embedding_lsh_buckets", "hyperplane LSH: plane table broadcast, one posexplode, map-side partial dots"),
