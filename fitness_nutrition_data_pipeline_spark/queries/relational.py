@@ -300,15 +300,17 @@ def table_counts_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 5
     """,
     doc="Star join + grouped agg + ORDER BY DESC + LIMIT (top-5 users by "
-    "calories, validation.sql:365-372; J5/A8/O1/O2). Dims broadcast — no "
-    "fact shuffle for the join at scale.",
+    "calories, validation.sql:365-372; J5/A8/O1/O2). Nation hint-"
+    "broadcast (fixed 25 rows); customer scales with SF so its join "
+    "strategy is AQE's runtime-size call — broadcast while small, "
+    "shuffle at 100x (no pinned hint to OOM on).",
 )
 def star_join_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -359,13 +361,15 @@ def recent_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE p.p_partkey IS NULL
     """,
     doc="FK orphan check via anti-join (validation.sql:126-223, J7) — Spark "
-    "plans LEFT JOIN ... IS NULL as an anti join; dim side broadcast.",
+    "plans LEFT JOIN ... IS NULL as an anti join. The filtered part key "
+    "set scales with SF, so no broadcast hint: AQE broadcasts the anti "
+    "side while small and shuffles when it is not.",
 )
 def orphan_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_retailprice") > 1500).select("p_partkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_anti")
+        li.join(p, li.l_partkey == p.p_partkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_rows"))
     )
 
@@ -386,7 +390,7 @@ def orphan_fk_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fk_coverage_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").where(F.col("p_retailprice") > 1500).select("p_partkey")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+    joined = li.join(p, li.l_partkey == p.p_partkey, "left")
     return joined.agg(
         F.round(
             F.avg(F.when(F.col("p_partkey").isNotNull(), 1.0).otherwise(0.0)), 4

@@ -543,7 +543,7 @@ def violations_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("violation_count"),
     )
     orphan = (
-        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_anti")
+        o.join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(
             F.lit("orphan_order_customer").alias("rule"),
             F.count(F.lit(1)).alias("violation_count"),

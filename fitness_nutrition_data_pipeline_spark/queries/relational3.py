@@ -277,8 +277,12 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = fp.where(F.col("doc_id") < 450).select("fingerprint").distinct()
     inc = fp.where(F.col("doc_id") >= 450)
     return (
+        # no broadcast hint on the history fingerprint set: it scales with
+        # the corpus (at 100 TB the right plan is a shuffle join on the
+        # fingerprint, or a bucketed store — load.py::write_bucketed);
+        # AQE broadcasts it while its runtime size allows
         inc.join(
-            F.broadcast(hist.withColumnRenamed("fingerprint", "h_fp")),
+            hist.withColumnRenamed("fingerprint", "h_fp"),
             inc.fingerprint == F.col("h_fp"),
             "left",
         )
