@@ -439,3 +439,95 @@ def test_corpus_datacard_window_on_lang_grain(spark, sf_dir):
     assert "Window" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_on_shuffle_join(spark, sf_dir):
+    """The 100 TB join posture beyond AQE strategy choice: when a
+    fact⋈filtered-side join is too big to broadcast and falls back to a
+    shuffle join, Spark injects a RUNTIME BLOOM FILTER of the selective
+    side's join keys into the fact scan (might_contain semi-filter), so
+    most fact rows die before the exchange. This is exactly what the
+    de-hinted TPC-H joins rely on at 100×: AQE picks the strategy, the
+    runtime filter claws back the broadcast-pruning benefit. Pinned here
+    with broadcast disabled (simulating the at-scale path) and the
+    creation-side threshold raised to admit the sf-sized build side."""
+    from pyspark.sql import functions as F
+
+    from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan[:2000]
+        # and the filter reaches the FACT side scan stage, not the build
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """The skew posture SCALE.md promises: a hot join key (one key
+    carrying ~20× the median partition) must be SPLIT by AQE's skew-join
+    handling — SortMergeJoin(skew=true) in the executed plan — rather
+    than serialized through one straggler task. This is the runtime
+    replacement for manual salting on 100 TB joins (salting remains for
+    aggregations — salted_event_counts). Thresholds are scaled down to
+    trip on test-sized data; forceOptimize covers the extra-shuffle
+    veto."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        left = spark.range(200000).select(
+            F.lit(0).alias("k"), F.col("id").alias("v")
+        ).union(
+            spark.range(10000).select(
+                (F.col("id") % 100 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+        right = spark.range(101).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = left.join(right, "k").select("tag", "v")
+        assert len(j.collect()) == 210000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="simple")
+        plan = buf.getvalue()
+        final = plan[: plan.find("Initial Plan")] if "Initial Plan" in plan else plan
+        assert "skew=true" in final, final[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
