@@ -97,6 +97,8 @@ _CHECK_PRIORITY = (
     "cep_batch_replay",
     "ratelimit_batch_replay",
     "near_dup_pipeline",
+    "split_contamination_matrix",
+    "ingestion_lag_audit",
     # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
     # ordering) — re-confirm after the robustness edits
     "zorder_locality_stats",
@@ -146,9 +148,9 @@ _CHECK_PRIORITY = (
     "tpch_q14_promo_share",
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty_revenue",
+    # --- below the 50-line: r3-stale block queued for the r7 window ---
     "tpch_q18_large_volume",
     "tpch_q1_pricing_summary",
-    # --- below the 50-line: r3-stale block queued for the r7 window ---
     "range_validity_nullout",
     "daily_rollup_sum",
     "daily_rollup_mean",

@@ -844,3 +844,43 @@ def ratelimit_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _ev(spark, sf_dir).select("user_id", "event_id")
     return ev.groupBy("user_id").applyInPandas(run, ADMITTED_SCHEMA)
+
+
+@register(
+    "ingestion_lag_audit",
+    """
+    WITH per AS (
+      SELECT event_type, count(*) AS n_events, max(ts) AS last_ts
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT max(ts) AS g_max FROM events)
+    SELECT event_type, n_events, last_ts,
+           (epoch_us(g_max) - epoch_us(last_ts)) // 1000000 AS lag_seconds,
+           CASE WHEN (epoch_us(g_max) - epoch_us(last_ts)) // 1000000 > 86400
+                THEN 1 ELSE 0 END AS is_stale
+    FROM per, g
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Ingestion freshness / lag audit — the ops check a feed pipeline "
+    "runs continuously: per event stream, the last-seen timestamp and "
+    "its lag behind the freshest stream, flagging anything more than a "
+    "day behind (a stalled upstream producer). One map-side-combined "
+    "groupBy over bounded event types plus a 1-row broadcast of the "
+    "global max; integer-seconds lag via unix_micros div (exact on both "
+    "engines — non-negative, so div == floor).",
+)
+def ingestion_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.max("ts").alias("last_ts")
+    )
+    g = ev.agg(F.max("ts").alias("g_max"))
+    lag = F.expr("(unix_micros(g_max) - unix_micros(last_ts)) div 1000000")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        lag.alias("lag_seconds"),
+        F.when(lag > 86400, 1).otherwise(0).alias("is_stale"),
+    )

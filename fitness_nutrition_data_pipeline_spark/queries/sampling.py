@@ -282,3 +282,93 @@ def fixed_size_stratum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "split_contamination_matrix",
+    rf"""
+    WITH b AS (
+      SELECT doc_id, text,
+             {_BUCKET_SQL.format(key="doc_id")} % 10 AS bucket
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN bucket < 8 THEN 'train'
+                  WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+             string_split_regex(lower(text), '\s+') AS t
+      FROM b
+    ),
+    g AS (
+      SELECT DISTINCT split, doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+             t[i+3] || ' ' || t[i+4] AS gram
+      FROM s, unnest(range(1, len(t) - 3)) AS u(i)
+    ),
+    tg AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+    ev AS (SELECT * FROM g WHERE split <> 'train'),
+    hits AS (
+      SELECT split,
+             count(DISTINCT doc_id) AS contaminated_docs,
+             count(DISTINCT ev.gram) AS shared_grams
+      FROM ev JOIN tg USING (gram) GROUP BY split
+    ),
+    base AS (SELECT split, count(DISTINCT doc_id) AS n_docs FROM ev GROUP BY split)
+    SELECT base.split, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(contaminated_docs, 0) AS BIGINT) AS contaminated_docs,
+           CAST(coalesce(shared_grams, 0) AS BIGINT) AS shared_grams,
+           round(CAST(coalesce(contaminated_docs, 0) AS DOUBLE) / n_docs, 4)
+               AS contaminated_pct
+    FROM base LEFT JOIN hits USING (split)
+    ORDER BY split
+    """,
+    sort=("split",),
+    doc="Eval-split contamination matrix — the decontamination audit an "
+    "LLM pipeline runs BEFORE training: assign every document to "
+    "train/val/test by the same deterministic content-hash as "
+    "train_val_test_split, then measure distinct-5-gram overlap of each "
+    "eval split against the train gram set (docs with any shared gram + "
+    "the shared-gram count). Composes the split and contamination "
+    "primitives into the audit that actually gates a training run. "
+    "Plan: one explode → per-(split,doc,gram) distinct → shuffle join "
+    "ON GRAM (linear, never pairwise); at 100 TB the train gram set "
+    "shards across the cluster and the join stays key-partitioned.",
+)
+def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import word_shingles
+
+    d = _docs(spark, sf_dir)
+    bucket = hash_bucket(F.col("doc_id"), 10)
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    grams = d.select(
+        split.alias("split"),
+        "doc_id",
+        F.explode(word_shingles("text", 5)).alias("gram"),
+    )
+    train_grams = grams.where(F.col("split") == "train").select("gram").distinct()
+    ev = grams.where(F.col("split") != "train")
+    hits = (
+        ev.join(train_grams, "gram")
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("contaminated_docs"),
+            F.countDistinct("gram").alias("shared_grams"),
+        )
+    )
+    base = ev.groupBy("split").agg(F.countDistinct("doc_id").alias("n_docs"))
+    return (
+        base.join(hits, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("contaminated_docs", F.lit(0)).alias("contaminated_docs"),
+            F.coalesce("shared_grams", F.lit(0)).alias("shared_grams"),
+            F.round(
+                F.coalesce("contaminated_docs", F.lit(0)).cast("double")
+                / F.col("n_docs"),
+                4,
+            ).alias("contaminated_pct"),
+        )
+    )
