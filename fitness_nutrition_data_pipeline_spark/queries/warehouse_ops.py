@@ -258,3 +258,95 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(F.avg("wt"), 4) + 0.0).alias("dsir_weight"),
         )
     )
+
+
+@register(
+    "unigram_lm_crossentropy",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    split AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                       AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ),
+    lm AS (
+      SELECT t.tok, count(*) AS c
+      FROM toks t JOIN split s USING (doc_id)
+      WHERE s.split = 'train'
+      GROUP BY t.tok
+    ),
+    nv AS (SELECT sum(c) AS n, count(*) AS v FROM lm),
+    scored AS (
+      SELECT t.doc_id,
+             -ln((coalesce(lm.c, 0) + 1.0) / (n + v + 1)) AS nll
+      FROM toks t LEFT JOIN lm USING (tok), nv
+    )
+    SELECT sc.doc_id, sp.split,
+           count(*) AS n_tokens,
+           round(avg(nll), 4) AS avg_nll
+    FROM scored sc JOIN split sp USING (doc_id)
+    GROUP BY sc.doc_id, sp.split
+    ORDER BY doc_id
+    """,
+    sort=("doc_id",),
+    doc="Unigram-LM cross-entropy quality score — the KenLM-style "
+    "perplexity filter of web-corpus pipelines (CCNet et al.), "
+    "distributed: train an add-one-smoothed unigram LM on the hash-"
+    "assigned train split (same deterministic bucket as "
+    "train_val_test_split, so the LM can never see heldout docs), then "
+    "score EVERY document by mean negative log-likelihood; unseen "
+    "tokens get the smoothing floor 1/(N+V+1). High avg_nll = "
+    "out-of-distribution/noisy text — the standard corpus-quality "
+    "ranking signal. Plan: token explode → key-partitioned join on tok "
+    "against the LM (no broadcast hint — the vocab scales with the "
+    "corpus; AQE decides), one per-doc aggregate; the (N,V) scalar pair "
+    "is a 1-row broadcast. Transcendental output rounded to 4dp (libm "
+    "parity, the dsir convention).",
+)
+def unigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    split = docs.select(
+        "doc_id",
+        F.when(hash_bucket(F.col("doc_id"), 10) < 8, "train")
+        .otherwise("heldout")
+        .alias("split"),
+    )
+    lm = (
+        toks.join(split.where(F.col("split") == "train").select("doc_id"), "doc_id")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    nv = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    scored = (
+        toks.join(lm, "tok", "left")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.col("n") + F.col("v") + 1)
+                )
+            ).alias("nll"),
+        )
+    )
+    return (
+        scored.join(split, "doc_id")
+        .groupBy("doc_id", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("nll"), 4).alias("avg_nll"),
+        )
+    )

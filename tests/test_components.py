@@ -128,3 +128,47 @@ def test_cdc_chunks_shift_invariance(spark):
     shared = h1 & h2
     # the overwhelming majority of chunks survive the shift
     assert len(shared) >= 0.7 * len(h1), (len(shared), len(h1))
+
+
+def test_star_cc_matches_fixpoint(spark):
+    """Large-star/small-star must produce the identical (vertex,
+    component) labeling as the min-label fixpoint on a mixed graph
+    (cliques + chains + isolated pair)."""
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(40)]
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+        + [(200, 201), (300, 301), (301, 302), (302, 300)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fix = {
+        (r.vertex, r.component)
+        for r in connected_components(df, max_iterations=50).collect()
+    }
+    star = {
+        (r.vertex, r.component) for r in connected_components_star(df).collect()
+    }
+    assert fix == star
+
+
+def test_star_cc_logarithmic_rounds_on_chain(spark):
+    """The reason the variant exists: a 120-hop duplicate CHAIN needs 119
+    one-hop label-propagation rounds but must converge within 12
+    star alternations (O(log n)) — pinned by capping max_rounds at 12
+    and asserting the labeling is still exactly right."""
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(119)], "src long, dst long"
+    )
+    got = {
+        r.vertex: r.component
+        for r in connected_components_star(df, max_rounds=12).collect()
+    }
+    assert got == {i: 0 for i in range(120)}
