@@ -105,12 +105,14 @@ def connected_components_star(
     instead of 10^6 (tests/test_components.py pins a 120-node path at
     ≤12 rounds vs 119 hops).
 
-    Per round: one groupBy-min on the symmetric adjacency + one join —
-    both shuffled on vertex id, linear in |E|, with ``localCheckpoint``
-    truncating lineage exactly like the fixpoint variant. Convergence =
-    the edge set reaching a fixpoint (two anti-join counts per round —
-    answer-sized relative to |E|). Same output contract:
-    (vertex, component=min reachable id) for every vertex in ``edges``.
+    Per alternation: two groupBy-mins + two joins, all shuffled on
+    vertex id, linear in |E|; ONE ``localCheckpoint`` per alternation
+    pair truncates lineage (checkpointing each star separately doubled
+    the per-round job count for no correctness gain). Convergence = the
+    edge multiset's symmetric difference empty, checked as one job
+    (anti-joins in both directions unioned, limit 1). Same output
+    contract: (vertex, component=min reachable id) for every vertex in
+    ``edges``.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -136,20 +138,24 @@ def connected_components_star(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        return (
-            out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
-            .distinct()
-            .select(F.col("u").alias("a"), F.col("v").alias("b"))
-            .localCheckpoint()
-        )
+        return out.union(
+            out.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).select(F.col("u").alias("a"), F.col("v").alias("b"))
 
     for _ in range(max_rounds):
-        nxt = star(star(sym, large=True), large=False)
-        # fixpoint check: set equality via two answer-sized anti-joins
-        grew = nxt.join(sym, ["a", "b"], "left_anti").limit(1).count()
-        shrank = sym.join(nxt, ["a", "b"], "left_anti").limit(1).count()
+        # one materialization per ALTERNATION PAIR; the symmetrized
+        # union may carry an edge twice (both orientations emitted) —
+        # harmless to groupBy-min, and the convergence check below is
+        # multiplicity-insensitive (anti-joins, not exceptAll)
+        nxt = star(star(sym, large=True), large=False).localCheckpoint()
+        diff = (
+            nxt.join(sym, ["a", "b"], "left_anti")
+            .union(sym.join(nxt, ["a", "b"], "left_anti"))
+            .limit(1)
+            .count()
+        )
         sym = nxt
-        if grew == 0 and shrank == 0:
+        if diff == 0:
             break
 
     labels = (

@@ -100,6 +100,7 @@ _CHECK_PRIORITY = (
     "split_contamination_matrix",
     "ingestion_lag_audit",
     "unigram_lm_crossentropy",
+    "dedup_clusters_exact",
     # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
     # ordering) — re-confirm after the robustness edits
     "zorder_locality_stats",
@@ -147,8 +148,8 @@ _CHECK_PRIORITY = (
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
     # --- below the 50-line: r3-stale block queued for the r7 window ---
+    "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "tpch_q1_pricing_summary",

@@ -1294,3 +1294,78 @@ def near_dup_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("jaccard", 4).alias("jaccard"),
         "is_near_dup",
     )
+
+
+def _exact_clusters_oracle() -> str:
+    """Transitive closure as a recursive CTE: reach(v, r) grows by one
+    hop per recursion level with UNION dedup (so it terminates), then
+    cluster = min reachable id. Exact fixpoint — the hard-signal
+    counterpart of _clusters_sql()'s fixed-round refinement replay."""
+    return (
+        _bands_cte().replace("WITH sh AS", "WITH RECURSIVE sh AS", 1)
+        + """
+    , mins AS (
+      SELECT band_id, band_key, min(doc_id) AS bucket_min
+      FROM bands GROUP BY band_id, band_key
+    ),
+    edges AS (
+      SELECT DISTINCT b.doc_id AS src, m.bucket_min AS dst
+      FROM bands b JOIN mins m USING (band_id, band_key)
+      WHERE b.doc_id <> m.bucket_min
+    ),
+    sym AS (
+      SELECT src AS a, dst AS b FROM edges
+      UNION SELECT dst, src FROM edges
+    ),
+    reach(v, r) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+      UNION
+      SELECT s.a, re.r FROM sym s JOIN reach re ON re.v = s.b
+    )
+    SELECT v AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY v
+    ORDER BY doc_id
+    """
+    )
+
+
+@register(
+    "dedup_clusters_exact",
+    _exact_clusters_oracle(),
+    sort=("doc_id",),
+    doc="EXACT duplicate clusters (true connected components, not the "
+    "bounded-round refinement of lsh_dedup_clusters): the LSH doc↔"
+    "bucket-min star edges resolved to components by large-star/"
+    "small-star (operators/components.py::connected_components_star — "
+    "O(log n) alternations, linear per round, the Kiveris et al. "
+    "MapReduce algorithm), against a DuckDB recursive-CTE transitive "
+    "closure computing min-reachable-id exactly. Chains of any length "
+    "collapse to one cluster — the guarantee the fixed-round replay "
+    "deliberately trades away. At 100 TB: each alternation is one "
+    "groupBy-min + one join on vertex id, never an edge-pair closure "
+    "materialization (the recursive closure is the ORACLE's luxury, not "
+    "the plan).",
+)
+def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    sigs = minhash_signatures(
+        _docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH
+    )
+    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS)
+    mins = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("bucket_min")
+    )
+    edges = (
+        bands.join(mins, ["band_id", "band_key"])
+        .where(F.col("doc_id") != F.col("bucket_min"))
+        .select(
+            F.col("doc_id").alias("src"), F.col("bucket_min").alias("dst")
+        )
+        .distinct()
+    )
+    return connected_components_star(edges).select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
