@@ -101,6 +101,9 @@ _CHECK_PRIORITY = (
     "ingestion_lag_audit",
     "unigram_lm_crossentropy",
     "dedup_clusters_exact",
+    "pit_join_scd2",
+    "l_diversity_audit",
+    "deletion_propagation_audit",
     # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
     # ordering) — re-confirm after the robustness edits
     "zorder_locality_stats",
@@ -145,10 +148,10 @@ _CHECK_PRIORITY = (
     # SF-scaling tables removed; q15 wrong-side fix) — driver-confirm the
     # results are unchanged on the new plans
     "tpch_q15_top_supplier",
+    # --- below the 50-line: r3-stale block queued for the r7 window ---
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q14_promo_share",
-    # --- below the 50-line: r3-stale block queued for the r7 window ---
     "tpch_q16_supplier_cnt",
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",

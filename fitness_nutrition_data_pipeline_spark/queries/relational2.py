@@ -802,3 +802,154 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("pct_rows_at_risk"),
     )
+
+
+@register(
+    "l_diversity_audit",
+    """
+    WITH groups AS (
+      SELECT c_nationkey,
+             CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+             count(*) AS k,
+             count(DISTINCT c_mktsegment) AS l
+      FROM customer
+      GROUP BY c_nationkey, CAST(floor(c_acctbal / 2000) AS BIGINT)
+    )
+    SELECT CAST(min(l) AS BIGINT) AS l_min,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_homogeneous_groups,
+           CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
+             AS n_rows_exposed,
+           round(100.0 * sum(CASE WHEN l < 3 THEN k ELSE 0 END) / sum(k), 4)
+             AS pct_rows_exposed
+    FROM groups
+    """,
+    doc="l-diversity audit — the attack k-anonymity misses: a group can "
+    "be large (k high) yet reveal everyone's sensitive attribute when "
+    "all members SHARE it (homogeneity attack). Group by the quasi-"
+    "identifier tuple (nation, balance band), count DISTINCT sensitive "
+    "values (market segment) per group, and report groups below l=3 "
+    "plus the rows they expose. Complements k_anonymity_audit before a "
+    "data release. One shuffle on the QI tuple with a distinct-count; "
+    "at 100 TB the partial aggregation carries (QI, sensitive) pairs — "
+    "bounded by the attribute domain, not the data.",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("c_mktsegment").alias("l"),
+    )
+    homog = F.col("l") < 3
+    return groups.agg(
+        F.min("l").cast("long").alias("l_min"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(homog, 1).otherwise(0)).cast("long").alias(
+            "n_homogeneous_groups"
+        ),
+        F.sum(F.when(homog, F.col("k")).otherwise(0))
+        .cast("long")
+        .alias("n_rows_exposed"),
+        F.round(
+            100.0 * F.sum(F.when(homog, F.col("k")).otherwise(0)) / F.sum("k"),
+            4,
+        ).alias("pct_rows_exposed"),
+    )
+
+
+@register(
+    "deletion_propagation_audit",
+    """
+    WITH tombstones AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0
+    ),
+    o AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS del
+      FROM orders LEFT JOIN tombstones t ON o_custkey = t.c_custkey
+    ),
+    li AS (
+      SELECT count(*) AS total,
+             sum(CASE WHEN del_orders.o_orderkey IS NOT NULL
+                      THEN 1 ELSE 0 END) AS del
+      FROM lineitem
+      LEFT JOIN (SELECT o_orderkey FROM orders
+                 JOIN tombstones t ON o_custkey = t.c_custkey) del_orders
+        ON l_orderkey = del_orders.o_orderkey
+    ),
+    c AS (SELECT count(*) AS total,
+                 (SELECT count(*) FROM tombstones) AS del
+          FROM customer)
+    SELECT 'customer' AS tbl, CAST(total AS BIGINT) AS n_rows,
+           CAST(del AS BIGINT) AS n_to_delete,
+           round(100.0 * del / total, 4) AS pct
+    FROM c
+    UNION ALL
+    SELECT 'orders', CAST(total AS BIGINT), CAST(del AS BIGINT),
+           round(100.0 * del / total, 4) FROM o
+    UNION ALL
+    SELECT 'lineitem', CAST(total AS BIGINT), CAST(del AS BIGINT),
+           round(100.0 * del / total, 4) FROM li
+    ORDER BY tbl
+    """,
+    sort=("tbl",),
+    doc="Right-to-be-forgotten deletion-propagation audit: given a "
+    "tombstone set of subjects (here: every 37th customer key, standing "
+    "in for a GDPR erasure queue), count the rows each downstream table "
+    "must drop when the deletion CASCADES through the FK graph "
+    "(customer → orders → lineitem) — the impact report a data-"
+    "governance pipeline produces before executing an erasure batch "
+    "over a 100 TB lake. Plan: the tombstone set joins orders on the "
+    "key (AQE decides the strategy — the queue scales with the user "
+    "base), then the affected-order KEY SET joins lineitem; each hop "
+    "ships only keys, and each table is scanned once.",
+)
+def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    tomb = cust.where(F.col("c_custkey") % 37 == 0).select("c_custkey")
+
+    c = cust.agg(
+        F.lit("customer").alias("tbl"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("c_custkey") % 37 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_to_delete"),
+    )
+    o_flag = orders.join(
+        tomb, orders.o_custkey == tomb.c_custkey, "left"
+    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("hit"))
+    o = o_flag.agg(
+        F.lit("orders").alias("tbl"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_to_delete"),
+    )
+    del_orders = o_flag.where(F.col("hit")).select("o_orderkey")
+    l = (
+        li.join(
+            del_orders.withColumnRenamed("o_orderkey", "del_ok"),
+            li.l_orderkey == F.col("del_ok"),
+            "left",
+        )
+        .agg(
+            F.lit("lineitem").alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.when(F.col("del_ok").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_to_delete"),
+        )
+    )
+    out = c.unionByName(o).unionByName(l)
+    return out.select(
+        "tbl",
+        "n_rows",
+        "n_to_delete",
+        F.round(100.0 * F.col("n_to_delete") / F.col("n_rows"), 4).alias("pct"),
+    )

@@ -350,3 +350,110 @@ def unigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nll"), 4).alias("avg_nll"),
         )
     )
+
+
+@register(
+    "pit_join_scd2",
+    """
+    WITH runs AS (
+      SELECT o_custkey, o_orderpriority,
+             CAST(o_orderdate AS DATE) AS od, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
+                  THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WHERE o_custkey < 200
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ),
+    numbered AS (
+      SELECT *, sum(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY od, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM runs
+    ),
+    scd AS (
+      SELECT o_custkey, run_id, o_orderpriority AS dim_priority,
+             min(od) AS valid_from
+      FROM numbered GROUP BY o_custkey, run_id, o_orderpriority
+    ),
+    dim AS (
+      SELECT o_custkey, dim_priority, valid_from,
+             coalesce(lead(valid_from) OVER (PARTITION BY o_custkey
+                                             ORDER BY run_id),
+                      DATE '9999-12-31') AS valid_to
+      FROM scd
+    )
+    SELECT o.o_orderkey, o.o_custkey, CAST(o.o_orderdate AS DATE) AS od,
+           d.dim_priority,
+           CASE WHEN d.dim_priority = o.o_orderpriority THEN 1 ELSE 0 END
+               AS priority_consistent
+    FROM orders o
+    JOIN dim d
+      ON d.o_custkey = o.o_custkey
+     AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+     AND CAST(o.o_orderdate AS DATE) < d.valid_to
+    WHERE o.o_custkey < 200
+    ORDER BY o_orderkey
+    """,
+    sort=("o_orderkey",),
+    doc="Point-in-time (as-of) join against the SCD Type-2 dimension "
+    "(scd2_priority_history's intervals): each fact row picks the dim "
+    "version whose [valid_from, valid_to) contains its date — the "
+    "temporal-join pattern every history-keeping warehouse query needs. "
+    "Spark plan: equi-join ON THE ENTITY KEY with the interval "
+    "predicate as a post-join filter — a partitioned hash join, never a "
+    "nested-loop range join, because version intervals are disjoint per "
+    "key (each fact matches exactly one version). The consistency flag "
+    "doubles as a self-check: a correctly built SCD2 reproduces the "
+    "source attribute for every fact (sum == count). At 100 TB the dim "
+    "shuffles once on the key alongside the facts; history depth only "
+    "widens the per-key group, never the join algorithm.",
+)
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") < 200)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("date").alias("od"),
+        )
+    )
+    w_ord = W.partitionBy("o_custkey").orderBy("od", "o_orderkey")
+    runs = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w_ord).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run_id", F.sum("chg").over(w_ord.rowsBetween(W.unboundedPreceding, 0))
+    )
+    scd = runs.groupBy("o_custkey", "run_id").agg(
+        F.first("o_orderpriority").alias("dim_priority"),
+        F.min("od").alias("valid_from"),
+    )
+    w_run = W.partitionBy("o_custkey").orderBy("run_id")
+    dim = scd.select(
+        "o_custkey",
+        "dim_priority",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w_run), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    return (
+        o.join(dim, "o_custkey")
+        .where((F.col("od") >= F.col("valid_from")) & (F.col("od") < F.col("valid_to")))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "od",
+            "dim_priority",
+            F.when(F.col("dim_priority") == F.col("o_orderpriority"), 1)
+            .otherwise(0)
+            .alias("priority_consistent"),
+        )
+    )
