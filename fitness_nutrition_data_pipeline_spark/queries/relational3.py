@@ -373,3 +373,88 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             avg4.alias("avg_value"),
         )
     )
+
+
+@register(
+    "record_linkage_scores",
+    """
+    WITH blocked AS (
+      SELECT c_custkey, c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             lead(c_custkey) OVER w AS nxt_key,
+             lead(c_mktsegment) OVER w AS nxt_seg,
+             lead(CAST(floor(c_acctbal / 1000) AS BIGINT)) OVER w AS nxt_band
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    ),
+    pairs AS (
+      SELECT c_custkey AS id_a, nxt_key AS id_b,
+             CASE WHEN c_mktsegment = nxt_seg THEN 1 ELSE 0 END AS seg_agree,
+             CASE WHEN bal_band = nxt_band THEN 1 ELSE 0 END AS band_agree
+      FROM blocked WHERE nxt_key IS NOT NULL
+    )
+    SELECT id_a, id_b, seg_agree, band_agree,
+           round(CASE WHEN seg_agree = 1 THEN ln(0.9 / 0.2)
+                      ELSE ln(0.1 / 0.8) END
+                 + CASE WHEN band_agree = 1 THEN ln(0.8 / 0.1)
+                        ELSE ln(0.2 / 0.9) END, 4) AS match_weight,
+           CASE WHEN (CASE WHEN seg_agree = 1 THEN ln(0.9 / 0.2)
+                           ELSE ln(0.1 / 0.8) END
+                      + CASE WHEN band_agree = 1 THEN ln(0.8 / 0.1)
+                             ELSE ln(0.2 / 0.9) END) > 2.0
+                THEN 1 ELSE 0 END AS is_match
+    FROM pairs
+    ORDER BY id_a
+    """,
+    sort=("id_a",),
+    doc="Fellegi-Sunter probabilistic record linkage on blocked candidate "
+    "pairs: block on nation (the blocking key bounds the comparison "
+    "space — adjacent-by-key pairs within each block, linear, never "
+    "cross-product), compare field vectors (market segment, account-"
+    "balance band), and score each pair with the sum of log m/u "
+    "likelihood ratios — agreement adds ln(m/u), disagreement adds "
+    "ln((1-m)/(1-u)); pairs above the decision threshold classify as "
+    "matches. The m/u priors are config constants here (EM-estimating "
+    "them is the batch-iterative extension). Complements the "
+    "deterministic entity_resolution_profiles (J1) with the scored-"
+    "linkage formulation used when sources disagree. One shuffle on the "
+    "blocking key; the window pairing is partition-local.",
+)
+def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    blocked = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        band.alias("bal_band"),
+        F.lead("c_custkey").over(w).alias("nxt_key"),
+        F.lead("c_mktsegment").over(w).alias("nxt_seg"),
+        F.lead(band).over(w).alias("nxt_band"),
+    )
+    pairs = blocked.where(F.col("nxt_key").isNotNull()).select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("nxt_key").alias("id_b"),
+        F.when(F.col("c_mktsegment") == F.col("nxt_seg"), 1)
+        .otherwise(0)
+        .alias("seg_agree"),
+        F.when(F.col("bal_band") == F.col("nxt_band"), 1)
+        .otherwise(0)
+        .alias("band_agree"),
+    )
+    w_seg_a, w_seg_d = math.log(0.9 / 0.2), math.log(0.1 / 0.8)
+    w_band_a, w_band_d = math.log(0.8 / 0.1), math.log(0.2 / 0.9)
+    weight = F.when(F.col("seg_agree") == 1, w_seg_a).otherwise(
+        w_seg_d
+    ) + F.when(F.col("band_agree") == 1, w_band_a).otherwise(w_band_d)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "seg_agree",
+        "band_agree",
+        F.round(weight, 4).alias("match_weight"),
+        F.when(weight > 2.0, 1).otherwise(0).alias("is_match"),
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -116,3 +117,30 @@ def run_sessionizer_once(spark: SparkSession, input_dir: str, name: str) -> Data
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_sessionize_native(
+    spark: SparkSession,
+    input_dir: str,
+    *,
+    gap: str = "30 minutes",
+    late_threshold: str = "1 hour",
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE merging session windows — the
+    streaming twin of queries/relational2.py::sessionize_native_window
+    and the engine-managed alternative to the custom
+    ``applyInPandasWithState`` sessionizer above (same 30-minute-gap
+    semantics, state merged/evicted by the engine under the watermark
+    instead of hand-rolled tuples). Append mode: a session row emits
+    once its window can no longer grow (watermark passes end+gap)."""
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    return (
+        src.withWatermark("ts", late_threshold)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+    )

@@ -45,3 +45,72 @@ def test_closed_sessions_emitted(session_table):
 
 def test_open_sessions_not_emitted(session_table):
     assert session_table.where("user_id = 2").count() == 0
+
+
+def test_native_session_window_stream_matches_custom(spark, tmp_path_factory):
+    """The engine-managed session_window stream must emit the SAME closed
+    sessions as the custom applyInPandasWithState sessionizer on the
+    same feed (sessions whose windows the watermark has sealed). Events
+    for two users with an intra-session 10-min gap and an inter-session
+    2-hour gap, plus a final far-future flush event per user so every
+    real session's window passes the watermark and emits."""
+    import datetime
+    import os
+
+    from fitness_nutrition_data_pipeline_spark.streaming.sessions import (
+        EVENT_SCHEMA,
+        run_sessionizer_once,
+        stream_sessionize_native,
+    )
+
+    t0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, "click", 1.0)
+
+    rows = [
+        ev(1, 0, 1), ev(2, 10, 1), ev(3, 20, 1),      # session A: 3 events
+        ev(4, 140, 1), ev(5, 150, 1),                 # session B: 2 events
+        ev(6, 5, 2),                                  # session C: 1 event
+        # flush events far in the future advance the watermark past B/C
+        ev(7, 10000, 1), ev(8, 10000, 2),
+    ]
+    base = str(tmp_path_factory.mktemp("native_sess"))
+    indir = os.path.join(base, "in")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(indir)
+
+    q = (
+        stream_sessionize_native(spark, indir)
+        .writeStream.format("memory")
+        .queryName("native_sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    native = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.table("native_sess_out").collect()
+    }
+
+    custom = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in run_sessionizer_once(spark, indir, "custom_sess_out").collect()
+    }
+    # both emit exactly the sealed sessions A, B, C (flush events' own
+    # sessions stay open in both implementations)
+    us = lambda m: int(  # noqa: E731
+        (t0 + datetime.timedelta(minutes=m))
+        .replace(tzinfo=datetime.timezone.utc)
+        .timestamp()
+        * 1_000_000
+    )
+    expected = {
+        (1, us(0), us(20), 3),
+        (1, us(140), us(150), 2),
+        (2, us(5), us(5), 1),
+    }
+    assert native == expected
+    assert custom == expected
