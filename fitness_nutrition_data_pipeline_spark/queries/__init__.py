@@ -149,6 +149,7 @@ _CHECK_PRIORITY = (
     "monthly_customer_spend",
     # --- below the 50-line: queued for the r7 window ---
     "record_linkage_scores",
+    "linkage_em_step",
     # TPC-H queries whose broadcast strategy changed this round (hints on
     # SF-scaling tables removed; q15 wrong-side fix) — locally
     # strict-verified on the new plans; driver-confirm next round, then

@@ -458,3 +458,96 @@ def record_linkage_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 4).alias("match_weight"),
         F.when(weight > 2.0, 1).otherwise(0).alias("is_match"),
     )
+
+
+@register(
+    "linkage_em_step",
+    """
+    WITH blocked AS (
+      SELECT c_custkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             c_mktsegment,
+             lead(c_custkey) OVER w AS nxt_key,
+             lead(c_mktsegment) OVER w AS nxt_seg,
+             lead(CAST(floor(c_acctbal / 1000) AS BIGINT)) OVER w AS nxt_band
+      FROM customer
+      WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+    ),
+    pairs AS (
+      SELECT CASE WHEN c_mktsegment = nxt_seg THEN 1.0 ELSE 0.0 END AS g1,
+             CASE WHEN bal_band = nxt_band THEN 1.0 ELSE 0.0 END AS g2
+      FROM blocked WHERE nxt_key IS NOT NULL
+    ),
+    e AS (
+      SELECT g1, g2,
+             0.1 * pow(0.8, g1) * pow(0.2, 1 - g1)
+                 * pow(0.7, g2) * pow(0.3, 1 - g2) AS pm,
+             0.9 * pow(0.3, g1) * pow(0.7, 1 - g1)
+                 * pow(0.2, g2) * pow(0.8, 1 - g2) AS pu
+      FROM pairs
+    ),
+    post AS (SELECT g1, g2, pm / (pm + pu) AS w FROM e)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(w), 6) AS p_match,
+           round(sum(w * g1) / sum(w), 6) AS m_seg,
+           round(sum(w * g2) / sum(w), 6) AS m_band,
+           round(sum((1 - w) * g1) / sum(1 - w), 6) AS u_seg,
+           round(sum((1 - w) * g2) / sum(1 - w), 6) AS u_band
+    FROM post
+    """,
+    doc="One EM iteration calibrating the Fellegi-Sunter m/u parameters "
+    "from the unlabeled blocked pairs (the standard unsupervised fit, "
+    "Winkler's formulation): E-step — posterior match probability per "
+    "pair from the current (p, m, u) under conditional independence of "
+    "the field agreements; M-step — re-estimate p as the mean posterior "
+    "and each field's m/u as posterior-weighted agreement rates. "
+    "Registered as ONE step with fixed starting parameters (the "
+    "kmeans_lloyd_update convention for iterative algorithms: the step "
+    "is the operator; the driver loop re-invokes it). Pure "
+    "multiply/divide arithmetic — no transcendentals — rounded at 6dp "
+    "over the pair aggregate. Scale: the E-step is row-local on pairs; "
+    "the M-step is one scalar aggregation with map-side partials.",
+)
+def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    blocked = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        band.alias("bal_band"),
+        F.lead("c_custkey").over(w).alias("nxt_key"),
+        F.lead("c_mktsegment").over(w).alias("nxt_seg"),
+        F.lead(band).over(w).alias("nxt_band"),
+    )
+    pairs = blocked.where(F.col("nxt_key").isNotNull()).select(
+        F.when(F.col("c_mktsegment") == F.col("nxt_seg"), 1.0)
+        .otherwise(0.0)
+        .alias("g1"),
+        F.when(F.col("bal_band") == F.col("nxt_band"), 1.0)
+        .otherwise(0.0)
+        .alias("g2"),
+    )
+    pm = (
+        0.1
+        * F.pow(0.8, F.col("g1")) * F.pow(0.2, 1 - F.col("g1"))
+        * F.pow(0.7, F.col("g2")) * F.pow(0.3, 1 - F.col("g2"))
+    )
+    pu = (
+        0.9
+        * F.pow(0.3, F.col("g1")) * F.pow(0.7, 1 - F.col("g1"))
+        * F.pow(0.2, F.col("g2")) * F.pow(0.8, 1 - F.col("g2"))
+    )
+    post = pairs.select("g1", "g2", (pm / (pm + pu)).alias("w"))
+    return post.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("w"), 6).alias("p_match"),
+        F.round(F.sum(F.col("w") * F.col("g1")) / F.sum("w"), 6).alias("m_seg"),
+        F.round(F.sum(F.col("w") * F.col("g2")) / F.sum("w"), 6).alias("m_band"),
+        F.round(
+            F.sum((1 - F.col("w")) * F.col("g1")) / F.sum(1 - F.col("w")), 6
+        ).alias("u_seg"),
+        F.round(
+            F.sum((1 - F.col("w")) * F.col("g2")) / F.sum(1 - F.col("w")), 6
+        ).alias("u_band"),
+    )
