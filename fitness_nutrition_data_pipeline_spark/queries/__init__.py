@@ -150,6 +150,8 @@ _CHECK_PRIORITY = (
     # --- below the 50-line: queued for the r7 window ---
     "record_linkage_scores",
     "linkage_em_step",
+    "hierarchy_rollup",
+    "embedding_dot_arrow",
     # TPC-H queries whose broadcast strategy changed this round (hints on
     # SF-scaling tables removed; q15 wrong-side fix) — locally
     # strict-verified on the new plans; driver-confirm next round, then

@@ -1369,3 +1369,67 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_star(edges).select(
         F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+@register(
+    "embedding_dot_arrow",
+    """
+    WITH ok AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (SELECT embedding AS qe FROM ok WHERE vec_id = 0)
+    SELECT o.vec_id,
+           CAST(list_sum(list_transform(range(1, 65),
+                i -> CAST(floor(CAST(o.embedding[i] AS DOUBLE) * 10000)
+                          AS BIGINT)
+                   * CAST(floor(CAST(q.qe[i] AS DOUBLE) * 10000)
+                          AS BIGINT))) AS BIGINT) AS qdot
+    FROM ok o, q
+    ORDER BY qdot DESC, vec_id
+    LIMIT 20
+    """,
+    sort=(),  # builder ends in its own ORDER BY ... LIMIT
+    doc="The Arrow-batched NUMERIC path under the strict value hash: a "
+    "vectorized pandas_udf computes int64 dot products against a "
+    "broadcast query vector over Arrow-delivered embedding batches "
+    "(np.stack → one matrix multiply per batch — the exact shape a "
+    "model-scoring UDF takes), while the oracle recomputes the same "
+    "quantity in SQL list arithmetic. EXACT cross-engine equality is "
+    "engineered by quantizing to integers first (floor(x*1e4): "
+    "float32→double is exact, double multiply is correctly rounded "
+    "identically, floor has no tie ambiguity — unlike a float dot, "
+    "whose summation order differs between numpy pairwise and SQL "
+    "sequential sums at the ulp). Top-20 nearest by quantized dot. The "
+    "other pandas_udf surfaces (byte histograms) are rows-only; this "
+    "one gives the Arrow lane a hard hash-checked signal.",
+)
+def embedding_dot_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ok = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id").isNotNull() & (F.array_size("embedding") == 64))
+        .select("vec_id", "embedding")
+    )
+    (qrow,) = ok.where(F.col("vec_id") == 0).select("embedding").collect()
+    qvec = np.floor(np.asarray(qrow[0], dtype="float64") * 10000).astype(
+        "int64"
+    )
+
+    # NOTE: `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inspection rejects — use the explicit form
+    def _qdot(col):
+        m = np.stack(col.to_numpy()).astype("float64")
+        qm = np.floor(m * 10000).astype("int64")
+        return pd.Series(qm @ qvec)
+
+    qdot = pandas_udf(_qdot, "long")
+
+    return (
+        ok.select("vec_id", qdot("embedding").alias("qdot"))
+        .orderBy(F.desc("qdot"), "vec_id")
+        .limit(20)
+    )

@@ -551,3 +551,71 @@ def linkage_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((1 - F.col("w")) * F.col("g2")) / F.sum(1 - F.col("w")), 6
         ).alias("u_band"),
     )
+
+
+@register(
+    "hierarchy_rollup",
+    """
+    WITH nodes AS (SELECT c_custkey AS node FROM customer)
+    SELECT CAST(substr(CAST(node AS VARCHAR), 1, 1) AS BIGINT) AS root,
+           CAST(len(CAST(node AS VARCHAR)) - 1 AS BIGINT) AS depth,
+           count(*) AS n_nodes,
+           CAST(min(node) AS BIGINT) AS min_node,
+           CAST(max(node) AS BIGINT) AS max_node
+    FROM nodes
+    GROUP BY 1, 2
+    ORDER BY root, depth
+    """,
+    sort=("root", "depth"),
+    doc="Hierarchy flattening WITHOUT recursive CTEs (Spark has none): "
+    "resolve every node's root ancestor and depth by iteratively "
+    "joining a parent-EDGE RELATION — the org-chart/bill-of-materials "
+    "pattern. The hierarchy is synthesized as parent(k) = k div 10 "
+    "(roots = single digits), which the oracle verifies INDEPENDENTLY "
+    "by digit arithmetic — so the unrolled join ladder is checked "
+    "against closed-form truth, not against itself. Each unroll level "
+    "is one key-partitioned join resolving one hop for every "
+    "still-unresolved node (6 levels cover 10^6 keys; the unroll count "
+    "is the only scaling knob, ~log of max depth). At 100 TB each hop "
+    "shuffles (node, current-ancestor) pairs only — the same shape "
+    "production BOM explosions run, with AQE free to broadcast the "
+    "edge table while it fits.",
+)
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    parent_of = F.when(F.col("node") < 10, F.col("node")).otherwise(
+        F.floor(F.col("node") / 10).cast("long")
+    )
+    edges = cust.select(F.col("c_custkey").alias("node")).select(
+        "node", parent_of.alias("parent")
+    )
+    cur = edges.select(
+        "node",
+        F.col("parent").alias("anc"),
+        F.when(F.col("node") < 10, 0).otherwise(1).alias("depth"),
+    )
+    hop = edges.select(
+        F.col("node").alias("anc"), F.col("parent").alias("anc_next")
+    )
+    for _ in range(6):
+        cur = (
+            cur.join(hop, "anc", "left")
+            .select(
+                "node",
+                F.coalesce("anc_next", F.col("anc")).alias("anc"),
+                (
+                    F.col("depth")
+                    + F.when(
+                        F.col("anc") >= 10, 1  # another real hop was taken
+                    ).otherwise(0)
+                ).alias("depth"),
+            )
+        )
+    return (
+        cur.groupBy(F.col("anc").alias("root"), "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+    )
