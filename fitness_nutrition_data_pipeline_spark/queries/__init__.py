@@ -145,9 +145,13 @@ _CHECK_PRIORITY = (
     "semi_join_active_customers",
     "set_ops_customers",
     "percentile_stats",
+    # never-driver-checked S-family signals take the last two window
+    # slots; the two r2-stale displaced queries head the r7 queue
+    "sql_script_replay",
+    "csv_roundtrip_scan",
+    # --- below the 50-line: queued for the r7 window ---
     "running_revenue",
     "monthly_customer_spend",
-    # --- below the 50-line: queued for the r7 window ---
     "record_linkage_scores",
     "linkage_em_step",
     "hierarchy_rollup",

@@ -619,3 +619,116 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("node").alias("max_node"),
         )
     )
+
+
+@register(
+    "sql_script_replay",
+    """
+    SELECT 'RANGE quantity' AS check_name,
+           CAST((SELECT count(*) FROM lineitem
+                 WHERE l_quantity <= 0 OR l_quantity > 60) AS BIGINT)
+               AS violations
+    UNION ALL
+    SELECT 'PK CHECK orders',
+           CAST((SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'COUNT lineitem',
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    ORDER BY check_name
+    """,
+    sort=("check_name",),
+    doc="The S7 lenient SQL-script runner (sql_script.py — the engine "
+    "that executes the reference's validation.sql with SET-variable "
+    "substitution, comment stripping, and per-statement failure "
+    "tolerance) under the HARD oracle: a 5-statement script (a SET "
+    "bound, one deliberately-broken statement that the lenient path "
+    "must swallow, and three check SELECTs using the substituted "
+    "variable) runs over temp views of the testdata, and the collected "
+    "check rows are the query result. The oracle restates the three "
+    "checks directly — proving the runner executed every valid "
+    "statement, applied the @max_qty substitution, and dropped only "
+    "the broken one. Collected rows are answer-sized (3) — the bounded-"
+    "collect policy.",
+)
+def sql_script_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.sql_script import run_sql_script
+
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    script = """
+    -- validation-corpus-style script with a SET bound and a broken stmt
+    SET @max_qty = 60;
+    SELECT 'RANGE quantity' AS check_name,
+           CAST(sum(CASE WHEN l_quantity <= 0 OR l_quantity > @max_qty
+                         THEN 1 ELSE 0 END) AS BIGINT) AS violations
+    FROM v_lineitem;
+    SELECT broken syntax that the lenient runner must swallow;
+    SELECT 'PK CHECK orders' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM v_orders;
+    SELECT 'COUNT lineitem' AS check_name,
+           CAST(count(*) AS BIGINT) AS violations
+    FROM v_lineitem;
+    """
+    rows: list[tuple[str, int]] = []
+    run_sql_script(
+        spark,
+        script,
+        process_row=lambda r: rows.append(
+            (str(r["check_name"]), int(r["violations"]))
+        ),
+    )
+    return spark.createDataFrame(
+        rows, "check_name string, violations long"
+    )
+
+
+@register(
+    "csv_roundtrip_scan",
+    """
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           CAST(CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_balance
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    sort=("c_mktsegment",),
+    doc="The CSV source path (SURVEY §2.1 S1/S2 — the reference ingests "
+    "everything as CSV) under the HARD oracle: write the customer table "
+    "to headered CSV, re-read it with a DECLARED schema (never "
+    "inferSchema — inference double-reads and type-guesses; the "
+    "declared-schema read is what sources/fitness.py does for the "
+    "warehouse inputs), and aggregate the ROUND-TRIPPED rows; the "
+    "oracle aggregates the original parquet. Equality proves the CSV "
+    "writer/parser preserves longs, doubles (shortest-roundtrip "
+    "formatting), and strings exactly. Money goes through DECIMAL (F7 "
+    "parity rule); the scratch dir is per-SF under /tmp.",
+)
+def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_csv_{tag}/customer"
+    cust = _t(spark, sf_dir, "customer")
+    cust.write.mode("overwrite").option("header", "true").csv(path)
+    back = (
+        spark.read.schema(
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string"
+        )
+        .option("header", "true")
+        .csv(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_balance"),
+        )
+    )
