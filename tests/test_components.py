@@ -172,3 +172,59 @@ def test_star_cc_logarithmic_rounds_on_chain(spark):
         for r in connected_components_star(df, max_rounds=12).collect()
     }
     assert got == {i: 0 for i in range(120)}
+
+
+def test_star_cc_random_graphs_property(spark):
+    """Property: on ANY graph, large-star/small-star labels equal the
+    min-label fixpoint's AND equal a driver-side union-find ground truth
+    (three independent implementations, one answer). Hypothesis drives
+    random edge lists; union-find is pure Python, so a disagreement
+    pinpoints which distributed variant broke."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=25),
+        st.integers(min_value=0, max_value=25),
+    ).filter(lambda e: e[0] != e[1])
+
+    @settings(
+        max_examples=5, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(edge, min_size=1, max_size=25))
+    def check(edges):
+        # driver-side union-find ground truth
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        truth = {v: find(v) for v in parent}
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        star = {
+            r.vertex: r.component
+            for r in connected_components_star(df).collect()
+        }
+        fix = {
+            r.vertex: r.component
+            for r in connected_components(df, max_iterations=60).collect()
+        }
+        assert star == truth
+        assert fix == truth
+
+    check()
