@@ -182,8 +182,25 @@ def jaccard_on_pairs(
 ) -> DataFrame:
     """2-shingle Jaccard for an arbitrary candidate-pair table
     (columns id_a, id_b) — the verify stage fed by any candidate
-    generator (LSH buckets, blocking keys, adjacency)."""
-    sh = df.select(id_col, word_shingles(text_col, 2).alias("shingles"))
+    generator (LSH buckets, blocking keys, adjacency).
+
+    Diamond-DAG treatment: the shingle relation feeds FOUR branches
+    (exploded a/b, sizes a/b), which would re-shingle the corpus four
+    times; instead the corpus is first SEMI-JOINED down to the ids that
+    actually appear in a pair (answer-sized — pairs are capped by the
+    candidate generator) and that restricted shingle table is pinned
+    with ``localCheckpoint``, so the full corpus is scanned ONCE and
+    only survivor docs are materialized."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(ids, id_col, "left_semi")
+        .select(id_col, word_shingles(text_col, 2).alias("shingles"))
+        .localCheckpoint()
+    )
     sizes = sh.select(id_col, F.array_size("shingles").alias("n_sh"))
     exploded = sh.select(id_col, F.explode("shingles").alias("shingle"))
 
@@ -227,6 +244,20 @@ def near_dup_pipeline(
 
     Every stage is linear except the in-bucket pairing, which is bounded
     by construction — the composition that runs at 100 TB.
+
+    Diamond-DAG treatment (audited: the naive composition scanned the
+    corpus 8×, now 3): the candidate pair set — answer-sized by the
+    max_bucket_size cap — is pinned with ``localCheckpoint`` before the
+    verify stage's four branches re-read it, and the verify stage
+    restricts + pins shingles to the surviving pair ids (see
+    ``jaccard_on_pairs``), cutting the four re-shingle passes to one
+    bounded one. Bucket stats deliberately stay the groupBy+join form,
+    which re-evaluates the minhash lineage once more (the 3rd scan): the
+    window formulation saves that scan but BUFFERS each bucket partition
+    in WindowExec — a degenerate hot bucket (all empty docs sharing one
+    signature) becomes an OOM instead of a skew-split shuffle, the wrong
+    trade at 100 TB. Partial aggregation + AQE skew handling keep the
+    join form safe at any bucket distribution.
     """
     sigs = minhash_signatures(df, id_col, text_col, n_hashes=n_hashes)
     bands = lsh_bands(sigs, id_col, n_bands=n_bands)
@@ -240,6 +271,7 @@ def near_dup_pipeline(
         sized.where(F.col(id_col) != F.col("_min_id"))
         .select(F.col("_min_id").alias("id_a"), F.col(id_col).alias("id_b"))
         .distinct()
+        .localCheckpoint()
     )
     verified = jaccard_on_pairs(df, pairs, id_col, text_col)
     return verified.withColumn(
