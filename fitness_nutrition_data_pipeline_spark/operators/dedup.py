@@ -316,7 +316,17 @@ def dedup_clusters(
     oracle can replay CTE-for-CTE (queries/llm_ops.py::_clusters_sql).
     tests/test_components.py asserts the refinement invariant against
     the fixpoint operator on the real LSH graph.
+
+    Diamond-DAG treatment (tools/audit_scans.py): ``membership`` feeds
+    2×iterations+1 plan branches; without pinning, each branch
+    re-evaluates the whole upstream lineage (minhash or hyperplane-LSH
+    over the corpus — audited at 7-15 corpus scans per caller). One
+    ``localCheckpoint`` of the narrow (id, bucket) relation makes every
+    round read the same materialization — the standard posture before
+    any iterative algorithm (values unchanged, so SQL-oracle replays
+    are unaffected).
     """
+    membership = membership.localCheckpoint()
     labels = (
         membership.select(id_col).distinct().withColumn("label", F.col(id_col))
     )
