@@ -353,15 +353,20 @@ def strict_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir).select(
         "user_id", "event_type", F.unix_micros("ts").alias("t")
     )
+    # user-grain anchor tables feed 2 branches each (next step's join +
+    # the final assembly) — pinned so the event scan runs once per STEP,
+    # not once per branch (tools/audit_scans.py: 6 scans -> 3; the three
+    # remaining are the semantically-chained per-step passes)
     per_user = ev.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("t"))).alias("t_view"),
-    )
+    ).localCheckpoint()
     step2 = (
         ev.where(F.col("event_type") == "click")
         .join(per_user.where(F.col("t_view").isNotNull()), "user_id")
         .where(F.col("t") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
+        .localCheckpoint()
     )
     step3 = (
         ev.where(F.col("event_type") == "purchase")

@@ -488,6 +488,12 @@ def mad_outlier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     med = lower_median(v, "value").withColumnRenamed("median_value", "median_v")
+    # dev feeds both the MAD median and the final rollup — pinned at
+    # event grain is too big, but the DIAMOND here is med/mad (answer-
+    # sized, already broadcast) plus the double dev lineage; pinning dev
+    # would be data-grain, so instead pin the tiny med table (its window
+    # lineage re-ran per branch) and accept dev's two passes (audited)
+    med = med.localCheckpoint()
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type",
         "event_id",
