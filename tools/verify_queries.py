@@ -74,7 +74,12 @@ def main(names=None):
     specs = all_specs()
     for mod, err in IMPORT_FAILURES.items():
         print(f"IMPORT FAIL {mod}: {err}")
-    if names:
+    if names and names[0] == "--first":
+        # driver-window simulation: exactly the first N registrations in
+        # check-priority order (the driver samples the first 50)
+        n = int(names[1])
+        specs = dict(list(specs.items())[:n])
+    elif names:
         specs = {n: specs[n] for n in names}
     n_pass = n_fail = n_weak = 0
     for name, spec in specs.items():
