@@ -425,8 +425,12 @@ def strict_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    ut = ev.select("user_id", "event_type").distinct()
-    n_users = ev.agg(F.countDistinct("user_id").alias("n"))
+    # the distinct (user, type) relation feeds FOUR branches (marginals,
+    # both self-join sides, the user count) — pinned so events scan once
+    # (tools/audit_scans.py: 5 scans -> 1); n_users derives from ut
+    # (every user in events appears in ut)
+    ut = ev.select("user_id", "event_type").distinct().localCheckpoint()
+    n_users = ut.agg(F.countDistinct("user_id").alias("n"))
     singles = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))

@@ -624,14 +624,19 @@ def source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int"),
         F.lit(99),
     )
+    # the (source, bin) histogram is answer-sized (sources × ≤100 rows)
+    # and feeds THREE branches (grid fill, bin totals, source domain) —
+    # pinned so documents scans drop from 5 to 2 (extremes + binning;
+    # the source domain now derives from the histogram itself)
     counts = (
         d.crossJoin(F.broadcast(ext))
         .select("source", bin_expr.alias("bin"))
         .groupBy("source", "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
     bin_tot = counts.groupBy("bin").agg(F.sum("cnt").alias("tot"))
-    sources = d.select("source").distinct()
+    sources = counts.select("source").distinct()
     bins = spark.range(100).select(F.col("id").cast("int").alias("bin"))
     grid = sources.crossJoin(F.broadcast(bins))
     filled = (
