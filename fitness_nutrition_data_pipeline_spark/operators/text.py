@@ -159,7 +159,14 @@ def winnowing_match_pairs(
     nothing), so the quadratic term is bounded by max_postings² per
     fingerprint, never corpus². One shuffle on fp for the posting lists,
     one on the pair key for the shared counts."""
-    fps = winnowing_fingerprint_set(df, id_col, text_col, gram=gram, window=window)
+    # the fingerprint relation feeds THREE branches (posting sizes + both
+    # self-join sides); without pinning, each branch re-runs the whole
+    # winnowing lineage over the corpus (tools/audit_scans.py: 8 corpus
+    # scans). Pinned: winnowing runs once — exactly what production does
+    # by persisting the fingerprint index as a table.
+    fps = winnowing_fingerprint_set(
+        df, id_col, text_col, gram=gram, window=window
+    ).localCheckpoint()
     sizes = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_nd"))

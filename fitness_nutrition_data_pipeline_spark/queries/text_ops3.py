@@ -266,24 +266,32 @@ def lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = language_scores(d, "text", _LANG_MARKERS).select(
         "labeled", F.col("predicted_lang").alias("predicted")
     )
-    # n rides as a broadcast 1-row aggregate — no driver-side count()
-    n = pred.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    po = pred.agg(
-        F.sum(F.when(F.col("labeled") == F.col("predicted"), 1).otherwise(0))
-        .cast("double")
-        .alias("n_agree")
+    # Diamond restructure (fix-ladder rung 1): every statistic below is a
+    # function of the CLASS-GRAIN confusion matrix, so aggregate once to
+    # the ≤|L|² cell table (answer-sized, pinned) and derive n / po /
+    # marginals from it — the lang-id scoring lineage runs ONE pass over
+    # the corpus instead of four (tools/audit_scans.py: 6 scans -> 1).
+    cm = (
+        pred.groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint()
+    )
+    n = cm.agg(F.sum("c").alias("n"))
+    po = cm.agg(
+        F.sum(F.when(F.col("labeled") == F.col("predicted"), F.col("c"))
+              .otherwise(0.0)).alias("n_agree")
     ).crossJoin(F.broadcast(n)).select(
         (F.col("n_agree") / F.col("n")).alias("po")
     )
     lm = (
-        pred.groupBy(F.col("labeled").alias("cls"))
-        .agg(F.count(F.lit(1)).cast("double").alias("lc"))
+        cm.groupBy(F.col("labeled").alias("cls"))
+        .agg(F.sum("c").alias("lc"))
         .crossJoin(F.broadcast(n))
         .select("cls", (F.col("lc") / F.col("n")).alias("lm"))
     )
     pm = (
-        pred.groupBy(F.col("predicted").alias("cls"))
-        .agg(F.count(F.lit(1)).cast("double").alias("pc"))
+        cm.groupBy(F.col("predicted").alias("cls"))
+        .agg(F.sum("c").alias("pc"))
         .crossJoin(F.broadcast(n))
         .select("cls", (F.col("pc") / F.col("n")).alias("pm"))
     )
