@@ -139,9 +139,11 @@ def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # user-grain cohort table feeds the activity join AND the size
+    # rollup — pinned so its events pass runs once
     firsts = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
+    ).localCheckpoint()
     activity = (
         ev.join(firsts, "user_id")
         .select(

@@ -56,7 +56,9 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
-    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # the distinct (day, user) relation feeds THREE branches (calendar
+    # clip, DAU, anchor explode) — pinned so events scan once
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct().localCheckpoint()
     days = du.select("day").distinct()
     dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
     # each active (day,user) contributes to exactly the 7 anchors day..day+6
@@ -219,11 +221,13 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def signup_conversion_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    # user-grain cohort anchors feed both the conversion join and the
+    # final rollup — pinned so the firsts pass runs once
     cohorts = firsts.select(
         "user_id",
         F.date_trunc("week", "first_ts").cast("date").alias("cohort_week"),
         "first_ts",
-    )
+    ).localCheckpoint()
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
