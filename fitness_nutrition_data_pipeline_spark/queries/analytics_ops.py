@@ -84,7 +84,13 @@ def _calibration_oracle() -> str:
 )
 def minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=N_MINHASH)
+    # the signature table feeds both self-join sides — pinned so the
+    # minhash lineage runs once (the exact-jaccard pass below is a
+    # deliberately different representation: it is what's being
+    # calibrated against)
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", n_hashes=N_MINHASH
+    ).localCheckpoint()
     a = sigs.alias("a")
     b = sigs.alias("b")
     match_expr = sum(

@@ -421,7 +421,13 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    # doc-length table feeds the corpus stats AND the score join; the
+    # query-term tf table feeds df AND the scores — both pinned so the
+    # token explode runs once per representation (audit: 4 scans -> 2;
+    # dl and tf read genuinely different slices of the explode)
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dlen")
+    ).localCheckpoint()
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dlen").alias("avgdl")
     )
@@ -429,6 +435,7 @@ def bm25_query_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.where(F.col("tok").isin(terms))
         .groupBy("doc_id", F.col("tok").alias("term"))
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
