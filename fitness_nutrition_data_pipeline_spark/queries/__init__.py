@@ -150,6 +150,14 @@ _CHECK_PRIORITY = (
     "sql_script_replay",
     "csv_roundtrip_scan",
     # --- below the 50-line: queued for the r7 window ---
+    # never-driver-checked late-r6 registrations first (scale_ops)
+    "training_shard_assignment",
+    "source_temperature_mix",
+    "compaction_plan",
+    "oov_rate_curve",
+    "length_filter_survivorship",
+    "copurchase_pairs_topk",
+    "triangle_count_cooccurrence",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",
@@ -225,6 +233,7 @@ _QUERY_MODULES = (
     "relational2",
     "relational3",
     "sampling",
+    "scale_ops",
     "sketch_ops",
     "stats_ops",
     "text_ops",

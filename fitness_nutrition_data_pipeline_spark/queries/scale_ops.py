@@ -1,0 +1,436 @@
+"""Cluster-scale pipeline planning and corpus-shaping operators — the
+queries an operator of a 100 TB training-data pipeline runs to SHAPE the
+job, not just the data: shard assignment for a deterministic global
+training order, temperature-scaled source mixing, small-file compaction
+planning, vocabulary/OOV budgeting, length-gate survivorship curves,
+plus two join-shape stress queries (basket co-occurrence with an
+explicit blow-up cap, and triangle counting with the ordered-edge
+orientation that bounds the motif join).
+
+Scale notes per query live on the registration docstrings; the common
+theme: every curve/plan query aggregates the corpus FIRST (to a
+histogram / per-group relation that is bounded by cardinality, not data
+size) and only then joins the tiny parameter grid — never parameter-grid
+× corpus.
+
+Determinism/portability: hash routing is md5-based (`hash_bucket` —
+identical hex in Spark and DuckDB); every float measure is rounded and
+cast through DECIMAL so both engines emit bit-identical values (the
+driver hashes at full precision); integral casts always round first
+(Spark double→long truncates while DuckDB rounds — casting a rounded
+value sidesteps the divergence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.queries.sampling import (
+    _BUCKET_SQL,
+    hash_bucket,
+)
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+@register(
+    "training_shard_assignment",
+    f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             {_BUCKET_SQL.format(key="doc_id")} % 16 AS shard
+      FROM documents
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+      FROM s
+    )
+    SELECT shard,
+           count(*) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(max(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT) AS first_doc
+    FROM r
+    GROUP BY shard
+    ORDER BY shard
+    """,
+    sort=("shard",),
+    doc="Deterministic global training order: every document is routed to "
+    "a shard by content hash and ordered within the shard by a second "
+    "hash — a reproducible corpus-wide shuffle with no rand() and no "
+    "seed plumbing (re-runs and resumes see the same order). The "
+    "within-shard sort is the one real cost and is embarrassingly "
+    "parallel across shards: one hash-partition exchange, then each "
+    "shard sorts independently (Spark would run this as "
+    "repartition(shard).sortWithinPartitions at write time). The "
+    "registered result folds each shard to a 1-row summary (count / "
+    "checksum / head-of-order), so the verified relation stays "
+    "shard-count-sized.",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        hash_bucket(F.col("doc_id"), 16).alias("shard"),
+    )
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("h", "doc_id"))
+    return (
+        d.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("first_doc"),
+        )
+    )
+
+
+@register(
+    "source_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs,
+             CAST(round(pow(n_docs, 0.7) * 1000000) AS BIGINT) AS weight_ppm
+      FROM c
+    ),
+    t AS (SELECT CAST(sum(weight_ppm) AS BIGINT) AS tot FROM w)
+    SELECT w.source, w.n_docs, w.weight_ppm,
+           CAST(round(1.0 * w.weight_ppm / t.tot, 6) AS DECIMAL(18, 6))
+             AS mix_share,
+           CAST(round(100000.0 * w.weight_ppm / t.tot) AS BIGINT)
+             AS docs_per_100k
+    FROM w CROSS JOIN t
+    ORDER BY source
+    """,
+    sort=("source",),
+    doc="Temperature-scaled source mixing (weight ∝ count^0.7, the "
+    "multilingual-rebalancing exponent): up-weights small sources "
+    "relative to proportional sampling. Float discipline: the raw "
+    "pow() weight is immediately quantized to an integer ppm weight, "
+    "so the normalizing sum is EXACT integer math on both engines — "
+    "the only remaining float op is one two-integer division, which is "
+    "correctly-rounded and engine-independent. Source-count-sized "
+    "after one scan + tiny aggregate; the 1-row total broadcasts.",
+)
+def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = c.select(
+        "source",
+        "n_docs",
+        F.round(F.pow(F.col("n_docs"), F.lit(0.7)) * 1000000)
+        .cast("long")
+        .alias("weight_ppm"),
+    )
+    tot = w.agg(F.sum("weight_ppm").cast("long").alias("tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "weight_ppm",
+        F.round(F.lit(1.0) * F.col("weight_ppm") / F.col("tot"), 6)
+        .cast("decimal(18,6)")
+        .alias("mix_share"),
+        F.round(F.lit(100000.0) * F.col("weight_ppm") / F.col("tot"))
+        .cast("long")
+        .alias("docs_per_100k"),
+    )
+
+
+@register(
+    "compaction_plan",
+    """
+    WITH p AS (
+      SELECT source,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS part_bytes
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, part_bytes,
+           CAST(ceil(1.0 * part_bytes / 4096) AS BIGINT) AS n_target_files,
+           CAST(round(1.0 * part_bytes / ceil(1.0 * part_bytes / 4096), 1)
+                AS DECIMAL(18, 1)) AS avg_file_bytes,
+           CAST(round(1.0 * n_docs / ceil(1.0 * part_bytes / 4096), 2)
+                AS DECIMAL(18, 2)) AS compaction_ratio
+    FROM p
+    ORDER BY source
+    """,
+    sort=("source",),
+    doc="Small-file compaction planner: per storage partition (source), "
+    "the byte total → number of target-size output files (ceil of "
+    "bytes/target) and the resulting files-merged-per-output ratio — "
+    "the query behind an OPTIMIZE/rewrite job's task list. At 100 TB "
+    "the input to the plan is partition-count-sized (catalog/agg "
+    "metadata, one scan here only because the testdata has no file "
+    "manifest), and the plan itself drives a repartition-by-range "
+    "write sized so every output file lands on target.",
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _docs(spark, sf_dir).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("part_bytes"),
+    )
+    n_files = F.ceil(F.lit(1.0) * F.col("part_bytes") / 4096)
+    return p.select(
+        "source",
+        "n_docs",
+        "part_bytes",
+        n_files.cast("long").alias("n_target_files"),
+        F.round(F.lit(1.0) * F.col("part_bytes") / n_files, 1)
+        .cast("decimal(18,1)")
+        .alias("avg_file_bytes"),
+        F.round(F.lit(1.0) * F.col("n_docs") / n_files, 2)
+        .cast("decimal(18,2)")
+        .alias("compaction_ratio"),
+    )
+
+
+@register(
+    "oov_rate_curve",
+    r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tc AS (SELECT tok, count(*) AS cnt FROM tok WHERE tok <> '' GROUP BY tok),
+    r AS (
+      SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rnk
+      FROM tc
+    ),
+    t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tc)
+    SELECT v.vocab_size,
+           t.total_tokens,
+           CAST(coalesce(sum(CASE WHEN r.rnk > v.vocab_size THEN r.cnt END), 0)
+                AS BIGINT) AS oov_tokens,
+           CAST(round(1.0 * coalesce(
+                  sum(CASE WHEN r.rnk > v.vocab_size THEN r.cnt END), 0)
+                / t.total_tokens, 6) AS DECIMAL(18, 6)) AS oov_rate
+    FROM r
+    CROSS JOIN (VALUES (8), (16), (32), (64)) AS v(vocab_size)
+    CROSS JOIN t
+    GROUP BY v.vocab_size, t.total_tokens
+    ORDER BY vocab_size
+    """,
+    sort=("vocab_size",),
+    doc="Vocabulary budgeting: out-of-vocabulary token mass at several "
+    "candidate vocab sizes (rank terms by corpus frequency, sum the "
+    "tail past each cutoff) — the curve that picks a tokenizer vocab "
+    "size. The corpus collapses to the term-frequency relation FIRST "
+    "(vocab-sized, not corpus-sized), so the rank window and the "
+    "4-row parameter grid join touch only the aggregate; the explode + "
+    "count is one shuffle with map-side partial aggregation.",
+)
+def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    toks = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).where(F.col("tok") != "")
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    r = tc.withColumn(
+        "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
+    )
+    t = tc.agg(F.sum("cnt").cast("long").alias("total_tokens"))
+    sizes = spark.createDataFrame(
+        [(8,), (16,), (32,), (64,)], "vocab_size int"
+    )
+    oov = F.coalesce(
+        F.sum(F.when(F.col("rnk") > F.col("vocab_size"), F.col("cnt"))),
+        F.lit(0),
+    )
+    return (
+        r.crossJoin(F.broadcast(sizes))
+        .crossJoin(F.broadcast(t))
+        .groupBy("vocab_size", "total_tokens")
+        .agg(
+            oov.cast("long").alias("oov_tokens"),
+            F.round(F.lit(1.0) * oov / F.col("total_tokens"), 6)
+            .cast("decimal(18,6)")
+            .alias("oov_rate"),
+        )
+        .select("vocab_size", "total_tokens", "oov_tokens", "oov_rate")
+    )
+
+
+@register(
+    "length_filter_survivorship",
+    """
+    WITH hist AS (
+      SELECT n_chars, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY n_chars
+    )
+    SELECT g.min_len,
+           CAST(coalesce(sum(CASE WHEN hist.n_chars >= g.min_len
+                             THEN hist.n_docs END), 0) AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(CASE WHEN hist.n_chars >= g.min_len
+                             THEN hist.chars END), 0) AS BIGINT) AS chars_kept,
+           CAST(round(100.0 * coalesce(sum(CASE WHEN hist.n_chars >= g.min_len
+                                          THEN hist.n_docs END), 0)
+                      / sum(hist.n_docs), 2) AS DECIMAL(18, 2)) AS docs_kept_pct
+    FROM hist
+    CROSS JOIN (VALUES (64), (128), (256), (384), (512)) AS g(min_len)
+    GROUP BY g.min_len
+    ORDER BY min_len
+    """,
+    sort=("min_len",),
+    doc="Quality-gate tuning curve: corpus survivorship (docs and bytes "
+    "kept) at each candidate minimum-length cutoff. The corpus is "
+    "folded to a length histogram first — bounded by DISTINCT lengths, "
+    "not rows — and the 5-point threshold grid joins the histogram, "
+    "never the corpus: the grid×corpus scan a naive UNION-per-threshold "
+    "would cost is replaced by one scan + one tiny aggregate.",
+)
+def length_filter_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hist = _docs(spark, sf_dir).groupBy("n_chars").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    grid = spark.createDataFrame(
+        [(64,), (128,), (256,), (384,), (512,)], "min_len int"
+    )
+    kept = F.col("n_chars") >= F.col("min_len")
+    docs_kept = F.coalesce(F.sum(F.when(kept, F.col("n_docs"))), F.lit(0))
+    return (
+        hist.crossJoin(F.broadcast(grid))
+        .groupBy("min_len")
+        .agg(
+            docs_kept.cast("long").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(kept, F.col("chars"))), F.lit(0))
+            .cast("long")
+            .alias("chars_kept"),
+            F.round(F.lit(100.0) * docs_kept / F.sum("n_docs"), 2)
+            .cast("decimal(18,2)")
+            .alias("docs_kept_pct"),
+        )
+    )
+
+
+@register(
+    "copurchase_pairs_topk",
+    """
+    WITH sized AS (
+      SELECT l_orderkey, l_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS basket_size
+      FROM lineitem
+    ),
+    capped AS (SELECT l_orderkey, l_partkey FROM sized WHERE basket_size <= 20),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_baskets
+    FROM pairs
+    GROUP BY part_a, part_b
+    ORDER BY n_baskets DESC, part_a, part_b
+    LIMIT 20
+    """,
+    doc="Market-basket co-occurrence (top co-purchased part pairs). The "
+    "pair generation is the classic quadratic blow-up, so it is "
+    "explicitly CAPPED: baskets larger than 20 lines are excluded "
+    "before pairing (the same bounded-quadratic discipline as "
+    "near_dup_pipeline's max_bucket_size), which caps per-order work "
+    "at C(20,2) regardless of data scale. The self-join keys both "
+    "sides on l_orderkey — one hash exchange each, co-partitioned "
+    "join, then a pair-keyed partial-agg count. Total order + LIMIT "
+    "is the output contract.",
+)
+def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    sized = li.withColumn(
+        "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    )
+    capped = sized.where(F.col("basket_size") <= 20).drop("basket_size")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .orderBy(F.desc("n_baskets"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    "triangle_count_cooccurrence",
+    """
+    WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+    e AS (
+      SELECT DISTINCT a.event_type AS src, b.event_type AS dst
+      FROM ue a JOIN ue b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    ),
+    nodes AS (SELECT count(DISTINCT event_type) AS n_nodes FROM events),
+    edges AS (SELECT count(*) AS n_edges FROM e),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.src = e1.dst
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    )
+    SELECT CAST(nodes.n_nodes AS BIGINT) AS n_nodes,
+           CAST(edges.n_edges AS BIGINT) AS n_edges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles
+    FROM nodes CROSS JOIN edges CROSS JOIN tri
+    """,
+    sort=("n_nodes",),
+    doc="Triangle counting on the event-type co-occurrence graph (types "
+    "linked when one user performs both) via the ordered-edge "
+    "orientation: every undirected edge is stored once as src < dst "
+    "and each triangle is counted exactly once as a<b<c — the "
+    "orientation that makes the motif join linear in wedge count "
+    "instead of 6× overcounted. The co-occurrence projection folds "
+    "events to DISTINCT (user, type) first, so the pairing join's "
+    "per-user fan-out is bounded by the type-alphabet size, not event "
+    "volume; at real scale the same shape runs degree-ordered "
+    "(orient edges low-degree → high-degree) to bound wedges per node.",
+)
+def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    a = ue.alias("a")
+    b = ue.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .select(
+            F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst")
+        )
+        .distinct()
+    )
+    nodes = ev.agg(F.countDistinct("event_type").cast("long").alias("n_nodes"))
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
