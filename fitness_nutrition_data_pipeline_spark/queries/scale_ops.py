@@ -407,7 +407,13 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ue = ev.select("user_id", "event_type").distinct()
+    # Pin the two shared relations: ue feeds both sides of the pairing
+    # join plus the node count, e feeds three joins plus the edge count —
+    # without the pins the plan re-derives each use from a fresh events
+    # scan (audited by tools/audit_scans.py). After the pins the corpus
+    # is scanned exactly once; both pinned relations are DISTINCT
+    # projections bounded by (users × type-alphabet) and (alphabet²).
+    ue = ev.select("user_id", "event_type").distinct().localCheckpoint()
     a = ue.alias("a")
     b = ue.alias("b")
     e = (
@@ -420,8 +426,9 @@ def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.event_type").alias("src"), F.col("b.event_type").alias("dst")
         )
         .distinct()
+        .localCheckpoint()
     )
-    nodes = ev.agg(F.countDistinct("event_type").cast("long").alias("n_nodes"))
+    nodes = ue.agg(F.countDistinct("event_type").cast("long").alias("n_nodes"))
     edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
