@@ -158,6 +158,7 @@ _CHECK_PRIORITY = (
     "length_filter_survivorship",
     "copurchase_pairs_topk",
     "triangle_count_cooccurrence",
+    "snapshot_diff_cdc",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

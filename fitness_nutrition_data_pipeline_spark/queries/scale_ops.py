@@ -372,6 +372,98 @@ def copurchase_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_diff_cdc",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders
+    ),
+    old AS (
+      SELECT o_orderkey,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(cents AS VARCHAR) || '|' || o_orderstatus) AS row_hash
+      FROM base WHERE o_orderkey % 10 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+                 CAST(cents + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END
+                      AS VARCHAR) || '|' || o_orderstatus) AS row_hash
+      FROM base WHERE o_orderkey % 7 <> 0
+    )
+    SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.row_hash <> n.row_hash THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           count(*) AS n_rows,
+           CAST(sum(coalesce(n.o_orderkey, o.o_orderkey)) AS BIGINT)
+             AS key_checksum
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    GROUP BY 1
+    ORDER BY change_type
+    """,
+    sort=("change_type",),
+    doc="Snapshot row-diff CDC: two versions of a table (simulated from "
+    "orders by key-mod deletion/insertion plus a price correction on "
+    "every fifth key) are diffed into insert/delete/update/unchanged "
+    "classes via a FULL OUTER join on the key and an md5 row-hash "
+    "compare — the change-data-capture pass that turns nightly full "
+    "snapshots into a delta feed. The row hash is built over EXACT "
+    "integer cents (round(price*100)), never float text, so both "
+    "engines hash identical bytes. At 100 TB both snapshots are "
+    "bucketed on the key, making the diff a co-partitioned merge with "
+    "zero shuffle; the hash compare keeps the wide columns out of the "
+    "join payload (hash early, compare 32 bytes).",
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+
+    def row_hash(cents_col):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey").cast("string"),
+                cents_col.cast("string"),
+                F.col("o_orderstatus"),
+            )
+        )
+
+    old = base.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", row_hash(F.col("cents")).alias("row_hash")
+    )
+    corrected = F.col("cents") + F.when(
+        F.col("o_orderkey") % 5 == 0, F.lit(100)
+    ).otherwise(F.lit(0))
+    new = base.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", row_hash(corrected).alias("row_hash")
+    )
+    o = old.alias("o")
+    n = new.alias("n")
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(F.col("o.row_hash") != F.col("n.row_hash"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer")
+        .groupBy(change.alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.coalesce(F.col("n.o_orderkey"), F.col("o.o_orderkey")))
+            .cast("long")
+            .alias("key_checksum"),
+        )
+    )
+
+
+@register(
     "triangle_count_cooccurrence",
     """
     WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
