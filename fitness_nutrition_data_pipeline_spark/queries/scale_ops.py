@@ -237,7 +237,10 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
     ).where(F.col("tok") != "")
-    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # term-frequency relation feeds BOTH the rank window and the total —
+    # pin it (vocab-sized) so the corpus explode+count runs once, not
+    # twice (tools/audit_scans.py diamond policy)
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")).localCheckpoint()
     r = tc.withColumn(
         "rnk", F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("tok")))
     )

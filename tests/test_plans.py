@@ -535,3 +535,62 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- scale_ops family (late r6): curve/plan queries fold the corpus to a
+# bounded aggregate BEFORE joining the parameter grid; diff/basket joins
+# keep their documented shapes ---
+
+
+def test_survivorship_folds_corpus_before_grid(spark, sf_dir):
+    # one corpus scan; the 5-row threshold grid joins the length
+    # HISTOGRAM (bounded by distinct lengths), never the corpus
+    plan = plan_of(spark, sf_dir, "length_filter_survivorship", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_curve_single_corpus_derivation(spark, sf_dir):
+    # the pinned term-frequency relation feeds both the rank window and
+    # the total, so the static plan shows NO residual corpus scan (the
+    # explode+count ran once at pin time) and the rank window runs on the
+    # vocab-sized aggregate
+    plan = plan_of(spark, sf_dir, "oov_rate_curve", mode="simple")
+    assert plan.count("Scan parquet") == 0
+    assert "Window" in plan
+
+
+def test_triangle_count_pins_shared_graph(spark, sf_dir):
+    # ue and the oriented edge set are pinned: events is scanned at pin
+    # time only, and the 3-way motif join runs over the checkpointed
+    # alphabet²-bounded edge relation
+    plan = plan_of(spark, sf_dir, "triangle_count_cooccurrence", mode="simple")
+    assert plan.count("Scan parquet") == 0
+
+
+def test_snapshot_diff_full_outer_no_broadcast(spark, sf_dir):
+    # CDC diff: exactly two snapshot scans (old/new branches of the same
+    # table here; two tables in production) and a FULL OUTER join — which
+    # can never be broadcast, so the shape must be a shuffle join on the
+    # key on BOTH branches regardless of AQE
+    plan = final_plan_of(spark, sf_dir, "snapshot_diff_cdc")
+    assert plan.count("Scan parquet") == 2
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_copurchase_capped_and_take_ordered(spark, sf_dir):
+    # basket cap via a per-order window, pair join co-keyed on l_orderkey
+    # (never a cartesian), top-k as TakeOrdered — no global sort
+    plan = final_plan_of(spark, sf_dir, "copurchase_pairs_topk")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" in plan
+
+
+def test_shard_assignment_window_is_per_shard(spark, sf_dir):
+    # the within-shard order window must be PARTITIONED by shard (the
+    # global-order trap would funnel the corpus through one task)
+    plan = plan_of(spark, sf_dir, "training_shard_assignment", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "windowspecdefinition(shard" in plan, "expected shard-partitioned window"
