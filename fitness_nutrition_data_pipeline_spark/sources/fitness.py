@@ -9,10 +9,11 @@ any scale (reference relies on pandas inference: main_etl_pipeline.py:77,
 Missing-file tolerance matches the reference (skip + warn,
 main_etl_pipeline.py:74-76): extraction returns only the sources present.
 
-Excel ingestion (S3): Spark has no native xlsx reader and this container
-has no openpyxl, so `read_excel_via_pandas` is import-gated; the supported
-path is pre-converted CSV/parquet alongside the xlsx (same normalized
-name), which `read_tabular` picks up automatically.
+Excel ingestion (S3): read natively via the stdlib zip+XML parser
+(sources/xlsx.py — no openpyxl needed; reference parity pinned in
+tests/test_xlsx_source.py), with openpyxl as an import-gated fallback
+for exotic sheets. Pre-converted CSV/parquet siblings still take
+precedence in `read_tabular` (they're faster and splittable).
 """
 
 from __future__ import annotations
@@ -144,7 +145,15 @@ def read_tabular(spark: SparkSession, path: str) -> DataFrame | None:
     if os.path.exists(base + ".csv"):
         return _read_csv(spark, base + ".csv")
     if os.path.exists(path) and path.endswith(".xlsx"):
-        return read_excel_via_pandas(spark, path)
+        # native stdlib parser first (zipfile+XML — no openpyxl needed);
+        # pandas/openpyxl only as a fallback for exotic sheets
+        try:
+            from fitness_nutrition_data_pipeline_spark.sources.xlsx import read_xlsx
+
+            return read_xlsx(spark, path)
+        except Exception:  # noqa: BLE001 — e.g. formula/serial-date sheets
+            logger.warning("stdlib xlsx parse failed for %s; trying openpyxl", path)
+            return read_excel_via_pandas(spark, path)
     if os.path.exists(path):
         return _read_csv(spark, path)
     logger.warning("source not found: %s, skipping", path)

@@ -41,7 +41,10 @@ def report(spark, tmp_path_factory):
     for f in os.listdir(os.path.join(REF, "fitbit")):
         shutil.copy(os.path.join(REF, "fitbit", f), os.path.join(data, "fitbit"))
     shutil.copy(os.path.join(REF, "gym_members_exercise_tracking.csv"), data)
-    convert(os.path.join(REF, "gym_recommendation.xlsx"), os.path.join(data, "gym_recommendation.csv"))
+    # gym_recommendation flows through the NATIVE stdlib xlsx source
+    # (copied as-is); nutrition goes through the pre-convert tool — the
+    # golden counts below thereby pin BOTH xlsx ingestion paths
+    shutil.copy(os.path.join(REF, "gym_recommendation.xlsx"), data)
     convert(os.path.join(REF, "nutrition.xlsx"), os.path.join(data, "nutrition.csv"))
 
     cfg = PipelineConfig(

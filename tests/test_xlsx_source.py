@@ -1,0 +1,79 @@
+"""Native stdlib xlsx source: parser behaviors pinned on a synthetic
+sheet, and parity against the reference's real xlsx inputs when the
+reference tree is present."""
+
+import os
+import zipfile
+
+import pytest
+
+from fitness_nutrition_data_pipeline_spark.sources.xlsx import read_xlsx, read_xlsx_rows
+
+_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_SHARED = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">
+<si><t>name</t></si><si><t>kcal</t></si><si><r><t>split </t></r><r><t>run</t></r></si>
+</sst>"""
+
+# row 2 leaves B2 missing (gap → pad); row 3 uses an inline string and a
+# shared string built from multiple runs
+_SHEET = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+<row r="2"><c r="A2" t="inlineStr"><is><t>banana</t></is></c></row>
+<row r="3"><c r="A3" t="s"><v>2</v></c><c r="B3"><v>105</v></c></row>
+</sheetData>
+</worksheet>"""
+
+
+@pytest.fixture()
+def synthetic_xlsx(tmp_path):
+    path = str(tmp_path / "mini.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", _SHEET)
+    return path
+
+
+def test_rows_resolve_shared_inline_and_gaps(synthetic_xlsx):
+    rows = read_xlsx_rows(synthetic_xlsx)
+    assert rows == [
+        ["name", "kcal"],
+        ["banana", ""],       # missing B2 padded
+        ["split run", "105"],  # multi-run shared string concatenated
+    ]
+
+
+def test_read_xlsx_dataframe_contract(spark, synthetic_xlsx):
+    df = read_xlsx(spark, synthetic_xlsx)
+    assert df.columns == ["name", "kcal"]
+    assert [f.dataType.simpleString() for f in df.schema.fields] == ["string", "string"]
+    got = {tuple(r) for r in df.collect()}
+    # blank → NULL (CSV-path parity: casts stay explicit downstream)
+    assert got == {("banana", None), ("split run", "105")}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/data"), reason="reference data absent"
+)
+def test_native_read_matches_converted_csv(spark):
+    """The engine's native xlsx read must agree with the pre-convert
+    tool (same parser, but this pins the DataFrame header/NULL wrapping)
+    on the reference's real nutrition sheet."""
+    path = "/root/reference/data/nutrition.xlsx"
+    rows = read_xlsx_rows(path)
+    df = read_xlsx(spark, path)
+    expect = [str(h) if h != "" else f"_c{i}" for i, h in enumerate(rows[0])]
+    assert df.columns == expect
+    assert df.count() == len(rows) - 1
