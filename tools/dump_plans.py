@@ -63,6 +63,11 @@ SHOWCASE = [
     ("bigram_pmi_collocations", "collocation mining: two explode+count passes, vocab-key joins, mass scalars broadcast, TakeOrdered top-20"),
     ("zorder_locality_stats", "Z-order layout: one scan, 3x layout explode, pure shift/mask codegen curve key"),
     ("concurrent_sessions_peak", "interval concurrency: bounded minute explode, per-day argmax window on minute grain, one event scan"),
+    ("snapshot_diff_cdc", "CDC snapshot diff: md5 row-hash early (wide cols out of the payload), FULL OUTER shuffle join — never broadcastable by construction"),
+    ("training_shard_assignment", "deterministic global training order: hash-route + shard-PARTITIONED window (no global sort), shard-grain result"),
+    ("copurchase_pairs_topk", "market-basket pairs: per-order cap window bounds the quadratic stage, co-keyed self-join, TakeOrdered top-k"),
+    ("length_filter_survivorship", "threshold curve: corpus folds to a length histogram FIRST, 5-row grid joins the aggregate — one scan for five thresholds"),
+    ("triangle_count_cooccurrence", "triangle motif: pinned distinct projection + oriented edges (src<dst), 3-way join on the alphabet-bounded edge set"),
 ]
 
 
