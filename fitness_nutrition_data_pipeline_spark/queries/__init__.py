@@ -159,6 +159,7 @@ _CHECK_PRIORITY = (
     "copurchase_pairs_topk",
     "triangle_count_cooccurrence",
     "snapshot_diff_cdc",
+    "weighted_sample_es",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

@@ -372,3 +372,51 @@ def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated_pct"),
         )
     )
+
+
+@register(
+    "weighted_sample_es",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             -ln(({_BUCKET_SQL.format(key="doc_id")} + 0.5) / 16777216.0)
+               / n_chars AS es_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (ORDER BY es_key, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT sample_rank, doc_id, lang, n_chars
+    FROM ranked WHERE sample_rank <= 50
+    ORDER BY sample_rank
+    """,
+    sort=("sample_rank",),
+    doc="Weighted sampling WITHOUT replacement (Efraimidis-Spirakis "
+    "exponential race, P(select) proportional to n_chars): each row's key is "
+    "-ln(u)/w with u a DETERMINISTIC md5-hash uniform — the same "
+    "reproducibility contract as every sampler here (no rand(), no "
+    "seed plumbing; re-runs pick the same sample on any cluster "
+    "layout). Selecting the k smallest keys IS the weighted sample, so "
+    "at scale this is a TakeOrdered top-k: per-partition heaps of size "
+    "k, no global sort, no shuffle of the corpus. The key itself stays "
+    "out of the output (floats only order rows, never surface).",
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    d = _docs(spark, sf_dir)
+    u = (hash_bucket(F.col("doc_id"), 16777216) + F.lit(0.5)) / F.lit(16777216.0)
+    keyed = d.select(
+        "doc_id", "lang", "n_chars",
+        (-F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    # top-k FIRST as orderBy+limit → TakeOrderedAndProject (per-partition
+    # size-k heaps, no global sort); the rank window then runs over the
+    # 50 survivors only, never the corpus
+    top = keyed.orderBy("es_key", "doc_id").limit(50)
+    ranked = top.withColumn(
+        "sample_rank", F.row_number().over(W.orderBy("es_key", "doc_id"))
+    )
+    return ranked.select("sample_rank", "doc_id", "lang", "n_chars")

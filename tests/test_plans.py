@@ -594,3 +594,10 @@ def test_shard_assignment_window_is_per_shard(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "training_shard_assignment", mode="simple")
     assert plan.count("Scan parquet") == 1
     assert "windowspecdefinition(shard" in plan, "expected shard-partitioned window"
+
+
+def test_weighted_sample_topk_no_global_sort(spark, sf_dir):
+    # the ES race must be TakeOrdered (heap top-k) over the corpus; the
+    # rank window runs on the 50 survivors only
+    plan = plan_of(spark, sf_dir, "weighted_sample_es", mode="simple")
+    assert "TakeOrderedAndProject" in plan
