@@ -160,6 +160,7 @@ _CHECK_PRIORITY = (
     "triangle_count_cooccurrence",
     "snapshot_diff_cdc",
     "weighted_sample_es",
+    "prefix_filter_simjoin",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

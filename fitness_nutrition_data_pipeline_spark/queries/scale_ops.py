@@ -536,3 +536,126 @@ def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return nodes.crossJoin(F.broadcast(edges)).crossJoin(F.broadcast(tri))
+
+
+@register(
+    "prefix_filter_simjoin",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+    ),
+    dfreq AS (SELECT gram, count(*) AS df FROM sh GROUP BY gram),
+    ord AS (
+      SELECT s.doc_id, s.gram,
+             row_number() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.gram) AS rnk,
+             count(*) OVER (PARTITION BY s.doc_id) AS sz
+      FROM sh s JOIN dfreq d USING (gram)
+    ),
+    pref AS (
+      SELECT doc_id, gram, sz FROM ord
+      WHERE rnk <= sz - ceil(0.5 * sz) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sz AS sz_a, b.sz AS sz_b
+      FROM pref a JOIN pref b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+      WHERE least(a.sz, b.sz) >= 0.5 * greatest(a.sz, b.sz)
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, c.sz_a, c.sz_b, count(*) AS n_int
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.doc_a
+      JOIN sh tb ON tb.doc_id = c.doc_b AND tb.gram = ta.gram
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(round(1.0 * n_int / (sz_a + sz_b - n_int), 4)
+                AS DECIMAL(18, 4)) AS jaccard
+    FROM inter
+    WHERE 1.0 * n_int / (sz_a + sz_b - n_int) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    sort=("doc_a", "doc_b"),
+    doc="EXACT set-similarity self-join via prefix filtering (the "
+    "PPJoin/AllPairs family): two docs with 3-shingle Jaccard >= 0.5 "
+    "MUST share at least one of each other's rarest (sz - ceil(t*sz) "
+    "+ 1) shingles, so candidate generation joins only on those prefix "
+    "shingles — plus the length filter min_sz >= t*max_sz — and exact "
+    "Jaccard verifies survivors. Complements the MinHash/LSH ladder: "
+    "zero false negatives (LSH is probabilistic) at the cost of a "
+    "frequency-ordering pass. Shuffles: shingle explode+distinct, df "
+    "agg on gram, one doc-keyed window pass, the prefix-gram candidate "
+    "join (rarest-first ordering keeps per-gram buckets small on a "
+    "heavy-tailed vocab), and a doc-keyed verify join over candidates "
+    "only — never all pairs. Shared relations (shingles, prefixes) are "
+    "pinned per the diamond policy.",
+)
+def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import word_shingles
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    sh = (
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("gram"))
+        .localCheckpoint()
+    )
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ord_w = W.partitionBy("doc_id").orderBy("df", "gram")
+    sized = sh.join(dfreq, "gram").select(
+        "doc_id",
+        "gram",
+        F.row_number().over(ord_w).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("sz"),
+    )
+    pref = (
+        sized.where(
+            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
+        )
+        .select("doc_id", "gram", "sz")
+        .localCheckpoint()
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(0.5) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("doc_id").alias("doc_a"), "gram")
+    tb = sh.select(F.col("doc_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    jac = F.lit(1.0) * F.col("n_int") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_int")
+    )
+    return (
+        inter.where(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jac, 4).cast("decimal(18,4)").alias("jaccard"),
+        )
+    )
