@@ -3,9 +3,11 @@ queries an operator of a 100 TB training-data pipeline runs to SHAPE the
 job, not just the data: shard assignment for a deterministic global
 training order, temperature-scaled source mixing, small-file compaction
 planning, vocabulary/OOV budgeting, length-gate survivorship curves,
-plus two join-shape stress queries (basket co-occurrence with an
-explicit blow-up cap, and triangle counting with the ordered-edge
-orientation that bounds the motif join).
+snapshot row-diff CDC, an exact prefix-filtering set-similarity join
+(the deterministic complement of the MinHash/LSH ladder), and two
+join-shape stress queries (basket co-occurrence with an explicit
+blow-up cap, and triangle counting with the ordered-edge orientation
+that bounds the motif join).
 
 Scale notes per query live on the registration docstrings; the common
 theme: every curve/plan query aggregates the corpus FIRST (to a
