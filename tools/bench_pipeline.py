@@ -31,8 +31,6 @@ def main() -> None:
         print(json.dumps({"skipped": True, "reason": "reference data absent"}))
         return
 
-    from xlsx_to_csv import convert
-
     from fitness_nutrition_data_pipeline_spark.config import PipelineConfig
     from fitness_nutrition_data_pipeline_spark.pipeline import FitnessWarehousePipeline
     from fitness_nutrition_data_pipeline_spark.session import get_spark
@@ -44,13 +42,11 @@ def main() -> None:
     for f in os.listdir(os.path.join(REF, "fitbit")):
         shutil.copy(os.path.join(REF, "fitbit", f), os.path.join(data, "fitbit"))
     shutil.copy(os.path.join(REF, "gym_members_exercise_tracking.csv"), data)
-    # xlsx → csv conversion happens driver-side in this architecture (S3):
-    # count it as extract time, exactly like the reference's read_excel
-    convert(
-        os.path.join(REF, "gym_recommendation.xlsx"),
-        os.path.join(data, "gym_recommendation.csv"),
-    )
-    convert(os.path.join(REF, "nutrition.xlsx"), os.path.join(data, "nutrition.csv"))
+    # xlsx is read NATIVELY by sources/xlsx.py inside extract() — no
+    # pre-conversion step; the copy below is pure staging (what remains
+    # of the old convert phase, kept as its own timing for continuity)
+    shutil.copy(os.path.join(REF, "gym_recommendation.xlsx"), data)
+    shutil.copy(os.path.join(REF, "nutrition.xlsx"), data)
     t_convert = time.time() - t0
 
     spark = get_spark("bench_pipeline")
