@@ -342,3 +342,84 @@ def dedup_clusters(
             .agg(F.min("bucket_label").alias("label"))
         )
     return labels.select(id_col, F.col("label").alias("cluster_id"))
+
+
+def prefix_filter_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin/AllPairs family) over n-word shingles.
+
+    Guarantee (property-tested in tests/test_similarity_ops.py against a
+    brute-force oracle): returns EXACTLY the pairs with shingle-set
+    Jaccard >= threshold — zero false negatives, unlike the MinHash/LSH
+    ladder above, whose recall is probabilistic. The pruning relies on
+    the pigeonhole bound: two sets with J >= t must overlap within each
+    other's (sz - ceil(t*sz) + 1) RAREST elements, so candidates are
+    generated only from those prefix shingles, with the min >= t*max
+    length filter applied at pair time. Exact Jaccard verifies
+    survivors via doc-keyed joins over candidates only — never all
+    pairs. The shared shingle and prefix relations are pinned
+    (localCheckpoint) per the diamond-scan policy.
+
+    Output: (doc_a, doc_b, jaccard DOUBLE), doc_a < doc_b.
+    """
+    from fitness_nutrition_data_pipeline_spark.operators.text import word_shingles
+
+    from pyspark.sql.window import Window as W
+
+    d = df.where(F.col(text_col).isNotNull())
+    sh = d.select(
+        F.col(id_col).alias("_id"), F.explode(word_shingles(text_col, n)).alias("gram")
+    ).localCheckpoint()
+    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    sized = sh.join(dfreq, "gram").select(
+        "_id",
+        "gram",
+        F.row_number().over(W.partitionBy("_id").orderBy("df", "gram")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy("_id")).alias("sz"),
+    )
+    pref = (
+        sized.where(
+            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        )
+        .select("_id", "gram", "sz")
+        .localCheckpoint()
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .where(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    ta = sh.select(F.col("_id").alias("doc_a"), "gram")
+    tb = sh.select(F.col("_id").alias("doc_b"), "gram")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    jac = F.lit(1.0) * F.col("n_int") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_int")
+    )
+    return inter.where(jac >= threshold).select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    )

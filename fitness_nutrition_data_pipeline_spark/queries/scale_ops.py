@@ -601,63 +601,13 @@ def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pinned per the diamond policy.",
 )
 def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from fitness_nutrition_data_pipeline_spark.operators.text import word_shingles
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import prefix_filter_join
 
-    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
-    sh = (
-        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("gram"))
-        .localCheckpoint()
+    pairs = prefix_filter_join(
+        _docs(spark, sf_dir), "doc_id", "text", n=3, threshold=0.5
     )
-    dfreq = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ord_w = W.partitionBy("doc_id").orderBy("df", "gram")
-    sized = sh.join(dfreq, "gram").select(
-        "doc_id",
-        "gram",
-        F.row_number().over(ord_w).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy("doc_id")).alias("sz"),
-    )
-    pref = (
-        sized.where(
-            F.col("rnk") <= F.col("sz") - F.ceil(F.lit(0.5) * F.col("sz")) + 1
-        )
-        .select("doc_id", "gram", "sz")
-        .localCheckpoint()
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .where(
-            F.least(F.col("a.sz"), F.col("b.sz"))
-            >= F.lit(0.5) * F.greatest(F.col("a.sz"), F.col("b.sz"))
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sz").alias("sz_a"),
-            F.col("b.sz").alias("sz_b"),
-        )
-        .distinct()
-    )
-    ta = sh.select(F.col("doc_id").alias("doc_a"), "gram")
-    tb = sh.select(F.col("doc_id").alias("doc_b"), "gram")
-    inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "gram"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("n_int"))
-    )
-    jac = F.lit(1.0) * F.col("n_int") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_int")
-    )
-    return (
-        inter.where(jac >= 0.5)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jac, 4).cast("decimal(18,4)").alias("jaccard"),
-        )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round("jaccard", 4).cast("decimal(18,4)").alias("jaccard"),
     )

@@ -125,3 +125,52 @@ def test_pca_power_iteration_finds_dominant_direction(spark, sf_dir):
         v = {i: x / n for i, x in s.items()}
     assert abs(abs(v[0]) - 1.0) < 0.01  # aligned with the dominant axis
     assert abs(v[1]) < 0.1 and abs(v[2]) < 0.1
+
+
+def test_prefix_filter_join_exact_vs_bruteforce(spark):
+    """The zero-false-negative claim: on seeded random corpora the
+    prefix-filtered join must return EXACTLY the pairs a brute-force
+    all-pairs shingle-Jaccard finds at the threshold — no misses (the
+    pigeonhole prefix bound is the load-bearing step) and no extras
+    (the verify stage is exact)."""
+    import random
+
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+        prefix_filter_join,
+    )
+
+    def shingles(text, n=3):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = []
+        for i in range(40):
+            base = [rng.choice(vocab) for _ in range(rng.randint(4, 18))]
+            docs.append((i, " ".join(base)))
+            # planted near-dups: light edits of an earlier doc
+            if i % 5 == 0 and i > 0:
+                edited = list(docs[i - 1][1].split())
+                edited[rng.randrange(len(edited))] = rng.choice(vocab)
+                docs.append((100 + i, " ".join(edited)))
+
+        expected = set()
+        for ai in range(len(docs)):
+            for bi in range(ai + 1, len(docs)):
+                ida, ta = docs[ai]
+                idb, tb = docs[bi]
+                sa, sb = shingles(ta), shingles(tb)
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    expected.add((min(ida, idb), max(ida, idb)))
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in prefix_filter_join(df, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert got == expected, f"seed {seed}: {got ^ expected}"
