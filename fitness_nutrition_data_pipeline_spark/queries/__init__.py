@@ -161,6 +161,7 @@ _CHECK_PRIORITY = (
     "snapshot_diff_cdc",
     "weighted_sample_es",
     "prefix_filter_simjoin",
+    "multitouch_attribution",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

@@ -981,3 +981,84 @@ def heavy_hitters_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").cast("string").alias("key"),
     )
     return sharded.groupBy("shard").applyInPandas(run, HH_SCHEMA)
+
+
+@register(
+    "multitouch_attribution",
+    """
+    WITH purch AS (
+      SELECT event_id AS pid, user_id, ts AS pt
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    pairs AS (
+      SELECT p.pid, t.event_type
+      FROM purch p JOIN touch t
+        ON t.user_id = p.user_id
+       AND t.ts >= p.pt - INTERVAL 7 DAY
+       AND t.ts < p.pt
+    ),
+    sized AS (
+      SELECT pid, event_type,
+             count(*) OVER (PARTITION BY pid) AS n_touch
+      FROM pairs
+    ),
+    cred AS (
+      SELECT pid, event_type,
+             CAST(round(1000000.0 / n_touch) AS BIGINT) AS ppm
+      FROM sized
+    )
+    SELECT event_type,
+           count(*) AS n_touches,
+           CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions_touched,
+           CAST(round(sum(ppm) / 1000000.0, 3) AS DECIMAL(18, 3))
+             AS credited_conversions
+    FROM cred
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Linear multi-touch attribution: every view/click in the 7 days "
+    "before a purchase shares that conversion's credit equally (the "
+    "multi-touch counterpart of the stream-stream LAST-touch join in "
+    "streaming/joins.py). Credit is quantized to integer ppm per touch "
+    "BEFORE summing, so the cross-engine aggregate is exact integer "
+    "math — float credit summed in shuffle order would drift at the "
+    "ulp level. The purchase-touch pairing is an equi-join on user_id "
+    "with a time-range residual (co-keyed shuffle join, NOT a "
+    "nested-loop: per-user fan-out is bounded by user activity, the "
+    "classic attribution-window shape), and the per-conversion window "
+    "runs on pid grain — pairs, never raw events.",
+)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pt")
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id", "ts", "event_type"
+    )
+    pairs = purch.join(
+        touch,
+        (touch.user_id == purch.user_id)
+        & (touch.ts >= purch.pt - F.expr("INTERVAL 7 DAY"))
+        & (touch.ts < purch.pt),
+    ).select("pid", "event_type")
+    sized = pairs.withColumn(
+        "n_touch", F.count(F.lit(1)).over(W.partitionBy("pid"))
+    )
+    cred = sized.select(
+        "pid",
+        "event_type",
+        F.round(F.lit(1000000.0) / F.col("n_touch")).cast("long").alias("ppm"),
+    )
+    return cred.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.countDistinct("pid").cast("long").alias("n_conversions_touched"),
+        F.round(F.sum("ppm") / 1000000.0, 3)
+        .cast("decimal(18,3)")
+        .alias("credited_conversions"),
+    )
