@@ -77,3 +77,32 @@ def test_native_read_matches_converted_csv(spark):
     expect = [str(h) if h != "" else f"_c{i}" for i, h in enumerate(rows[0])]
     assert df.columns == expect
     assert df.count() == len(rows) - 1
+
+
+def test_read_tabular_prefers_siblings_then_native_xlsx(spark, tmp_path, synthetic_xlsx):
+    """Source resolution order: parquet sibling > csv sibling > native
+    xlsx parse. The xlsx-only case must flow through sources/xlsx.py
+    (no openpyxl in this container)."""
+    import shutil
+
+    from fitness_nutrition_data_pipeline_spark.sources.fitness import read_tabular
+
+    # xlsx only → native parser
+    x = str(tmp_path / "only.xlsx")
+    shutil.copy(synthetic_xlsx, x)
+    df = read_tabular(spark, x)
+    assert df is not None and df.columns == ["name", "kcal"]
+    assert df.count() == 2
+
+    # csv sibling wins over the xlsx
+    with open(str(tmp_path / "only.csv"), "w") as f:
+        f.write("name,kcal\ncsvrow,1\n")
+    df2 = read_tabular(spark, x)
+    assert [r.name for r in df2.collect()] == ["csvrow"]
+
+    # parquet sibling wins over both
+    spark.createDataFrame([("pqrow", "2")], "name string, kcal string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "only.parquet"))
+    df3 = read_tabular(spark, x)
+    assert [r.name for r in df3.collect()] == ["pqrow"]
