@@ -462,3 +462,57 @@ def test_sequence_detector_state_survives_restart(spark, tmp_path_factory):
     assert (r.user_id, r.t_view_us, r.t_cart_us, r.t_purchase_us) == (
         7, us(0), us(10), us(20),
     )
+
+
+def test_dedup_then_session_window_compose_in_one_query(spark, tmp_path_factory):
+    """Chained STATEFUL operators in one streaming query: watermarked
+    dedup (dropDuplicatesWithinWatermark) feeding native session windows.
+    Redelivered events must not inflate session event counts, and the
+    sealed sessions must match the batch sessionization of the deduped
+    feed — the operators-compose guarantee, not just per-operator
+    correctness."""
+    import datetime
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fitness_nutrition_data_pipeline_spark.streaming.dedup import dedup_by_key
+    from fitness_nutrition_data_pipeline_spark.streaming.sessions import EVENT_SCHEMA
+
+    t0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+
+    def ev(eid, minutes, uid):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), uid, "click", 1.0)
+
+    rows = [
+        ev(1, 0, 1), ev(2, 10, 1),
+        ev(1, 0, 1), ev(2, 10, 1),   # transport redelivery (same ids)
+        ev(3, 20, 1),
+        ev(4, 5, 2), ev(4, 5, 2),    # redelivered singleton
+        # far-future flush so the watermark seals the real sessions
+        ev(9, 10000, 1), ev(10, 10000, 2),
+    ]
+    base = str(tmp_path_factory.mktemp("compose"))
+    indir = os.path.join(base, "in")
+    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(indir)
+
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(indir)
+    deduped = dedup_by_key(src, "ts", ["event_id"], late_threshold="1 hour")
+    sessions = (
+        deduped.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", "n_events")
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("compose_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.user_id, r.n_events) for r in spark.table("compose_out").collect()}
+    # sealed sessions of the DEDUPED feed: user 1 → 3 events, user 2 → 1
+    assert got == {(1, 3), (2, 1)}
