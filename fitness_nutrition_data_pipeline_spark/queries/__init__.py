@@ -150,7 +150,9 @@ _CHECK_PRIORITY = (
     "sql_script_replay",
     "csv_roundtrip_scan",
     # --- below the 50-line: queued for the r7 window ---
-    # never-driver-checked late-r6 registrations first (scale_ops)
+    # never-driver-checked late-r6 registrations first (the scale_ops
+    # family + ES weighted sampling + exact PPJoin + multi-touch
+    # attribution — all strict-verified locally at 3 SFs and bare)
     "training_shard_assignment",
     "source_temperature_mix",
     "compaction_plan",
