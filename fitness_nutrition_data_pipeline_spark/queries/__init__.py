@@ -164,6 +164,8 @@ _CHECK_PRIORITY = (
     "weighted_sample_es",
     "prefix_filter_simjoin",
     "multitouch_attribution",
+    "countmin_contract",
+    "bloom_membership_contract",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

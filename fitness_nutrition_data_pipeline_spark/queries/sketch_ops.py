@@ -136,3 +136,232 @@ def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_rows"), "user_id")
     )
+
+
+@register(
+    "countmin_contract",
+    """
+    WITH d3 AS (SELECT * FROM (VALUES (0), (1), (2)) AS v(d)),
+    cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' ||
+                                      CAST(user_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 256 AS bucket,
+             count(*) AS cell_cnt
+      FROM events CROSS JOIN d3
+      GROUP BY 1, 2
+    ),
+    ex AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY user_id),
+    kb AS (
+      SELECT e.user_id, v.d,
+             CAST(('0x' || substr(md5(CAST(v.d AS VARCHAR) || '|' ||
+                                      CAST(e.user_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 256 AS bucket
+      FROM ex e CROSS JOIN d3 v
+    ),
+    est AS (
+      SELECT kb.user_id, CAST(min(c.cell_cnt) AS BIGINT) AS est_cnt
+      FROM kb JOIN cells c USING (d, bucket)
+      GROUP BY kb.user_id
+    )
+    SELECT count(*) AS n_keys,
+           CAST(sum(CASE WHEN est_cnt > exact_cnt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overestimated,
+           CAST(sum(CASE WHEN est_cnt < exact_cnt THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underestimated,
+           CAST(max(est_cnt - exact_cnt) AS BIGINT) AS max_abs_err,
+           CAST(round(avg(1.0 * (est_cnt - exact_cnt) / exact_cnt), 6)
+                AS DECIMAL(18, 6)) AS avg_rel_err
+    FROM est JOIN ex USING (user_id)
+    """,
+    sort=("n_keys",),
+    doc="Count-Min sketch with its error contract, both engines building "
+    "the SAME deterministic sketch (md5 row hashes, d=3 x w=256): "
+    "per-key estimate = min over rows of the key's cell count. The "
+    "registered result proves the two structural guarantees — "
+    "n_underestimated MUST be 0 (CM never undercounts) and the "
+    "overestimate mass is measured, not assumed. One corpus scan "
+    "(the depth dimension is a 3-element explode, map-side), cell "
+    "grid is d*w rows, per-key probe joins the DISTINCT key set "
+    "against the tiny grid. Unlike the HLL contract above, the md5 "
+    "sketch is bit-identical cross-engine, so the driver hash covers "
+    "the estimates themselves.",
+)
+def countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d3 = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("d")
+
+    def bucket(d_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", d_col.cast("string"), key_col.cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        )
+
+    rows = ev.select("user_id", d3)
+    cells = (
+        rows.select("d", bucket(F.col("d"), F.col("user_id")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    kb = ex.select("user_id", d3).select(
+        "user_id", "d", bucket(F.col("d"), F.col("user_id")).alias("bucket")
+    )
+    est = (
+        kb.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cell_cnt").cast("long").alias("est_cnt"))
+    )
+    err = F.col("est_cnt") - F.col("exact_cnt")
+    return est.join(ex, "user_id").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(err > 0, 1).otherwise(0)).cast("long").alias("n_overestimated"),
+        F.sum(F.when(err < 0, 1).otherwise(0)).cast("long").alias("n_underestimated"),
+        F.max(err).cast("long").alias("max_abs_err"),
+        F.round(F.avg(F.lit(1.0) * err / F.col("exact_cnt")), 6)
+        .cast("decimal(18,6)")
+        .alias("avg_rel_err"),
+    )
+
+
+@register(
+    "bloom_membership_contract",
+    """
+    WITH d3 AS (SELECT * FROM (VALUES (0), (1), (2)) AS v(d)),
+    bits AS (
+      SELECT DISTINCT d,
+             CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' ||
+                                      CAST(o_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 4096 AS bit_pos
+      FROM orders CROSS JOIN d3
+    ),
+    pk AS (
+      SELECT c_custkey AS key FROM customer
+      UNION ALL
+      SELECT c_custkey + 10000000 FROM customer
+    ),
+    truth AS (
+      SELECT pk.key AS c_custkey,
+             CASE WHEN o.o_custkey IS NULL THEN 0 ELSE 1 END AS present
+      FROM pk
+      LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        ON o.o_custkey = pk.key
+    ),
+    probe AS (
+      SELECT t.c_custkey, t.present, v.d,
+             CAST(('0x' || substr(md5(CAST(v.d AS VARCHAR) || '|' ||
+                                      CAST(t.c_custkey AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 4096 AS bit_pos
+      FROM truth t CROSS JOIN d3 v
+    ),
+    hits AS (
+      SELECT p.c_custkey, p.present,
+             CAST(count(b.d) AS BIGINT) AS n_set
+      FROM probe p
+      LEFT JOIN bits b ON b.d = p.d AND b.bit_pos = p.bit_pos
+      GROUP BY 1, 2
+    )
+    SELECT count(*) AS n_probes,
+           CAST(sum(present) AS BIGINT) AS n_present,
+           CAST(sum(CASE WHEN present = 1 AND n_set < 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_negatives,
+           CAST(sum(CASE WHEN present = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_absent,
+           CAST(sum(CASE WHEN present = 0 AND n_set = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS false_positives,
+           CAST(round(1.0 * sum(CASE WHEN present = 0 AND n_set = 3
+                                THEN 1 ELSE 0 END)
+                / greatest(sum(CASE WHEN present = 0 THEN 1 ELSE 0 END), 1), 6)
+                AS DECIMAL(18, 6)) AS fpr
+    FROM hits
+    """,
+    sort=("n_probes",),
+    doc="Bloom filter with its membership contract, the same "
+    "deterministic md5 construction on both engines (k=3 hash "
+    "functions, m=4096 bits, keyed on orders.o_custkey): a probe is "
+    "'maybe present' iff all three of its bit positions are set. The "
+    "result proves the structural guarantee — false_negatives MUST be "
+    "0 (every customer with orders passes) — and MEASURES the false "
+    "positive rate over the genuinely-absent probes (dormant "
+    "customers) instead of trusting the formula. This is the exact "
+    "mechanism behind the runtime bloom-pruned joins pinned in "
+    "tests/test_plans.py, made first-class and driver-verifiable: at "
+    "100 TB the bit set (m bits per partition-group, mergeable by OR) "
+    "is built in one scan and broadcast to prune the probe side "
+    "before any shuffle.",
+)
+def bloom_membership_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    d3 = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("d")
+
+    def bit_pos(d_col, key_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", d_col.cast("string"), key_col.cast("string"))),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4096
+        )
+
+    bits = (
+        orders.select("o_custkey", d3)
+        .select("d", bit_pos(F.col("d"), F.col("o_custkey")).alias("bit_pos"))
+        .distinct()
+    )
+    present_keys = orders.select("o_custkey").distinct()
+    # probe set = real customer keys + shifted keys guaranteed absent, so
+    # the false-positive rate is MEASURED over a non-empty absent set at
+    # every SF (at sf0.01 every customer has orders)
+    pk = cust.select(F.col("c_custkey").alias("key")).unionAll(
+        cust.select((F.col("c_custkey") + 10000000).alias("key"))
+    )
+    truth = pk.join(
+        present_keys, pk.key == present_keys.o_custkey, "left"
+    ).select(
+        F.col("key").alias("c_custkey"),
+        F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("present"),
+    )
+    probe = truth.select("c_custkey", "present", d3).select(
+        "c_custkey",
+        "present",
+        "d",
+        bit_pos(F.col("d"), F.col("c_custkey")).alias("bit_pos"),
+    )
+    b = bits.withColumnRenamed("d", "bd")
+    hits = (
+        probe.join(
+            F.broadcast(b),
+            (F.col("bd") == F.col("d")) & (b.bit_pos == probe.bit_pos),
+            "left",
+        )
+        .groupBy("c_custkey", "present")
+        .agg(F.count("bd").cast("long").alias("n_set"))
+    )
+    absent = F.when(F.col("present") == 0, 1).otherwise(0)
+    fp = F.when((F.col("present") == 0) & (F.col("n_set") == 3), 1).otherwise(0)
+    return hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("present").cast("long").alias("n_present"),
+        F.sum(F.when((F.col("present") == 1) & (F.col("n_set") < 3), 1).otherwise(0))
+        .cast("long")
+        .alias("false_negatives"),
+        F.sum(absent).cast("long").alias("n_absent"),
+        F.sum(fp).cast("long").alias("false_positives"),
+        F.round(F.lit(1.0) * F.sum(fp) / F.greatest(F.sum(absent), F.lit(1)), 6)
+        .cast("decimal(18,6)")
+        .alias("fpr"),
+    )
