@@ -166,6 +166,7 @@ _CHECK_PRIORITY = (
     "multitouch_attribution",
     "countmin_contract",
     "bloom_membership_contract",
+    "kmv_distinct_contract",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

@@ -365,3 +365,105 @@ def bloom_membership_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("fpr"),
     )
+
+
+@register(
+    "kmv_distinct_contract",
+    """
+    WITH eu AS (
+      SELECT DISTINCT user_id AS key FROM events
+    ),
+    ou AS (
+      SELECT DISTINCT o_custkey AS key FROM orders
+    ),
+    he AS (
+      SELECT key,
+             (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6))
+                   AS BIGINT) + 0.5) / 16777216.0 AS u
+      FROM eu
+    ),
+    ho AS (
+      SELECT key,
+             (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6))
+                   AS BIGINT) + 0.5) / 16777216.0 AS u
+      FROM ou
+    ),
+    sets AS (
+      SELECT 'events_users' AS set_name, u FROM he
+      UNION ALL
+      SELECT 'orders_custs', u FROM ho
+      UNION ALL
+      SELECT 'merged', u FROM (
+        SELECT u FROM he UNION SELECT u FROM ho
+      )
+    ),
+    ranked AS (
+      SELECT set_name, u,
+             row_number() OVER (PARTITION BY set_name ORDER BY u) AS rnk
+      FROM sets
+    ),
+    kth AS (
+      SELECT set_name, max(CASE WHEN rnk = 64 THEN u END) AS u_k,
+             count(*) AS n_exact
+      FROM ranked GROUP BY set_name
+    )
+    SELECT set_name,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(round(63.0 / u_k) AS BIGINT) AS kmv_estimate,
+           CAST(round(abs(63.0 / u_k - n_exact) / n_exact, 4)
+                AS DECIMAL(18, 4)) AS rel_err
+    FROM kth
+    ORDER BY set_name
+    """,
+    sort=("set_name",),
+    doc="KMV (k minimum values) distinct sketch with its MERGE contract, "
+    "deterministic md5 uniforms so both engines build the identical "
+    "sketch: estimate = (k-1)/u_k with u_k the k-th smallest hash "
+    "(k=64). Three sets are estimated — two base key sets and their "
+    "union, where the merged sketch is exactly the k smallest of the "
+    "two sketches' combined values (the mergeability that makes KMV a "
+    "one-pass distributed distinct-counter: per-partition top-k heaps, "
+    "merge by re-taking k smallest — the same TakeOrdered shape as "
+    "weighted_sample_es). n_exact rides along so rel_err is measured, "
+    "not assumed. NOTE the merged-set dedup is BY HASH VALUE (UNION, "
+    "not UNION ALL) — identical keys in both sets hash identically, "
+    "which is precisely why sketch union works.",
+)
+def kmv_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+
+    def hashed(df, col):
+        u = (
+            F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            + F.lit(0.5)
+        ) / F.lit(16777216.0)
+        return df.select(F.col(col)).distinct().select(u.alias("u"))
+
+    he = hashed(ev, "user_id").localCheckpoint()
+    ho = hashed(orders, "o_custkey").localCheckpoint()
+    merged = he.union(ho).distinct()
+    sets = (
+        he.select(F.lit("events_users").alias("set_name"), "u")
+        .unionAll(ho.select(F.lit("orders_custs").alias("set_name"), "u"))
+        .unionAll(merged.select(F.lit("merged").alias("set_name"), "u"))
+    )
+    ranked = sets.withColumn(
+        "rnk", F.row_number().over(W.partitionBy("set_name").orderBy("u"))
+    )
+    kth = ranked.groupBy("set_name").agg(
+        F.max(F.when(F.col("rnk") == 64, F.col("u"))).alias("u_k"),
+        F.count(F.lit(1)).alias("n_exact"),
+    )
+    est = F.lit(63.0) / F.col("u_k")
+    return kth.select(
+        "set_name",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(est).cast("long").alias("kmv_estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4)
+        .cast("decimal(18,4)")
+        .alias("rel_err"),
+    )
