@@ -167,6 +167,7 @@ _CHECK_PRIORITY = (
     "countmin_contract",
     "bloom_membership_contract",
     "kmv_distinct_contract",
+    "ams_f2_contract",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

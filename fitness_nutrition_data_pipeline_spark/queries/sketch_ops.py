@@ -467,3 +467,107 @@ def kmv_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,4)")
         .alias("rel_err"),
     )
+
+
+@register(
+    "ams_f2_contract",
+    """
+    WITH j9 AS (
+      SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6), (7), (8))
+      AS v(j)
+    ),
+    signed AS (
+      SELECT v.j,
+             CAST(CAST(('0x' || substr(md5(CAST(v.j AS VARCHAR) || '|' ||
+                                       CAST(user_id AS VARCHAR)), 1, 1))
+                       AS BIGINT) % 2 * 2 - 1 AS BIGINT) AS s
+      FROM events CROSS JOIN j9 v
+    ),
+    counters AS (
+      SELECT j, CAST(sum(s) AS BIGINT) AS x FROM signed GROUP BY j
+    ),
+    groups AS (
+      -- j // 3: DuckDB CAST(j/3 AS INT) ROUNDS (j=5 → 2) while Spark's
+      -- int cast truncates — floor-divide explicitly on both engines
+      SELECT CAST(j // 3 AS INTEGER) AS g, CAST(sum(x * x) AS BIGINT) AS sq3
+      FROM counters GROUP BY 1
+    ),
+    med AS (
+      SELECT CAST(sum(sq3) - max(sq3) - min(sq3) AS BIGINT) AS med_sq3
+      FROM groups
+    ),
+    ex AS (
+      SELECT CAST(sum(cnt * cnt) AS BIGINT) AS f2_exact,
+             CAST(sum(cnt) AS BIGINT) AS n_rows
+      FROM (SELECT count(*) AS cnt FROM events GROUP BY user_id)
+    )
+    SELECT ex.n_rows, ex.f2_exact,
+           CAST(round(med.med_sq3 / 3.0) AS BIGINT) AS f2_estimate,
+           CAST(round(abs(med.med_sq3 / 3.0 - ex.f2_exact) / ex.f2_exact, 4)
+                AS DECIMAL(18, 4)) AS rel_err
+    FROM ex CROSS JOIN med
+    """,
+    sort=("n_rows",),
+    doc="AMS (Alon-Matias-Szegedy) F2 sketch — the second frequency "
+    "moment IS the self-join size, so this is the one-pass 'estimate "
+    "before you shuffle' planner (exact companion: "
+    "selfjoin_blowup_estimate). Nine ±1-signed counters from md5 "
+    "parity, median-of-means as 3 groups of 3; the median is computed "
+    "as sum−max−min over INTEGER group sums, so every step before the "
+    "final ratio is exact integer math and the estimate hash-matches "
+    "cross-engine. One scan (9-way map-side explode), 9-row counter "
+    "state — mergeable by addition across partitions, which is the "
+    "whole point at 100 TB.",
+)
+def ams_f2_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    j9 = F.explode(F.array(*[F.lit(i) for i in range(9)])).alias("j")
+    sign = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|", F.col("j").cast("string"), F.col("user_id").cast("string")
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        * 2
+        - 1
+    )
+    counters = (
+        ev.select("user_id", j9)
+        .select("j", sign.alias("s"))
+        .groupBy("j")
+        .agg(F.sum("s").cast("long").alias("x"))
+    )
+    groups = (
+        counters.select(F.floor(F.col("j") / 3).cast("int").alias("g"), "x")
+        .groupBy("g")
+        .agg(F.sum(F.col("x") * F.col("x")).cast("long").alias("sq3"))
+    )
+    med = groups.agg(
+        (F.sum("sq3") - F.max("sq3") - F.min("sq3")).cast("long").alias("med_sq3")
+    )
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("f2_exact"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+        )
+    )
+    est = F.col("med_sq3") / F.lit(3.0)
+    return ex.crossJoin(F.broadcast(med)).select(
+        "n_rows",
+        "f2_exact",
+        F.round(est).cast("long").alias("f2_estimate"),
+        F.round(F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 4)
+        .cast("decimal(18,4)")
+        .alias("rel_err"),
+    )
