@@ -168,6 +168,7 @@ _CHECK_PRIORITY = (
     "bloom_membership_contract",
     "kmv_distinct_contract",
     "ams_f2_contract",
+    "jsonl_roundtrip_scan",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

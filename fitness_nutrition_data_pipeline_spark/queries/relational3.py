@@ -732,3 +732,48 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_balance"),
         )
     )
+
+
+@register(
+    "jsonl_roundtrip_scan",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(md5(text) >= 'a' AS INTEGER)) AS BIGINT)
+             AS text_checksum
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    sort=("lang", "source"),
+    doc="The JSONL connector (sources/formats.py — the interchange format "
+    "external corpora arrive in) under the HARD oracle, the "
+    "csv_roundtrip_scan twin: write documents to line-delimited JSON, "
+    "re-read with a DECLARED schema (never inference), and aggregate "
+    "the round-tripped rows; the oracle aggregates the original "
+    "parquet. The md5-based text checksum proves JSON string escaping "
+    "round-trips document text byte-exactly, not just row counts.",
+)
+def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.sources.formats import (
+        read_jsonl,
+        write_jsonl,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_jsonl_{tag}/documents"
+    docs = _t(spark, sf_dir, "documents")
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.md5("text") >= "a").cast("int")).cast("long").alias("text_checksum"),
+    )
