@@ -169,6 +169,8 @@ _CHECK_PRIORITY = (
     "kmv_distinct_contract",
     "ams_f2_contract",
     "jsonl_roundtrip_scan",
+    "orc_roundtrip_scan",
+    "funnel_time_to_convert",
     "running_revenue",
     "monthly_customer_spend",
     "record_linkage_scores",

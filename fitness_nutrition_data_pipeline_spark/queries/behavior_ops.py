@@ -1062,3 +1062,88 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,3)")
         .alias("credited_conversions"),
     )
+
+
+@register(
+    "funnel_time_to_convert",
+    """
+    WITH fv AS (
+      SELECT user_id, min(ts) AS first_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+      SELECT user_id, min(ts) AS first_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    lat AS (
+      SELECT CAST(date_diff('second', v.first_view, p.first_purchase)
+                  AS BIGINT) AS sec
+      FROM fv v JOIN fp p USING (user_id)
+      WHERE p.first_purchase >= v.first_view
+    ),
+    r AS (
+      SELECT sec, row_number() OVER (ORDER BY sec) AS rnk, count(*) OVER () AS n
+      FROM lat
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_converted,
+           CAST(max(CASE WHEN rnk = (n + 1) // 2 THEN sec END) AS BIGINT)
+             AS median_sec,
+           CAST(max(CASE WHEN rnk = (n * 9 + 9) // 10 THEN sec END) AS BIGINT)
+             AS p90_sec,
+           CAST(min(sec) AS BIGINT) AS min_sec,
+           CAST(max(sec) AS BIGINT) AS max_sec
+    FROM r
+    """,
+    sort=("n_converted",),
+    doc="Funnel latency: per converting user, seconds from FIRST view to "
+    "FIRST purchase; the registered result is the latency distribution "
+    "(exact lower-median and lower-p90 by INTEGER rank — "
+    "rank-selection on integer seconds, no interpolation, so both "
+    "engines pick the identical element; the companions "
+    "funnel_view_purchase / strict_funnel_3step count conversions, "
+    "this measures their speed). Two map-side min-aggregates on "
+    "user_id, one co-keyed join, then the rank window runs on the "
+    "converted-users relation (cardinality-bounded). At 100 TB swap "
+    "the exact rank for approx_percentile — the documented trade in "
+    "the percentile family.",
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    fv = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    lat = (
+        fv.join(fp, "user_id")
+        .where(F.col("first_purchase") >= F.col("first_view"))
+        .select(
+            (
+                F.floor(F.unix_micros(F.col("first_purchase")) / 1_000_000)
+                - F.floor(F.unix_micros(F.col("first_view")) / 1_000_000)
+            ).alias("sec")
+        )
+    )
+    r = lat.select(
+        "sec",
+        F.row_number().over(W.orderBy("sec")).alias("rnk"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    pick = lambda cond: F.max(F.when(cond, F.col("sec")))  # noqa: E731
+    return r.agg(
+        F.max("n").cast("long").alias("n_converted"),
+        # `div` = integer division (≡ DuckDB // for the positive ranks here)
+        pick(F.col("rnk") == F.expr("(n + 1) div 2"))
+        .cast("long")
+        .alias("median_sec"),
+        pick(F.col("rnk") == F.expr("(n * 9 + 9) div 10"))
+        .cast("long")
+        .alias("p90_sec"),
+        F.min("sec").cast("long").alias("min_sec"),
+        F.max("sec").cast("long").alias("max_sec"),
+    )

@@ -777,3 +777,41 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum((F.md5("text") >= "a").cast("int")).cast("long").alias("text_checksum"),
     )
+
+
+@register(
+    "orc_roundtrip_scan",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    sort=("o_orderpriority",),
+    doc="The ORC connector under the HARD oracle, completing the "
+    "CSV/JSONL/ORC round-trip trio: write orders to ORC, re-read, and "
+    "aggregate the round-tripped rows against the original parquet. "
+    "Proves the columnar sink preserves longs, doubles, timestamps and "
+    "strings bit-exactly (money through DECIMAL per the F7 parity "
+    "rule). ORC keeps the same pushdown/pruning story as parquet — "
+    "the choice is downstream-consumer compatibility, not capability.",
+)
+def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.sources.formats import read_orc, write_orc
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_orc_{tag}/orders"
+    write_orc(_t(spark, sf_dir, "orders"), path)
+    back = read_orc(spark, path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("decimal(18,2)")
+        .cast("double")
+        .alias("total_price"),
+    )
