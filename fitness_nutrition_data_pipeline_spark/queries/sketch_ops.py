@@ -211,7 +211,14 @@ def countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.count(F.lit(1)).alias("cell_cnt"))
     )
-    ex = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    # pinned: ex feeds both the probe build (kb) and the final error
+    # join — unpinned, the plan re-derives it from a third corpus scan
+    # (tools/audit_scans.py); key-cardinality-sized
+    ex = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .localCheckpoint()
+    )
     kb = ex.select("user_id", d3).select(
         "user_id", "d", bucket(F.col("d"), F.col("user_id")).alias("bucket")
     )
