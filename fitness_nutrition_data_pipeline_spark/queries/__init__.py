@@ -76,83 +76,28 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-6 window (exactly 50): the two r5
-# hash-reds with their DECIMAL-canonicalization fixes, the FOURTEEN r6
-# registrations (multimodal oracle companion, CEP/ratelimit/heavy-hitter
-# batch replays, end-to-end near-dedup, split decontamination, lag
-# audit, unigram LM, exact star-CC clusters, PIT SCD2 join, privacy/
-# governance audits), the six ADVICE-touched queries, and the ENTIRE
-# r2-stale block (verdict r5 item 5). Below the fold, queued for r7: the
-# broadcast-changed TPC-H queries (all strict-verified locally on the
-# new plans), then the r3-stale block.
+# ordering is signal allocation. Round-7 window (exactly 50): the three
+# r6 hash-reds with their HUGEINT-oracle fixes (one CAST AS BIGINT each —
+# VERDICT r6 proved all three match bit-for-bit locally and traced the
+# red to DuckDB int128 sum() outputs coercing to float64 under the
+# driver's Arrow fetch; a registry-wide pytest lint now bans HUGEINT
+# oracle outputs), then the 22 never-driver-checked late-r6
+# registrations, the two r2-stale displaced queries, the 8
+# broadcast-de-hinted TPC-H queries, and 15 of the oldest r3-stale
+# §2-mapped queries. Below the fold, queued for r8: the remaining
+# r3-stale block.
 _CHECK_PRIORITY = (
-    # --- round-6 window (driver checks the FIRST 50) ---
-    # r5 hash-reds, fixed this round via DECIMAL canonicalization of the
-    # rounded measures (the decimal_money_totals treatment) — prove the
-    # flip under the strict driver hash
+    # --- round-7 window (driver checks the FIRST 50) ---
+    # r6 hash-reds: root cause was the ORACLE's type (bare sum() over
+    # integers → HUGEINT → float64 under Arrow fetch), not the values.
+    # Fixed by CAST(... AS BIGINT); prove the flip.
     "winsorized_price_stats",
     "drift_monitor_batch_replay",
-    # r6 registrations: first oracle-checked multimodal entry, the two
-    # streaming batch replays (CEP NFA, rate limiter), and the flagship
-    # end-to-end near-dedup composition
     "multimodal_meta_profile",
-    "cep_batch_replay",
-    "ratelimit_batch_replay",
-    "near_dup_pipeline",
-    "split_contamination_matrix",
-    "ingestion_lag_audit",
-    "unigram_lm_crossentropy",
-    "dedup_clusters_exact",
-    "pit_join_scd2",
-    "l_diversity_audit",
-    "deletion_propagation_audit",
-    "heavy_hitters_batch_replay",
-    # ADVICE-r5-touched (degenerate-range guards, floor-div parity, NULL
-    # ordering) — re-confirm after the robustness edits
-    "zorder_locality_stats",
-    "ks_binned_click_view",
-    "histogram_equi_width_prices",
-    "psi_value_drift",
-    "incremental_agg_merge",
-    "token_length_percentiles",
-    # r2-stale third of the registry (last driver-checked round 2) —
-    # rotate the whole block back through the hard signal
-    "ngram_jaccard_pairs",
-    "minhash_dedup_flags",
-    "simhash_signatures",
-    "embedding_knn_bruteforce",
-    "embedding_centroid_assign",
-    "embedding_near_dup_pairs",
-    "embedding_ann_ivf_probe",
-    "simhash_hamming_pairs",
-    "price_histogram",
-    "interval_range_join",
-    "scan_filter_project",
-    "pk_uniqueness_check",
-    "distribution_stats",
-    "domain_inventory_concat",
-    "table_counts_union",
-    "recent_window_topk",
-    "orphan_fk_check",
-    "fk_coverage_pct",
-    "fact_dim_key_resolution",
-    "metric_unpivot",
-    "keyword_categorization",
-    "pivot_status_counts",
-    "rollup_qty",
-    "grouping_sets_revenue",
-    "topn_per_group",
-    "semi_join_active_customers",
-    "set_ops_customers",
-    "percentile_stats",
-    # never-driver-checked S-family signals take the last two window
-    # slots; the two r2-stale displaced queries head the r7 queue
-    "sql_script_replay",
-    "csv_roundtrip_scan",
-    # --- below the 50-line: queued for the r7 window ---
-    # never-driver-checked late-r6 registrations first (the scale_ops
-    # family + ES weighted sampling + exact PPJoin + multi-touch
-    # attribution — all strict-verified locally at 3 SFs and bare)
+    # never-driver-checked late-r6 registrations (scale_ops family,
+    # sketch contracts, ES sampling, exact PPJoin, format round-trips,
+    # record linkage, hierarchy rollup — all strict-verified locally at
+    # 3 SFs and bare, and all pass the HUGEINT oracle lint)
     "training_shard_assignment",
     "source_temperature_mix",
     "compaction_plan",
@@ -171,16 +116,16 @@ _CHECK_PRIORITY = (
     "jsonl_roundtrip_scan",
     "orc_roundtrip_scan",
     "funnel_time_to_convert",
-    "running_revenue",
-    "monthly_customer_spend",
     "record_linkage_scores",
     "linkage_em_step",
     "hierarchy_rollup",
     "embedding_dot_arrow",
-    # TPC-H queries whose broadcast strategy changed this round (hints on
-    # SF-scaling tables removed; q15 wrong-side fix) — locally
-    # strict-verified on the new plans; driver-confirm next round, then
-    # the r3-stale block
+    # the two r2-stale queries displaced from the r6 window
+    "running_revenue",
+    "monthly_customer_spend",
+    # TPC-H queries whose physical plans changed in r6 (forced broadcasts
+    # of SF-scaling tables removed; q15 wrong-side fix) — locally
+    # strict-verified on the new plans; driver-confirm them
     "tpch_q15_top_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_volume",
@@ -189,18 +134,31 @@ _CHECK_PRIORITY = (
     "tpch_q17_small_qty_revenue",
     "tpch_q18_large_volume",
     "tpch_q1_pricing_summary",
+    # oldest r3-stale block, §2-mapped queries first (range null-out,
+    # daily rollups, conditional aggregates, window dedup, regex coerce,
+    # violations materialization)
     "range_validity_nullout",
     "daily_rollup_sum",
     "daily_rollup_mean",
     "conditional_range_check",
     "window_dedup_first_seen",
     "regex_extract_cast",
+    "violations_materialization",
+    "date_spine_gap_fill",
     "json_props_parse",
     "salted_event_counts",
     "asof_join_last_view",
     "funnel_view_purchase",
+    # new r7 registrations / first-checks: the streaming hygiene module's
+    # batch replay (the last replay-less stateful/streaming op — VERDICT
+    # r6 item 7) and the two implemented-but-never-checked warehouse_ops
+    # entries (item 8)
+    "hygiene_batch_replay",
+    "scd2_priority_history",
+    "dsir_importance_weights",
+    # --- below the 50-line: queued for the r8 window ---
+    # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
-    "violations_materialization",
     "range_frame_trailing_avg",
     "order_gap_analysis",
     "correlated_subquery_big_spenders",
@@ -208,7 +166,6 @@ _CHECK_PRIORITY = (
     "cube_revenue",
     "window_rank_suite",
     "edit_distance_pairs",
-    "date_spine_gap_fill",
     "dedup_keep_best",
     "incremental_ingest_dedup",
     "hash_stratified_sample",

@@ -96,7 +96,7 @@ def multimodal_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE fmt_idx WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
                         WHEN 2 THEN 'gif' ELSE 'riff' END AS format,
            count(*) AS n_media,
-           sum(size_bytes) AS total_bytes,
+           CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
            CAST(CAST(round(avg(size_bytes), 2) AS DECIMAL(18,2)) AS DOUBLE)
              AS avg_bytes
     FROM media GROUP BY fmt_idx

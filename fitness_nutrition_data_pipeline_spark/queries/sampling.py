@@ -379,8 +379,8 @@ def split_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH keyed AS (
       SELECT doc_id, lang, n_chars,
-             -ln(({_BUCKET_SQL.format(key="doc_id")} + 0.5) / 16777216.0)
-               / n_chars AS es_key
+             round(-ln(({_BUCKET_SQL.format(key="doc_id")} + 0.5) / 16777216.0)
+                   / n_chars, 9) AS es_key
       FROM documents
     ),
     ranked AS (
@@ -408,9 +408,14 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir)
     u = (hash_bucket(F.col("doc_id"), 16777216) + F.lit(0.5)) / F.lit(16777216.0)
+    # ADVICE r6: ln() is <=1-ulp in each engine but not identically
+    # rounded, so a near-tie at the rank-50 boundary could order
+    # differently per engine under the strict hash. Quantize the key to
+    # 9dp on BOTH engines (the repo's transcendental-output convention);
+    # doc_id breaks the resulting ties deterministically.
     keyed = d.select(
         "doc_id", "lang", "n_chars",
-        (-F.log(u) / F.col("n_chars")).alias("es_key"),
+        F.round(-F.log(u) / F.col("n_chars"), 9).alias("es_key"),
     )
     # top-k FIRST as orderBy+limit → TakeOrderedAndProject (per-partition
     # size-k heaps, no global sort); the rank window then runs over the

@@ -679,7 +679,8 @@ _DRIFT_BASELINE = ((0, 0.33), (1, 0.22), (2, 0.15), (3, 0.10), (4, 0.07), (5, 0.
              CAST(floor(value / 20.0) AS BIGINT) AS bin, count(*) AS n
       FROM events GROUP BY 1, 2
     ),
-    wins AS (SELECT window_start, sum(n) AS n_rows FROM h GROUP BY 1),
+    wins AS (SELECT window_start, CAST(sum(n) AS BIGINT) AS n_rows
+             FROM h GROUP BY 1),
     base(bin, share) AS (VALUES {', '.join(f'({b}, {s})' for b, s in _DRIFT_BASELINE)}),
     bins AS (SELECT DISTINCT bin FROM h UNION SELECT bin FROM base),
     grid AS (SELECT w.window_start, w.n_rows, b.bin

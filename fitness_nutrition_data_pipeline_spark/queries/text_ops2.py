@@ -176,6 +176,93 @@ def repetition_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_features(load_table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_HYG_PATTERNS = {"cust": "customer", "sort": "sort"}
+
+
+@register(
+    "hygiene_batch_replay",
+    rf"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id >= {_BENCH_MAX_DOC}
+    ),
+    btoks AS (
+      SELECT string_split_regex(lower(text), '\s+') AS t FROM documents
+      WHERE text IS NOT NULL AND doc_id < {_BENCH_MAX_DOC}
+    ),
+    bench AS (
+      SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                      t[i+3] || ' ' || t[i+4] AS gram
+      FROM btoks, unnest(range(1, len(t) - 3)) AS u(i)
+    ),
+    ctoks AS (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM corpus
+    ),
+    cg AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                              t[i+3] || ' ' || t[i+4] AS gram
+      FROM ctoks, unnest(range(1, len(t) - 3)) AS u(i)
+    ),
+    alerts AS (
+      SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_alert_grams
+      FROM cg JOIN bench USING (gram) GROUP BY cg.doc_id
+    )
+    SELECT c.doc_id, a.n_alert_grams,
+           CAST(len(regexp_extract_all(c.text, '(?i)customer')) AS INT)
+             AS n_cust,
+           CAST(len(regexp_extract_all(c.text, '(?i)sort')) AS INT) AS n_sort,
+           CAST(len(regexp_extract_all(c.text, '(?i)customer'))
+              + len(regexp_extract_all(c.text, '(?i)sort')) AS INT)
+             AS pii_total,
+           md5(regexp_replace(
+                 regexp_replace(c.text, '(?i)customer', '[CUST]', 'g'),
+                 '(?i)sort', '[SORT]', 'g')) AS redacted_md5
+    FROM corpus c JOIN alerts a USING (doc_id)
+    ORDER BY doc_id
+    """,
+    sort=("doc_id",),
+    doc="Batch replay of the STREAMING hygiene module (streaming/"
+    "hygiene.py) — the IDENTICAL two functions the live ingest-edge path "
+    "runs, composed: redact_pii_stream (pii_scan projection: per-pattern "
+    "counts + redacted copy, hash-pinned here via md5 so the driver "
+    "verifies the redacted BYTES, not just counts) feeding "
+    "contamination_alerts (distinct-5-gram explode probed against the "
+    "broadcast benchmark gram set; one row per matched gram, here "
+    "re-aggregated per doc). Both operators are stateless projections/"
+    "broadcast joins, so the streaming expressions run bit-identically "
+    "on a batch frame — this puts the streaming module's own code path "
+    "under the hard oracle signal (the cep/ratelimit replay pattern). "
+    "The oracle re-derives tokenization, gram distinctness, alert join, "
+    "regexp counts and the redacted md5 in pure SQL.",
+)
+def hygiene_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.streaming.hygiene import (
+        contamination_alerts,
+        redact_pii_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    bench = docs.where(F.col("doc_id") < _BENCH_MAX_DOC)
+    corpus = docs.where(F.col("doc_id") >= _BENCH_MAX_DOC).select("doc_id", "text")
+    red = redact_pii_stream(corpus, "text", _HYG_PATTERNS).select(
+        "doc_id",
+        "text",
+        "n_cust",
+        "n_sort",
+        "pii_total",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+    alerts = contamination_alerts(red, bench, "doc_id", "text", n=5)
+    return (
+        alerts.groupBy("doc_id", "n_cust", "n_sort", "pii_total", "redacted_md5")
+        .agg(F.count(F.lit(1)).alias("n_alert_grams"))
+        .select(
+            "doc_id", "n_alert_grams", "n_cust", "n_sort", "pii_total",
+            "redacted_md5",
+        )
+    )
+
+
 @register(
     "cdc_chunk_dedup",
     r"""

@@ -131,8 +131,8 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS winsorized_mean,
            CAST(CAST(round(avg(o.o_totalprice), 2) AS DECIMAL(18,2))
                 AS DOUBLE) AS raw_mean,
-           sum(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
-                    THEN 1 ELSE 0 END) AS n_clipped
+           CAST(sum(CASE WHEN o.o_totalprice < q.p01 OR o.o_totalprice > q.p99
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM orders o JOIN q USING (o_orderpriority)
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority

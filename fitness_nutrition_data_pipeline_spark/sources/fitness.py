@@ -158,7 +158,14 @@ def read_tabular(spark: SparkSession, path: str) -> DataFrame | None:
             # broadcast downstream anyway)
             return read_xlsx(spark, path).coalesce(1).localCheckpoint()
         except Exception:  # noqa: BLE001 — e.g. formula/serial-date sheets
-            logger.warning("stdlib xlsx parse failed for %s; trying openpyxl", path)
+            # keep the original traceback visible: in environments without
+            # openpyxl the fallback raises ModuleNotFoundError, which would
+            # otherwise mask a genuine bug in the stdlib parser (ADVICE r6)
+            logger.warning(
+                "stdlib xlsx parse failed for %s; trying openpyxl",
+                path,
+                exc_info=True,
+            )
             return read_excel_via_pandas(spark, path)
     if os.path.exists(path):
         return _read_csv(spark, path)

@@ -28,6 +28,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 NS = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+_REL_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _first_sheet_path(z: zipfile.ZipFile) -> str:
+    """Resolve the FIRST worksheet (workbook order) to its zip path.
+
+    Sheet order lives in xl/workbook.xml (<sheets> children) and the
+    r:id → part mapping in xl/_rels/workbook.xml.rels — sheet1.xml is
+    merely a convention and may be absent or not first (ADVICE r6).
+    Falls back to the conventional path if either part is missing."""
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheet = wb.find("m:sheets/m:sheet", NS)
+        rid = sheet.get(_REL_ATTR) if sheet is not None else None
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels:
+            if rid and rel.get("Id") == rid:
+                target = rel.get("Target", "")
+                return target.lstrip("/") if target.startswith("/") else f"xl/{target}"
+    except (KeyError, ET.ParseError):
+        pass
+    return "xl/worksheets/sheet1.xml"
 
 
 def _col_index(cell_ref: str) -> int:
@@ -61,10 +85,11 @@ def read_xlsx_rows(path: str) -> list[list[str]]:
         for si in root.findall("m:si", NS):
             shared.append("".join(t.text or "" for t in si.iter(T_)))
 
-    sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+    sheet = ET.fromstring(z.read(_first_sheet_path(z)))
     rows: list[list[str]] = []
     for row in sheet.iter(ROW):
         cells: dict[int, str] = {}
+        next_idx = 0  # implicit position for cells without r= (ADVICE r6)
         for c in row:
             if c.tag != C:
                 continue
@@ -79,7 +104,10 @@ def read_xlsx_rows(path: str) -> list[list[str]]:
                     break
             if ctype == "s" and val != "":
                 val = shared[int(val)]
-            cells[_col_index(c.get("r", "A1"))] = val
+            ref = c.get("r")
+            idx = _col_index(ref) if ref else next_idx
+            next_idx = idx + 1
+            cells[idx] = val
         width = max(cells) + 1 if cells else 0
         rows.append([cells.get(i, "") for i in range(width)])
     width = max((len(r) for r in rows), default=0)

@@ -98,10 +98,14 @@ def stream_heavy_hitters(
     key_col: str = "event_type",
     n_shards: int = 4,
     capacity: int = 64,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Live frequent-keys summary over a parquet event feed. Each batch
     emits every shard's full current table (update mode downstream)."""
-    src = spark.readStream.schema(EVENT_SCHEMA).parquet(input_dir)
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
     sharded = src.select(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("shard"),
         F.col(key_col).cast("string").alias("key"),
@@ -123,22 +127,49 @@ def run_heavy_hitters_once(
     key_col: str = "event_type",
     n_shards: int = 4,
     capacity: int = 64,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Drain available files; the LAST update per (shard, key) is the
-    current table (memory sink keeps every update row, so dedup by max
-    batch emission — here: max count_lb per key, counts are monotone
-    within a shard between decrements; for the test harness we simply
-    read the final state by taking the last emitted batch per shard)."""
+    """Drain available files and return each shard's FINAL table.
+
+    A memory sink would accumulate update-mode rows across micro-batches
+    with no batch discriminator, and count_lb is non-monotone across
+    decrements — so when availableNow splits the input into multiple
+    batches there is no correct way to recover the current table from
+    the union of emissions (ADVICE r6). Drain via foreachBatch instead,
+    keeping only the LATEST emission per shard: every batch emits a
+    shard's full current table, so last-batch-wins per shard is exactly
+    the live state. The result is also registered as temp view ``name``
+    (the old memory-sink read path)."""
+    latest: dict[int, list] = {}
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        for row in batch_df.collect():
+            # overwrite wholesale per shard: collect rows grouped by
+            # shard, then replace that shard's table
+            latest.setdefault(batch_id, []).append(row)
+
     q = (
         stream_heavy_hitters(
             spark, input_dir, key_col=key_col, n_shards=n_shards,
-            capacity=capacity,
+            capacity=capacity, max_files_per_trigger=max_files_per_trigger,
         )
-        .writeStream.format("memory")
-        .queryName(name)
+        .writeStream.foreachBatch(_sink)
         .outputMode("update")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+
+    # last emission per shard wins (batch ids are ordered)
+    final: dict[int, list] = {}
+    for batch_id in sorted(latest):
+        by_shard: dict[int, list] = {}
+        for row in latest[batch_id]:
+            by_shard.setdefault(row.shard, []).append(row)
+        final.update(by_shard)
+    rows = [r for shard_rows in final.values() for r in shard_rows]
+    out = spark.createDataFrame(rows, HH_SCHEMA) if rows else (
+        spark.createDataFrame([], HH_SCHEMA)
+    )
+    out.createOrReplaceTempView(name)
+    return out

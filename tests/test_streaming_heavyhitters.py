@@ -85,6 +85,46 @@ def test_heavy_hitters_guarantee_and_bounds(spark, tmp_path_factory):
     assert all(len(ks) <= 4 for ks in per_shard.values())
 
 
+def test_multi_batch_drain_keeps_final_table_only(spark, tmp_path_factory):
+    """ADVICE r6: when availableNow splits input into multiple
+    micro-batches, the drain must return each shard's FINAL table —
+    stale earlier emissions (whose count_lb can EXCEED the final one
+    after a decrement) must not survive. Two files + maxFilesPerTrigger=1
+    force two batches; capacity=2 forces a decrement in batch 2 that
+    evicts a batch-1 key and lowers survivors' counts."""
+    from fitness_nutrition_data_pipeline_spark.streaming.heavyhitters import (
+        run_heavy_hitters_once,
+    )
+
+    base = str(tmp_path_factory.mktemp("hh_mb"))
+    indir = os.path.join(base, "in")
+    # batch 1: a=30, b=20, c=10 → capacity-2 table decrements to
+    # {a: 20, b: 10} (cut=10). batch 2: d=40, e=25 → table overflows
+    # again; final table must reflect the post-decrement state, and the
+    # batch-1 emission rows (b at 10, any evicted key) must be gone.
+    _write_events(spark, indir, "f1.parquet", _rows({"a": 30, "b": 20, "c": 10}))
+    _write_events(spark, indir, "f2.parquet", _rows({"d": 40, "e": 25}))
+
+    out = run_heavy_hitters_once(
+        spark, indir, "hh_mb_out", n_shards=1, capacity=2,
+        max_files_per_trigger=1,
+    ).collect()
+
+    # single shard → the result IS one table: at most `capacity` rows,
+    # one row per key (a memory-sink union would carry batch-1 rows too)
+    assert len(out) <= 2
+    assert len({r.key for r in out}) == len(out)
+    by_key = {r.key: r for r in out}
+    # exact MG trace: b1 {a30 b20 c10}→cut10→{a20 b10}; b2 +d40+e25 →
+    # {a20 b10 d40 e25}→cut20→{d20 e5}
+    assert set(by_key) == {"d", "e"}
+    assert by_key["d"].count_lb == 20 and by_key["e"].count_lb == 5
+    # error bound carries BOTH decrements (10 + 20)
+    assert by_key["d"].err_bound == 30
+    # sandwich still holds vs true counts
+    assert by_key["d"].count_lb <= 40 <= by_key["d"].count_lb + by_key["d"].err_bound
+
+
 def test_heavy_hitters_state_survives_restart(spark, tmp_path_factory):
     from fitness_nutrition_data_pipeline_spark.streaming.heavyhitters import (
         stream_heavy_hitters,

@@ -55,6 +55,52 @@ def test_rows_resolve_shared_inline_and_gaps(synthetic_xlsx):
     ]
 
 
+def test_first_sheet_resolved_via_workbook_rels(tmp_path):
+    """Sheet order lives in workbook.xml + rels — sheet1.xml is only a
+    convention. A workbook whose first sheet part is data7.xml (and with
+    a decoy sheet1.xml) must read data7 (ADVICE r6)."""
+    wb = """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Main" sheetId="1" r:id="rId9"/></sheets></workbook>"""
+    rels = """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId9" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/data7.xml"/>
+</Relationships>"""
+    decoy = _SHEET.replace("banana", "DECOY")
+    path = str(tmp_path / "odd.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", decoy)
+        z.writestr("xl/worksheets/data7.xml", _SHEET)
+    rows = read_xlsx_rows(path)
+    assert rows[1][0] == "banana"  # real first sheet, not the decoy
+
+
+def test_cells_without_ref_take_running_position(tmp_path):
+    """Cells missing the optional r= attribute occupy the position after
+    the previous cell — not A1 (ADVICE r6: the old default silently
+    overwrote column 0)."""
+    sheet = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row><c t="inlineStr"><is><t>h1</t></is></c><c t="inlineStr"><is><t>h2</t></is></c></row>
+<row><c r="B2" t="inlineStr"><is><t>b</t></is></c><c t="inlineStr"><is><t>c</t></is></c></row>
+</sheetData>
+</worksheet>"""
+    path = str(tmp_path / "noref.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    rows = read_xlsx_rows(path)
+    assert rows == [
+        ["h1", "h2", ""],       # both unreffed cells kept, in order
+        ["", "b", "c"],         # unreffed cell follows B2 → column C
+    ]
+
+
 def test_read_xlsx_dataframe_contract(spark, synthetic_xlsx):
     df = read_xlsx(spark, synthetic_xlsx)
     assert df.columns == ["name", "kcal"]

@@ -18,15 +18,16 @@ from __future__ import annotations
 
 import io
 import contextlib
+import os
 import re
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fitness_nutrition_data_pipeline_spark.queries import all_specs  # noqa: E402
 from fitness_nutrition_data_pipeline_spark.session import get_spark  # noqa: E402
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01")
 _TABLE_RE = re.compile(r"(\w+)\.parquet")
 
 

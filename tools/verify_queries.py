@@ -15,7 +15,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
 
@@ -97,9 +97,28 @@ def main(names=None):
             n_weak += 1
             continue
         try:
-            orc = con.execute(spec.oracle)
-            ocols = [d[0] for d in orc.description]
-            orows = orc.fetchall()
+            rel = con.sql(spec.oracle)
+            # The driver fetches the DuckDB side via pandas/Arrow, which
+            # coerces HUGEINT (int128, DuckDB's bare sum() over integers)
+            # to float64 — so Spark's `60` hashes against `60.0` and the
+            # driver flags a value mismatch that fetchall() can never see
+            # locally (it yields Python int). Refuse HUGEINT outputs here
+            # so the defect class is caught before a round lands.
+            hug = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if hug:
+                print(
+                    f"FAIL {name}: oracle column(s) {hug} type as HUGEINT — "
+                    "driver's Arrow fetch coerces int128 to float64; "
+                    "CAST(... AS BIGINT) in the oracle SQL"
+                )
+                n_fail += 1
+                continue
+            ocols = list(rel.columns)
+            orows = rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1

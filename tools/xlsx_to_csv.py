@@ -10,9 +10,10 @@ Usage: python tools/xlsx_to_csv.py input.xlsx output.csv
 from __future__ import annotations
 
 import csv
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fitness_nutrition_data_pipeline_spark.sources.xlsx import read_xlsx_rows  # noqa: E402
 
