@@ -52,7 +52,7 @@ def load_warehouse(
     *,
     partition_facts: bool = False,
     register_views: bool = True,
-    max_parallel_writes: int = 8,
+    max_parallel_writes: int = 18,
 ) -> dict[str, str]:
     """Write all tables; returns table → path in dependency order.
 

@@ -65,6 +65,19 @@ class FitnessWarehousePipeline:
         )
         self.staging = staging.cache()
         self.mapping = mapping.cache()
+        # Populate the two shared caches FIRST, concurrently: load() runs
+        # the 18 table writes on a thread pool, and concurrent jobs racing
+        # a cold cache each recompute the whole resolution lineage instead
+        # of waiting for it (Spark block caching has no cross-job
+        # synchronization). Priming before the fact builders also lets
+        # build_fact_nutrition_log's sample collect hit the warm cache
+        # instead of materializing the resolution DAG mid-declaration.
+        # The two counts are independent jobs — run them on two threads
+        # so their stages overlap on the executor pool.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(lambda df: df.count(), (self.staging, self.mapping)))
 
         dims = build_dimensions(
             self.spark, self.staging, self.sources.get("nutrition"), self.cfg
@@ -74,13 +87,6 @@ class FitnessWarehousePipeline:
             self.spark, self.sources, self.staging, self.mapping, dims, self.cfg
         )
         self.warehouse = {**dims, **bridges, **facts}
-        # Populate the two shared caches NOW, in one job each: load() runs
-        # the 18 table writes on a thread pool, and concurrent jobs racing
-        # a cold cache each recompute the whole resolution lineage instead
-        # of waiting for it (Spark block caching has no cross-job
-        # synchronization). Everything else stays lazy.
-        self.staging.count()
-        self.mapping.count()
         return self.warehouse
 
     def load(self, *, partition_facts: bool = False) -> dict[str, str]:

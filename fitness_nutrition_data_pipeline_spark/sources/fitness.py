@@ -188,18 +188,34 @@ def extract_fitbit(spark: SparkSession, fitbit_dir: str) -> dict[str, DataFrame]
 
 def extract_all(spark: SparkSession, cfg) -> dict[str, object]:
     """All sources (main_etl_pipeline.py:956-959): fitbit dict + gym CSV +
-    mendeley/nutrition tabular. Only present sources appear in the dict."""
-    sources: dict[str, object] = {}
-    fitbit = extract_fitbit(spark, cfg.fitbit_dir)
-    if fitbit:
-        sources["fitbit"] = fitbit
-    gym = read_tabular(spark, os.path.join(cfg.data_dir, "gym_members_exercise_tracking.csv"))
-    if gym is not None:
-        sources["gym_members"] = gym
-    mendeley = read_tabular(spark, os.path.join(cfg.data_dir, "gym_recommendation.xlsx"))
-    if mendeley is not None:
-        sources["mendeley_health"] = mendeley
-    nutrition = read_tabular(spark, os.path.join(cfg.data_dir, "nutrition.xlsx"))
-    if nutrition is not None:
-        sources["nutrition"] = nutrition
-    return sources
+    mendeley/nutrition tabular. Only present sources appear in the dict.
+
+    The four source groups are independent, so they extract on a thread
+    pool: the CSV schema scans and the xlsx localCheckpoint jobs run
+    JVM-side (GIL released), and the two xlsx parses fork their own
+    worker processes — the groups genuinely overlap instead of
+    serializing their per-source Spark-job submissions."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = {
+        "fitbit": lambda: extract_fitbit(spark, cfg.fitbit_dir),
+        "gym_members": lambda: read_tabular(
+            spark, os.path.join(cfg.data_dir, "gym_members_exercise_tracking.csv")
+        ),
+        "mendeley_health": lambda: read_tabular(
+            spark, os.path.join(cfg.data_dir, "gym_recommendation.xlsx")
+        ),
+        "nutrition": lambda: read_tabular(
+            spark, os.path.join(cfg.data_dir, "nutrition.xlsx")
+        ),
+    }
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in tasks.items()}
+        results = {name: f.result() for name, f in futures.items()}
+    # fitbit is a dict (empty = every file missing); the rest are
+    # DataFrame-or-None
+    return {
+        name: df
+        for name, df in results.items()
+        if df is not None and (name != "fitbit" or df)
+    }
