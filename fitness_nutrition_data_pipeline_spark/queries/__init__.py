@@ -157,6 +157,13 @@ _CHECK_PRIORITY = (
     "scd2_priority_history",
     "dsir_importance_weights",
     # --- below the 50-line: queued for the r8 window ---
+    # new r7 registrations (retrieval_ops): never driver-checked, so they
+    # head the r8 queue
+    "reciprocal_rank_fusion",
+    "hard_negative_mining",
+    "cluster_balanced_sample",
+    "dp_noised_histogram",
+    "token_budget_plan",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",
@@ -202,6 +209,7 @@ _QUERY_MODULES = (
     "relational",
     "relational2",
     "relational3",
+    "retrieval_ops",
     "sampling",
     "scale_ops",
     "sketch_ops",
