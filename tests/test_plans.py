@@ -601,3 +601,28 @@ def test_weighted_sample_topk_no_global_sort(spark, sf_dir):
     # rank window runs on the 50 survivors only
     plan = plan_of(spark, sf_dir, "weighted_sample_es", mode="simple")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_broadcast_anchors(spark, sf_dir):
+    # the anchor set is answer-sized and must broadcast; the corpus side
+    # stays partitioned with only k rows per anchor surviving the window
+    plan = plan_of(spark, sf_dir, "hard_negative_mining", mode="simple")
+    assert plan.count("Scan parquet") == 2  # anchors + corpus
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_balanced_sample_single_scan_per_cluster_window(spark, sf_dir):
+    # one corpus scan; the quota window is PARTITIONED by cluster (the
+    # global-window trap would funnel the corpus through one task)
+    plan = plan_of(spark, sf_dir, "cluster_balanced_sample", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "windowspecdefinition(cluster_id" in plan
+
+
+def test_token_budget_totals_do_not_rescan(spark, sf_dir):
+    # the per-source aggregate is pinned (localCheckpoint) so the grand
+    # total consumes computed rows — the final plan re-tokenizes nothing
+    plan = plan_of(spark, sf_dir, "token_budget_plan", mode="simple")
+    assert "Scan parquet" not in plan  # reads the pinned RDD, not the corpus
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan ExistingRDD" in plan
