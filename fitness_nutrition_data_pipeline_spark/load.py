@@ -121,6 +121,55 @@ def write_bucketed(
     )
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    *,
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Z-order-clustered parquet write: the lakehouse clustering
+    primitive as an actual writer (operators/layout.py provides the
+    curve key; zorder_locality_stats measures the effect; this applies
+    it to storage).
+
+    Quantizes (x, y) onto the Morton grid using their global min/max
+    (one tiny aggregate, broadcast back — no collect), range-partitions
+    by the interleaved key into ``n_files`` disjoint key bands, sorts
+    within each, writes. Every output file then spans a NARROW min/max
+    band on BOTH dimensions, so parquet footer pruning skips files for
+    filters on either column — single-column sorting gives perfect
+    pruning on one dimension and none on the other. At 100 TB this is
+    the layout that makes selective two-dimensional scans cheap; the
+    write itself is one range shuffle, the same cost class as any
+    sorted write."""
+    from fitness_nutrition_data_pipeline_spark.operators.layout import quantize, zvalue
+
+    bounds = df.agg(
+        F.min(x_col).alias("_xlo"),
+        F.max(x_col).alias("_xhi"),
+        F.min(y_col).alias("_ylo"),
+        F.max(y_col).alias("_yhi"),
+    )
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_z",
+        zvalue(
+            quantize(F.col(x_col), F.col("_xlo"), F.col("_xhi"), bits),
+            quantize(F.col(y_col), F.col("_ylo"), F.col("_yhi"), bits),
+            bits,
+        ),
+    ).drop("_xlo", "_xhi", "_ylo", "_yhi")
+    (
+        keyed.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def mirror_to_jdbc(
     warehouse: dict[str, DataFrame], url: str, properties: dict[str, str]
 ) -> None:

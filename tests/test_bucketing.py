@@ -45,3 +45,48 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
         assert n == spark.table("orders_b").count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_zordered_write_gives_two_dim_locality(spark, sf_dir, tmp_path):
+    """write_zordered must produce files whose per-file min/max spans
+    are narrow on BOTH clustered dimensions — the property parquet
+    footer pruning needs. A single-column sort would give near-zero
+    span on one dim and near-full span on the other; the Morton layout
+    bounds both."""
+    import glob
+    import os
+
+    from fitness_nutrition_data_pipeline_spark.load import write_zordered
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    out = str(tmp_path / "li_z")
+    write_zordered(li, out, "l_extendedprice", "l_quantity", bits=8, n_files=8)
+
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert len(files) >= 4  # range partitioner may merge near-empty bands
+
+    g = li.agg(
+        F.min("l_extendedprice"), F.max("l_extendedprice"),
+        F.min("l_quantity"), F.max("l_quantity"),
+    ).collect()[0]
+    span_x, span_y = g[1] - g[0], g[3] - g[2]
+
+    ratios_x, ratios_y = [], []
+    for f in files:
+        s = spark.read.parquet(f).agg(
+            F.min("l_extendedprice"), F.max("l_extendedprice"),
+            F.min("l_quantity"), F.max("l_quantity"),
+        ).collect()[0]
+        ratios_x.append((s[1] - s[0]) / span_x)
+        ratios_y.append((s[3] - s[2]) / span_y)
+
+    avg_x = sum(ratios_x) / len(ratios_x)
+    avg_y = sum(ratios_y) / len(ratios_y)
+    # both dims must be materially narrower than the global span —
+    # a plain sort on x would give avg_y ~= 1.0
+    assert avg_x < 0.8, f"x spans not localized: {ratios_x}"
+    assert avg_y < 0.8, f"y spans not localized: {ratios_y}"
+    # and the data must round-trip intact
+    assert spark.read.parquet(out).count() == li.count()
