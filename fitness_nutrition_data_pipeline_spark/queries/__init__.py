@@ -164,6 +164,7 @@ _CHECK_PRIORITY = (
     "cluster_balanced_sample",
     "dp_noised_histogram",
     "token_budget_plan",
+    "cuped_adjusted_lift",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",

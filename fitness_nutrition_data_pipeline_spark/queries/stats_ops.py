@@ -850,3 +850,147 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("psi_c", 6).alias("psi_contrib"),
         F.round(F.sum("psi_c").over(wt), 6).alias("psi_total"),
     )
+
+
+@register(
+    "cuped_adjusted_lift",
+    """
+    WITH cents AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS c FROM events
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 6))
+                  AS BIGINT) % 2 AS arm,
+             CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN c ELSE 0 END)
+                  // 100 AS BIGINT) AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN c ELSE 0 END)
+                  // 100 AS BIGINT) AS y
+      FROM cents GROUP BY user_id
+    ),
+    a AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_a,
+             CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a,
+             CAST(sum(x * x) AS BIGINT) AS sxx_a,
+             CAST(sum(x * y) AS BIGINT) AS sxy_a
+      FROM u GROUP BY arm
+    ),
+    g AS (
+      SELECT CAST(sum(n_a) AS BIGINT) AS n, CAST(sum(sx_a) AS BIGINT) AS sx,
+             CAST(sum(sy_a) AS BIGINT) AS sy,
+             CAST(sum(sxx_a) AS BIGINT) AS sxx,
+             CAST(sum(sxy_a) AS BIGINT) AS sxy
+      FROM a
+    ),
+    t AS (
+      SELECT n, sx,
+             round((n * sxy - sx * sy) * 1.0
+                   / nullif(n * sxx - sx * sx, 0), 9) AS theta
+      FROM g
+    )
+    SELECT a.arm, a.n_a AS n_users, a.sx_a AS sum_x_pre, a.sy_a AS sum_y_post,
+           CAST(CAST(round(a.sy_a * 1.0 / a.n_a, 4) AS DECIMAL(18,4))
+                AS DOUBLE) AS raw_mean,
+           CAST(CAST(round((a.sy_a * 1.0 - t.theta
+                            * (a.sx_a * 1.0 - a.n_a * (t.sx * 1.0 / t.n)))
+                           / a.n_a, 4) AS DECIMAL(18,4)) AS DOUBLE)
+             AS cuped_mean,
+           t.theta
+    FROM a CROSS JOIN t
+    ORDER BY a.arm
+    """,
+    sort=("arm",),
+    doc="CUPED variance-reduced experiment readout (the standard A/B "
+    "analysis adjustment): users hash into two arms (deterministic md5 "
+    "split — the package's seeded-randomness contract), pre-period "
+    "revenue is the covariate, post-period revenue the metric, theta = "
+    "cov(x,y)/var(x) pooled over all users, and each arm reports raw vs "
+    "CUPED-adjusted mean. Every moment is EXACT integer math: dollars "
+    "are rounded to cents (round-then-cast, the truncate-vs-round "
+    "gotcha), per-user sums floor-divide to whole units, and "
+    "n*Sxy - Sx*Sy style covariance numerators stay in BIGINT until "
+    "the single final division — so theta is the identical double on "
+    "both engines and the adjusted means survive the strict hash "
+    "(rounded 4dp through DECIMAL). Shape: one user-grain shuffle, a "
+    "2-row arm aggregate pinned so the pooled moments and the final "
+    "projection both consume it without re-scanning events, and the "
+    "1-row theta broadcast back.",
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.floor(
+            F.sum(F.when(F.col("ts") < split, cents).otherwise(F.lit(0)))
+            / F.lit(100)
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(
+            F.sum(F.when(F.col("ts") >= split, cents).otherwise(F.lit(0)))
+            / F.lit(100)
+        )
+        .cast("long")
+        .alias("y"),
+    ).select(
+        (hash_bucket(F.col("user_id"), 1 << 24) % 2).alias("arm"), "x", "y"
+    )
+    # 2-row arm aggregate, pinned: the pooled moments and the final
+    # per-arm projection both read it (scan-audit policy: 1 events scan)
+    a = (
+        u.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_a"),
+            F.sum("x").cast("long").alias("sx_a"),
+            F.sum("y").cast("long").alias("sy_a"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx_a"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy_a"),
+        )
+        .coalesce(1)
+        .localCheckpoint()
+    )
+    g = a.agg(
+        F.sum("n_a").cast("long").alias("n"),
+        F.sum("sx_a").cast("long").alias("sx"),
+        F.sum("sy_a").cast("long").alias("sy"),
+        F.sum("sxx_a").cast("long").alias("sxx"),
+        F.sum("sxy_a").cast("long").alias("sxy"),
+    )
+    t = g.select(
+        "n",
+        "sx",
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1.0)
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0)
+            ),
+            9,
+        ).alias("theta"),
+    )
+    xbar = F.col("sx") * F.lit(1.0) / F.col("n")
+    cuped = (
+        F.col("sy_a") * F.lit(1.0)
+        - F.col("theta") * (F.col("sx_a") * F.lit(1.0) - F.col("n_a") * xbar)
+    ) / F.col("n_a")
+    return (
+        a.crossJoin(F.broadcast(t))
+        .select(
+            "arm",
+            F.col("n_a").alias("n_users"),
+            F.col("sx_a").alias("sum_x_pre"),
+            F.col("sy_a").alias("sum_y_post"),
+            F.round(F.col("sy_a") * F.lit(1.0) / F.col("n_a"), 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("raw_mean"),
+            F.round(cuped, 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("cuped_mean"),
+            "theta",
+        )
+    )
