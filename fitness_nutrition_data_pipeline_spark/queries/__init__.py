@@ -165,6 +165,7 @@ _CHECK_PRIORITY = (
     "dp_noised_histogram",
     "token_budget_plan",
     "cuped_adjusted_lift",
+    "variant_props_profile",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",

@@ -815,3 +815,49 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "variant_props_profile",
+    r"""
+    WITH p AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(DISTINCT k) AS BIGINT) AS n_distinct_k
+    FROM p GROUP BY event_type
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Schemaless properties-bag profiling via Spark 4's VARIANT type: "
+    "parse_json encodes each props blob ONCE into the binary variant "
+    "encoding, then try_variant_get extracts a typed path — the "
+    "schema-on-read path for evolving event properties, versus "
+    "json_props_parse's fixed from_json schema (which breaks when "
+    "producers add fields). At 100 TB the parse-once encoding beats "
+    "re-tokenizing the JSON string per extracted path, and malformed "
+    "blobs degrade to NULL (try_ semantics) instead of failing the "
+    "scan. The oracle states the same extraction with DuckDB's "
+    "json_extract.",
+)
+def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )
