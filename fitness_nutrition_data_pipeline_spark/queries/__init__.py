@@ -166,6 +166,7 @@ _CHECK_PRIORITY = (
     "token_budget_plan",
     "cuped_adjusted_lift",
     "variant_props_profile",
+    "shard_manifest_checksums",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",

@@ -611,3 +611,62 @@ def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.round("jaccard", 4).cast("decimal(18,4)").alias("jaccard"),
     )
+
+
+@register(
+    "shard_manifest_checksums",
+    f"""
+    WITH s AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR)) AS order_h,
+             md5(text) AS content_h,
+             octet_length(encode(text)) AS n_bytes,
+             {_BUCKET_SQL.format(key="doc_id")} % 16 AS shard
+      FROM documents WHERE text IS NOT NULL
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY shard
+                                   ORDER BY order_h, doc_id) AS pos
+      FROM s
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           md5(string_agg(content_h, ',' ORDER BY pos)) AS manifest_md5
+    FROM r GROUP BY shard
+    ORDER BY shard
+    """,
+    sort=("shard",),
+    doc="Reproducible shard MANIFESTS: the order-SENSITIVE companion to "
+    "training_shard_assignment's order-insensitive sum checksums. Each "
+    "shard's manifest_md5 hashes the concatenation of its documents' "
+    "content hashes IN SHARD ORDER, so a resumed or re-run job proves "
+    "not just 'same docs' but 'same docs in the same byte order' — the "
+    "contract a training loader needs before trusting a resume point. "
+    "Order-sensitivity under a shuffle-order-free engine comes from "
+    "sort_array over (pos, hash) structs inside each shard's aggregate "
+    "(plain collect_list order is partition-arrival nondeterministic); "
+    "one hash-partition exchange, manifests are shard-count-sized.",
+)
+def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("order_h"),
+        F.md5(F.col("text")).alias("content_h"),
+        F.octet_length(F.col("text")).alias("n_bytes"),
+        hash_bucket(F.col("doc_id"), 16).alias("shard"),
+    )
+    pos = F.row_number().over(W.partitionBy("shard").orderBy("order_h", "doc_id"))
+    ordered_hashes = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "content_h"))),
+        lambda s: s.content_h,
+    )
+    return (
+        d.withColumn("pos", pos)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.md5(F.concat_ws(",", ordered_hashes)).alias("manifest_md5"),
+        )
+    )
