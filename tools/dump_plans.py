@@ -69,6 +69,12 @@ SHOWCASE = [
     ("copurchase_pairs_topk", "market-basket pairs: per-order cap window bounds the quadratic stage, co-keyed self-join, TakeOrdered top-k"),
     ("length_filter_survivorship", "threshold curve: corpus folds to a length histogram FIRST, 5-row grid joins the aggregate — one scan for five thresholds"),
     ("triangle_count_cooccurrence", "triangle motif: pinned distinct projection + oriented edges (src<dst), 3-way join on the alphabet-bounded edge set"),
+    ("hygiene_batch_replay", "streaming hygiene replay: PII regexp projection (pure codegen) + contamination explode vs broadcast benchmark grams"),
+    ("hard_negative_mining", "contrastive negatives: broadcast anchors, label-mismatch predicate inside the join, k rows per anchor survive"),
+    ("cluster_balanced_sample", "balanced curation sampling: one scan, cluster-PARTITIONED quota window, answer-sized output"),
+    ("cuped_adjusted_lift", "CUPED readout: user-grain shuffle, pinned 2-row arm moments, 1-row theta broadcast back"),
+    ("variant_props_profile", "Spark 4 VARIANT: parse_json once into binary encoding, typed path extraction, keyed agg"),
+    ("shard_manifest_checksums", "order-sensitive manifests: shard-partitioned window + sort_array(struct) inside the per-shard aggregate"),
 ]
 
 
