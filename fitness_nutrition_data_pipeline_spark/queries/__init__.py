@@ -167,6 +167,7 @@ _CHECK_PRIORITY = (
     "cuped_adjusted_lift",
     "variant_props_profile",
     "shard_manifest_checksums",
+    "seasonal_naive_backtest",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",

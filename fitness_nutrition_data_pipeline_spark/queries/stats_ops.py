@@ -994,3 +994,62 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theta",
         )
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    scored AS (
+      SELECT event_type, d, cents,
+             lag(cents, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(pred) AS BIGINT) AS n_days_scored,
+           CAST(sum(CASE WHEN pred IS NOT NULL THEN abs(cents - pred) END)
+                AS BIGINT) AS total_abs_err_cents,
+           CAST(sum(CASE WHEN pred IS NOT NULL THEN cents END) AS BIGINT)
+             AS total_actual_cents,
+           round(sum(CASE WHEN pred IS NOT NULL THEN abs(cents - pred) END)
+                 * 1.0
+                 / sum(CASE WHEN pred IS NOT NULL THEN cents END), 6) AS wape
+    FROM scored GROUP BY event_type
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Forecast-quality backtest for the seasonal-naive baseline "
+    "(predict day d with day d-7): per event type, the weighted absolute "
+    "percentage error over every scoreable day. WAPE — sum|err|/sum(act) "
+    "— instead of MAPE deliberately: both sums are EXACT integer cents "
+    "(day grain, lag-7 via a per-type window over ~30 rows), so the one "
+    "final division is the only float op and hashes identically "
+    "cross-engine, where MAPE's mean-of-ratios would sum doubles in "
+    "shuffle order. Shape: one (type, day) groupBy shuffle; the lag "
+    "window runs on day-grain aggregates, never data rows.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    scored = daily.withColumn("pred", F.lag("cents", 7).over(w))
+    err = F.when(F.col("pred").isNotNull(), F.abs(F.col("cents") - F.col("pred")))
+    act = F.when(F.col("pred").isNotNull(), F.col("cents"))
+    return scored.groupBy("event_type").agg(
+        F.count("pred").cast("long").alias("n_days_scored"),
+        F.sum(err).cast("long").alias("total_abs_err_cents"),
+        F.sum(act).cast("long").alias("total_actual_cents"),
+        F.round(
+            F.sum(err) * F.lit(1.0) / F.sum(act), 6
+        ).alias("wape"),
+    )
