@@ -168,6 +168,7 @@ _CHECK_PRIORITY = (
     "variant_props_profile",
     "shard_manifest_checksums",
     "seasonal_naive_backtest",
+    "khop_reach_parts",
     # remaining r3-stale block (the three displaced fillers first)
     "retention_cohorts",
     "range_frame_trailing_avg",

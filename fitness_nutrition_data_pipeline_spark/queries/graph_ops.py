@@ -107,3 +107,112 @@ def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "khop_reach_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    seeds AS (SELECT DISTINCT src AS seed FROM pairs WHERE src < 10),
+    hop1 AS (
+      SELECT DISTINCT s.seed, p.dst AS node
+      FROM seeds s JOIN pairs p ON p.src = s.seed
+    ),
+    hop2 AS (
+      SELECT DISTINCT h.seed, p.dst AS node
+      FROM hop1 h JOIN pairs p ON p.src = h.node
+      WHERE p.dst <> h.seed
+    ),
+    h1n AS (SELECT seed, count(*) AS n FROM hop1 GROUP BY seed),
+    h2n AS (SELECT seed, count(*) AS n FROM hop2 GROUP BY seed),
+    hnew AS (
+      SELECT h2.seed, count(*) AS n
+      FROM hop2 h2 LEFT JOIN hop1 h1
+        ON h1.seed = h2.seed AND h1.node = h2.node
+      WHERE h1.node IS NULL
+      GROUP BY h2.seed
+    )
+    SELECT s.seed,
+           CAST(coalesce(h1n.n, 0) AS BIGINT) AS n_hop1,
+           CAST(coalesce(h2n.n, 0) AS BIGINT) AS n_hop2,
+           CAST(coalesce(hnew.n, 0) AS BIGINT) AS n_hop2_new
+    FROM seeds s
+    LEFT JOIN h1n USING (seed)
+    LEFT JOIN h2n USING (seed)
+    LEFT JOIN hnew USING (seed)
+    ORDER BY s.seed
+    """,
+    sort=("seed",),
+    doc="k-hop neighborhood expansion (k=2) over the co-purchase part "
+    "graph — the BFS-frontier join shape (GraphX/Pregel's superstep) "
+    "that components/PageRank don't exercise: seed set -> 1-hop frontier "
+    "-> 2-hop frontier, each hop one edge join + distinct, reporting "
+    "reach plus the NEW nodes the second hop adds (frontier-minus-"
+    "visited, the anti-join every BFS needs; the seed itself is "
+    "excluded from hop2 at expansion time). Edges are distinct oriented "
+    "co-purchase pairs co-keyed on l_orderkey (never a cartesian) and "
+    "are pinned once for the three consumers; frontiers are "
+    "answer-sized, so each superstep shuffles only the frontier — the "
+    "property that keeps BFS feasible when the edge list is 100 TB and "
+    "the frontiers are not.",
+)
+def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        # the edge set feeds three joins (hop1, hop2, final counts) —
+        # pin it so the co-purchase self-join runs once
+        .localCheckpoint()
+    )
+    seeds = (
+        pairs.where(F.col("src") < 10).select(F.col("src").alias("seed")).distinct()
+    )
+    hop1 = (
+        F.broadcast(seeds)
+        .join(pairs, F.col("seed") == F.col("src"))
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    hop2 = (
+        hop1.join(pairs, F.col("node") == F.col("src"))
+        .where(F.col("dst") != F.col("seed"))
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+    )
+    h1n = hop1.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop1"))
+    h2n = hop2.groupBy("seed").agg(F.count(F.lit(1)).alias("n_hop2"))
+    hnew = (
+        hop2.alias("h2")
+        .join(
+            hop1.alias("h1"),
+            (F.col("h1.seed") == F.col("h2.seed"))
+            & (F.col("h1.node") == F.col("h2.node")),
+            "left_anti",
+        )
+        .groupBy("seed")
+        .agg(F.count(F.lit(1)).alias("n_hop2_new"))
+    )
+    return (
+        seeds.join(h1n, "seed", "left")
+        .join(h2n, "seed", "left")
+        .join(hnew, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("n_hop1", F.lit(0)).cast("long").alias("n_hop1"),
+            F.coalesce("n_hop2", F.lit(0)).cast("long").alias("n_hop2"),
+            F.coalesce("n_hop2_new", F.lit(0)).cast("long").alias("n_hop2_new"),
+        )
+    )
