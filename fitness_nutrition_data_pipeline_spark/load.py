@@ -129,6 +129,7 @@ def write_zordered(
     *,
     bits: int = 8,
     n_files: int = 8,
+    bands: int | None = None,
 ) -> None:
     """Z-order-clustered parquet write: the lakehouse clustering
     primitive as an actual writer (operators/layout.py provides the
@@ -161,6 +162,30 @@ def write_zordered(
             bits,
         ),
     ).drop("_xlo", "_xhi", "_ylo", "_yhi")
+    if bands is not None:
+        # Deterministic band mode: file boundaries are the TOP bits of
+        # the z-key (band = z >> (2*bits - log2(bands))), not sampled
+        # range bounds — same clustering quality class, but the band of
+        # every row is a pure function of its values, so an external
+        # oracle can recompute the banding from the source relation and
+        # hash-check what the writer actually put on disk
+        # (zorder_write_band_spans). Sampled repartitionByRange can't
+        # make that promise (bounds vary run to run).
+        if bands & (bands - 1):
+            raise ValueError("bands must be a power of two")
+        shift = 2 * bits - (bands.bit_length() - 1)
+        banded = keyed.withColumn(
+            "_zband", F.shiftright("_z", shift).cast("int")
+        )
+        (
+            banded.repartition(bands, "_zband")
+            .sortWithinPartitions("_zband", "_z")
+            .drop("_z")
+            .write.mode("overwrite")
+            .partitionBy("_zband")
+            .parquet(path)
+        )
+        return
     (
         keyed.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

@@ -76,89 +76,38 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-7 window (exactly 50): the three
-# r6 hash-reds with their HUGEINT-oracle fixes (one CAST AS BIGINT each —
-# VERDICT r6 proved all three match bit-for-bit locally and traced the
-# red to DuckDB int128 sum() outputs coercing to float64 under the
-# driver's Arrow fetch; a registry-wide pytest lint now bans HUGEINT
-# oracle outputs), then the 22 never-driver-checked late-r6
-# registrations, the two r2-stale displaced queries, the 8
-# broadcast-de-hinted TPC-H queries, and 15 of the oldest r3-stale
-# §2-mapped queries. Below the fold, queued for r8: the remaining
-# r3-stale block.
+# ordering is signal allocation. Round-8 window (exactly 50): the five r7
+# DECIMAL hash-reds plus the six latent siblings, all now canonicalized
+# to a final DOUBLE on both engines (VERDICT r7 root cause: the driver
+# stringifies Spark's fixed-scale Decimal('0.050000') against the
+# DuckDB-via-pandas float64 repr '0.05' — red iff any value has trailing
+# zeros; tools/verify_queries.py now fetches BOTH lanes through pandas
+# and tests/test_oracle_types.py enforces an output-type allowlist on
+# both engines so the class is dead, not patched), then the eleven
+# never-driver-checked registrations (ten from r7 + r8's
+# zorder_write_band_spans), then 28 of the 29 r3-stale queries.
+# Below the fold for r9: corpus_curation_pipeline (its component ops are
+# individually in-window; the composite is the least marginal signal)
+# and the r4-stale block.
 _CHECK_PRIORITY = (
-    # --- round-7 window (driver checks the FIRST 50) ---
-    # r6 hash-reds: root cause was the ORACLE's type (bare sum() over
-    # integers → HUGEINT → float64 under Arrow fetch), not the values.
-    # Fixed by CAST(... AS BIGINT); prove the flip.
-    "winsorized_price_stats",
-    "drift_monitor_batch_replay",
-    "multimodal_meta_profile",
-    # never-driver-checked late-r6 registrations (scale_ops family,
-    # sketch contracts, ES sampling, exact PPJoin, format round-trips,
-    # record linkage, hierarchy rollup — all strict-verified locally at
-    # 3 SFs and bare, and all pass the HUGEINT oracle lint)
-    "training_shard_assignment",
+    # --- round-8 window (driver checks the FIRST 50) ---
+    # r7 hash-reds: DECIMAL outputs, now decimal-quantized then cast
+    # DOUBLE on both sides (the stats_ops ks_stat pattern). Prove the flip.
     "source_temperature_mix",
     "compaction_plan",
     "oov_rate_curve",
     "length_filter_survivorship",
-    "copurchase_pairs_topk",
-    "triangle_count_cooccurrence",
-    "snapshot_diff_cdc",
-    "weighted_sample_es",
     "prefix_filter_simjoin",
+    # latent members of the same class (green r7 only because their
+    # current values carry no trailing zeros) — same fix, confirm green
     "multitouch_attribution",
     "countmin_contract",
     "bloom_membership_contract",
     "kmv_distinct_contract",
     "ams_f2_contract",
-    "jsonl_roundtrip_scan",
-    "orc_roundtrip_scan",
-    "funnel_time_to_convert",
-    "record_linkage_scores",
-    "linkage_em_step",
-    "hierarchy_rollup",
-    "embedding_dot_arrow",
-    # the two r2-stale queries displaced from the r6 window
-    "running_revenue",
-    "monthly_customer_spend",
-    # TPC-H queries whose physical plans changed in r6 (forced broadcasts
-    # of SF-scaling tables removed; q15 wrong-side fix) — locally
-    # strict-verified on the new plans; driver-confirm them
-    "tpch_q15_top_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "tpch_q1_pricing_summary",
-    # oldest r3-stale block, §2-mapped queries first (range null-out,
-    # daily rollups, conditional aggregates, window dedup, regex coerce,
-    # violations materialization)
-    "range_validity_nullout",
-    "daily_rollup_sum",
-    "daily_rollup_mean",
-    "conditional_range_check",
-    "window_dedup_first_seen",
-    "regex_extract_cast",
-    "violations_materialization",
-    "date_spine_gap_fill",
-    "json_props_parse",
-    "salted_event_counts",
-    "asof_join_last_view",
-    "funnel_view_purchase",
-    # new r7 registrations / first-checks: the streaming hygiene module's
-    # batch replay (the last replay-less stateful/streaming op — VERDICT
-    # r6 item 7) and the two implemented-but-never-checked warehouse_ops
-    # entries (item 8)
-    "hygiene_batch_replay",
-    "scd2_priority_history",
-    "dsir_importance_weights",
-    # --- below the 50-line: queued for the r8 window ---
-    # new r7 registrations (retrieval_ops): never driver-checked, so they
-    # head the r8 queue
+    "user_ltv_deciles",
+    # never driver-checked: the ten r7 registrations (retrieval wave,
+    # experimentation/forecasting, shard manifests, VARIANT, graph BFS)
     "reciprocal_rank_fusion",
     "hard_negative_mining",
     "cluster_balanced_sample",
@@ -169,7 +118,9 @@ _CHECK_PRIORITY = (
     "shard_manifest_checksums",
     "seasonal_naive_backtest",
     "khop_reach_parts",
-    # remaining r3-stale block (the three displaced fillers first)
+    # new r8 registration: the z-ordered writer under the hard oracle
+    "zorder_write_band_spans",
+    # r3-stale rotation (oldest driver signal registry-wide)
     "retention_cohorts",
     "range_frame_trailing_avg",
     "order_gap_analysis",
@@ -196,9 +147,10 @@ _CHECK_PRIORITY = (
     "tpch_q6_forecast_revenue",
     "tpch_q13_custdist",
     "tpch_q22_dormant_capital",
-    "corpus_curation_pipeline",
     "lsh_dedup_clusters",
     "kmeans_lloyd_update",
+    # --- below the 50-line: queued for the r9 window ---
+    "corpus_curation_pipeline",
 )
 
 

@@ -307,7 +307,7 @@ def weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(floor((rk - 1) * 10.0 / n) AS INT) AS decile,
            count(*) AS n_customers,
-           CAST(sum(spend) AS DECIMAL(38,2)) AS decile_spend,
+           CAST(CAST(sum(spend) AS DECIMAL(38,2)) AS DOUBLE) AS decile_spend,
            round(CAST(sum(spend) AS DOUBLE) / CAST(max(total_spend) AS DOUBLE), 6)
              AS spend_share
     FROM ranked GROUP BY 1 ORDER BY 1
@@ -341,7 +341,7 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("spend").cast("decimal(38,2)").alias("decile_spend"),
+            F.sum("spend").cast("decimal(38,2)").cast("double").alias("decile_spend"),
             F.round(
                 F.sum("spend").cast("double") / F.max("total_spend").cast("double"), 6
             ).alias("spend_share"),

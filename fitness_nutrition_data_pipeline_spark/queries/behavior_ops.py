@@ -1014,8 +1014,8 @@ def heavy_hitters_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_touches,
            CAST(count(DISTINCT pid) AS BIGINT) AS n_conversions_touched,
-           CAST(round(sum(ppm) / 1000000.0, 3) AS DECIMAL(18, 3))
-             AS credited_conversions
+           CAST(CAST(round(sum(ppm) / 1000000.0, 3) AS DECIMAL(18, 3))
+                AS DOUBLE) AS credited_conversions
     FROM cred
     GROUP BY event_type
     ORDER BY event_type
@@ -1060,6 +1060,7 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("pid").cast("long").alias("n_conversions_touched"),
         F.round(F.sum("ppm") / 1000000.0, 3)
         .cast("decimal(18,3)")
+        .cast("double")
         .alias("credited_conversions"),
     )
 

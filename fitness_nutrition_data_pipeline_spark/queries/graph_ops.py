@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
@@ -109,12 +110,42 @@ def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(li: DataFrame, max_basket: int = 20) -> DataFrame:
+    """Distinct oriented co-purchase edges, basket-capped BEFORE the
+    self-join (copurchase_pairs_topk's guard): a b-item basket emits
+    b^2 pairs, so one skewed mega-order would dominate the edge build
+    at scale. TPC-H baskets are <= 7 lines, so the cap is a no-op on
+    this data — it bounds the worst case, not the answer."""
+    capped = li.withColumn(
+        "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    ).where(F.col("basket_size") <= max_basket)
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+
 @register(
     "khop_reach_parts",
     """
-    WITH pairs AS (
+    WITH sized AS (
+      SELECT l_orderkey, l_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS basket_size
+      FROM lineitem
+    ),
+    capped AS (SELECT l_orderkey, l_partkey FROM sized WHERE basket_size <= 20),
+    pairs AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-      FROM lineitem a JOIN lineitem b
+      FROM capped a JOIN capped b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
     ),
     seeds AS (SELECT DISTINCT src AS seed FROM pairs WHERE src < 10),
@@ -154,29 +185,19 @@ def supplier_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reach plus the NEW nodes the second hop adds (frontier-minus-"
     "visited, the anti-join every BFS needs; the seed itself is "
     "excluded from hop2 at expansion time). Edges are distinct oriented "
-    "co-purchase pairs co-keyed on l_orderkey (never a cartesian) and "
-    "are pinned once for the three consumers; frontiers are "
+    "co-purchase pairs co-keyed on l_orderkey (never a cartesian), "
+    "basket-capped at 20 items before the self-join so a skewed "
+    "mega-order can't go quadratic (a no-op on TPC-H's <=7-line "
+    "orders), and pinned once for the three consumers; frontiers are "
     "answer-sized, so each superstep shuffles only the frontier — the "
     "property that keeps BFS feasible when the edge list is 100 TB and "
     "the frontiers are not.",
 )
 def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    pairs = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
-        # the edge set feeds three joins (hop1, hop2, final counts) —
-        # pin it so the co-purchase self-join runs once
-        .localCheckpoint()
-    )
+    # the edge set feeds three joins (hop1, hop2, final counts) —
+    # pin it so the co-purchase self-join runs once
+    pairs = copurchase_edges(li).localCheckpoint()
     seeds = (
         pairs.where(F.col("src") < 10).select(F.col("src").alias("seed")).distinct()
     )

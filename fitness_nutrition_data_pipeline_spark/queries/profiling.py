@@ -354,3 +354,90 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("cust_span"), 4).alias("avg_cust_span"),
         F.round(F.avg("day_span"), 4).alias("avg_day_span"),
     )
+
+
+def _zorder_write_oracle() -> str:
+    from fitness_nutrition_data_pipeline_spark.operators.layout import zvalue_sql
+
+    z_expr = zvalue_sql("qx", "qy", bits=8)
+    return f"""
+    WITH base AS (
+      SELECT o_custkey AS ck,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS dd
+      FROM orders
+    ),
+    ext AS (SELECT min(ck) AS ck_lo, max(ck) AS ck_hi,
+                   min(dd) AS dd_lo, max(dd) AS dd_hi FROM base),
+    q AS (
+      SELECT CASE WHEN ck_hi = ck_lo THEN 0
+                  ELSE least(CAST(floor((ck - ck_lo) / (ck_hi - ck_lo) * 256)
+                                  AS BIGINT), 255) END AS qx,
+             CASE WHEN dd_hi = dd_lo THEN 0
+                  ELSE least(CAST(floor((dd - dd_lo) / (dd_hi - dd_lo) * 256)
+                                  AS BIGINT), 255) END AS qy
+      FROM base, ext
+    )
+    SELECT ({z_expr}) >> 12 AS band,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(max(qx) - min(qx) AS BIGINT) AS cust_span,
+           CAST(max(qy) - min(qy) AS BIGINT) AS day_span
+    FROM q
+    GROUP BY 1
+    ORDER BY band
+    """
+
+
+@register(
+    "zorder_write_band_spans",
+    _zorder_write_oracle(),
+    sort=("band",),
+    doc="The z-ordered WRITER (load.py::write_zordered) under the hard "
+    "oracle: write orders' (custkey, orderdate-day) z-clustered into 16 "
+    "deterministic key bands (band = top 4 bits of the 16-bit Morton "
+    "key — a pure function of row values, unlike sampled "
+    "repartitionByRange bounds), then READ THE FILES BACK and report "
+    "each band's row count and per-dimension value span. The oracle "
+    "recomputes the identical banding from the source relation, so a "
+    "writer that dropped, duplicated or mis-banded a single row "
+    "hash-fails — driver-visible proof the on-disk layout honors the "
+    "clustering contract (zorder_locality_stats shows WHY the layout "
+    "wins; this shows the writer DELIVERS it). Write cost is one "
+    "shuffle on the band key; the readback aggregates file-grain data "
+    "once.",
+)
+def zorder_write_band_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.load import write_zordered
+    from fitness_nutrition_data_pipeline_spark.operators.layout import quantize
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_zorder_{tag}/orders"
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("ck"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dd"),
+    )
+    write_zordered(base, path, "ck", "dd", bits=8, bands=16)
+    back = spark.read.parquet(path)
+    ext = back.agg(
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("dd").alias("dd_lo"),
+        F.max("dd").alias("dd_hi"),
+    )
+    q = back.crossJoin(F.broadcast(ext)).select(
+        F.col("_zband").cast("long").alias("band"),
+        quantize(F.col("ck"), F.col("ck_lo"), F.col("ck_hi"), 8).alias("qx"),
+        quantize(F.col("dd"), F.col("dd_lo"), F.col("dd_hi"), 8).alias("qy"),
+    )
+    return (
+        q.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.max("qx") - F.min("qx")).cast("long").alias("cust_span"),
+            (F.max("qy") - F.min("qy")).cast("long").alias("day_span"),
+        )
+        .orderBy("band")
+    )

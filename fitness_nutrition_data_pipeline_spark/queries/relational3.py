@@ -821,7 +821,9 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant_props_profile",
     r"""
     WITH p AS (
-      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       FROM events
     )
     SELECT event_type,
@@ -842,13 +844,19 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_props_parse's fixed from_json schema (which breaks when "
     "producers add fields). At 100 TB the parse-once encoding beats "
     "re-tokenizing the JSON string per extracted path, and malformed "
-    "blobs degrade to NULL (try_ semantics) instead of failing the "
-    "scan. The oracle states the same extraction with DuckDB's "
-    "json_extract.",
+    "blobs degrade to NULL (try_parse_json + try_variant_get, lenient "
+    "end-to-end) instead of failing the scan. The oracle states the "
+    "same extraction with DuckDB's json_extract behind a json_valid "
+    "guard (its json_extract is strict).",
 )
 def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    # try_parse_json, not parse_json (ADVICE r7): strict parse_json
+    # throws on a malformed blob and fails the whole scan, while the
+    # doc promises try_ semantics end-to-end. The oracle mirrors the
+    # leniency with a json_valid guard (DuckDB's json_extract is
+    # strict and would likewise fail the whole query).
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "long")
     return (
         ev.select("event_type", k.alias("k"))
         .groupBy("event_type")

@@ -342,19 +342,25 @@ def token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .localCheckpoint()
     )
-    tot = t.agg(F.sum("n_tokens").alias("total_tokens"))
-    alloc = (F.lit(1000000) * F.col("n_tokens")) / F.col("total_tokens")
+    tot = t.agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    # long-only `div` end-to-end (ADVICE r7): floor over a DOUBLE
+    # division can disagree with exact integer floor once 1/total drops
+    # below half-ulp of the quotient; `div` keeps the math in int64 on
+    # both engines (operands non-negative, so truncate == floor).
+    alloc = F.expr("n_tokens * 1000000L div total_tokens")
     return (
         t.crossJoin(F.broadcast(tot))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.floor((F.col("n_tokens") * 1000000) / F.col("total_tokens"))
+            F.expr("n_tokens * 1000000L div total_tokens")
             .cast("long")
             .alias("share_ppm"),
-            F.floor(alloc).cast("long").alias("alloc_tokens"),
-            F.floor((F.floor(alloc) * 1000) / F.col("n_tokens"))
+            alloc.cast("long").alias("alloc_tokens"),
+            F.expr(
+                "(n_tokens * 1000000L div total_tokens) * 1000L div n_tokens"
+            )
             .cast("long")
             .alias("epochs_x1000"),
         )

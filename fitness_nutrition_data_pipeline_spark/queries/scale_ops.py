@@ -109,8 +109,8 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     t AS (SELECT CAST(sum(weight_ppm) AS BIGINT) AS tot FROM w)
     SELECT w.source, w.n_docs, w.weight_ppm,
-           CAST(round(1.0 * w.weight_ppm / t.tot, 6) AS DECIMAL(18, 6))
-             AS mix_share,
+           CAST(CAST(round(1.0 * w.weight_ppm / t.tot, 6) AS DECIMAL(18, 6))
+                AS DOUBLE) AS mix_share,
            CAST(round(100000.0 * w.weight_ppm / t.tot) AS BIGINT)
              AS docs_per_100k
     FROM w CROSS JOIN t
@@ -144,6 +144,7 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight_ppm",
         F.round(F.lit(1.0) * F.col("weight_ppm") / F.col("tot"), 6)
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("mix_share"),
         F.round(F.lit(100000.0) * F.col("weight_ppm") / F.col("tot"))
         .cast("long")
@@ -162,10 +163,11 @@ def source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, n_docs, part_bytes,
            CAST(ceil(1.0 * part_bytes / 4096) AS BIGINT) AS n_target_files,
-           CAST(round(1.0 * part_bytes / ceil(1.0 * part_bytes / 4096), 1)
-                AS DECIMAL(18, 1)) AS avg_file_bytes,
-           CAST(round(1.0 * n_docs / ceil(1.0 * part_bytes / 4096), 2)
-                AS DECIMAL(18, 2)) AS compaction_ratio
+           CAST(CAST(round(1.0 * part_bytes / ceil(1.0 * part_bytes / 4096),
+                           1) AS DECIMAL(18, 1)) AS DOUBLE)
+             AS avg_file_bytes,
+           CAST(CAST(round(1.0 * n_docs / ceil(1.0 * part_bytes / 4096), 2)
+                     AS DECIMAL(18, 2)) AS DOUBLE) AS compaction_ratio
     FROM p
     ORDER BY source
     """,
@@ -192,9 +194,11 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_files.cast("long").alias("n_target_files"),
         F.round(F.lit(1.0) * F.col("part_bytes") / n_files, 1)
         .cast("decimal(18,1)")
+        .cast("double")
         .alias("avg_file_bytes"),
         F.round(F.lit(1.0) * F.col("n_docs") / n_files, 2)
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("compaction_ratio"),
     )
 
@@ -216,9 +220,9 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
            t.total_tokens,
            CAST(coalesce(sum(CASE WHEN r.rnk > v.vocab_size THEN r.cnt END), 0)
                 AS BIGINT) AS oov_tokens,
-           CAST(round(1.0 * coalesce(
+           CAST(CAST(round(1.0 * coalesce(
                   sum(CASE WHEN r.rnk > v.vocab_size THEN r.cnt END), 0)
-                / t.total_tokens, 6) AS DECIMAL(18, 6)) AS oov_rate
+                / t.total_tokens, 6) AS DECIMAL(18, 6)) AS DOUBLE) AS oov_rate
     FROM r
     CROSS JOIN (VALUES (8), (16), (32), (64)) AS v(vocab_size)
     CROSS JOIN t
@@ -262,6 +266,7 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             oov.cast("long").alias("oov_tokens"),
             F.round(F.lit(1.0) * oov / F.col("total_tokens"), 6)
             .cast("decimal(18,6)")
+            .cast("double")
             .alias("oov_rate"),
         )
         .select("vocab_size", "total_tokens", "oov_tokens", "oov_rate")
@@ -281,9 +286,11 @@ def oov_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                              THEN hist.n_docs END), 0) AS BIGINT) AS docs_kept,
            CAST(coalesce(sum(CASE WHEN hist.n_chars >= g.min_len
                              THEN hist.chars END), 0) AS BIGINT) AS chars_kept,
-           CAST(round(100.0 * coalesce(sum(CASE WHEN hist.n_chars >= g.min_len
-                                          THEN hist.n_docs END), 0)
-                      / sum(hist.n_docs), 2) AS DECIMAL(18, 2)) AS docs_kept_pct
+           CAST(CAST(round(100.0 * coalesce(
+                        sum(CASE WHEN hist.n_chars >= g.min_len
+                            THEN hist.n_docs END), 0)
+                      / sum(hist.n_docs), 2) AS DECIMAL(18, 2)) AS DOUBLE)
+             AS docs_kept_pct
     FROM hist
     CROSS JOIN (VALUES (64), (128), (256), (384), (512)) AS g(min_len)
     GROUP BY g.min_len
@@ -317,6 +324,7 @@ def length_filter_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_kept"),
             F.round(F.lit(100.0) * docs_kept / F.sum("n_docs"), 2)
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("docs_kept_pct"),
         )
     )
@@ -579,8 +587,8 @@ def triangle_count_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2, 3, 4
     )
     SELECT doc_a, doc_b,
-           CAST(round(1.0 * n_int / (sz_a + sz_b - n_int), 4)
-                AS DECIMAL(18, 4)) AS jaccard
+           CAST(CAST(round(1.0 * n_int / (sz_a + sz_b - n_int), 4)
+                     AS DECIMAL(18, 4)) AS DOUBLE) AS jaccard
     FROM inter
     WHERE 1.0 * n_int / (sz_a + sz_b - n_int) >= 0.5
     ORDER BY doc_a, doc_b
@@ -609,7 +617,10 @@ def prefix_filter_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "doc_a",
         "doc_b",
-        F.round("jaccard", 4).cast("decimal(18,4)").alias("jaccard"),
+        F.round("jaccard", 4)
+        .cast("decimal(18,4)")
+        .cast("double")
+        .alias("jaccard"),
     )
 
 

@@ -170,8 +170,8 @@ def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN est_cnt < exact_cnt THEN 1 ELSE 0 END) AS BIGINT)
              AS n_underestimated,
            CAST(max(est_cnt - exact_cnt) AS BIGINT) AS max_abs_err,
-           CAST(round(avg(1.0 * (est_cnt - exact_cnt) / exact_cnt), 6)
-                AS DECIMAL(18, 6)) AS avg_rel_err
+           CAST(CAST(round(avg(1.0 * (est_cnt - exact_cnt) / exact_cnt), 6)
+                     AS DECIMAL(18, 6)) AS DOUBLE) AS avg_rel_err
     FROM est JOIN ex USING (user_id)
     """,
     sort=("n_keys",),
@@ -235,6 +235,7 @@ def countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(err).cast("long").alias("max_abs_err"),
         F.round(F.avg(F.lit(1.0) * err / F.col("exact_cnt")), 6)
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("avg_rel_err"),
     )
 
@@ -284,10 +285,10 @@ def countmin_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_absent,
            CAST(sum(CASE WHEN present = 0 AND n_set = 3 THEN 1 ELSE 0 END)
                 AS BIGINT) AS false_positives,
-           CAST(round(1.0 * sum(CASE WHEN present = 0 AND n_set = 3
-                                THEN 1 ELSE 0 END)
+           CAST(CAST(round(1.0 * sum(CASE WHEN present = 0 AND n_set = 3
+                                     THEN 1 ELSE 0 END)
                 / greatest(sum(CASE WHEN present = 0 THEN 1 ELSE 0 END), 1), 6)
-                AS DECIMAL(18, 6)) AS fpr
+                AS DECIMAL(18, 6)) AS DOUBLE) AS fpr
     FROM hits
     """,
     sort=("n_probes",),
@@ -370,6 +371,7 @@ def bloom_membership_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(fp).cast("long").alias("false_positives"),
         F.round(F.lit(1.0) * F.sum(fp) / F.greatest(F.sum(absent), F.lit(1)), 6)
         .cast("decimal(18,6)")
+        .cast("double")
         .alias("fpr"),
     )
 
@@ -417,8 +419,8 @@ def bloom_membership_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT set_name,
            CAST(n_exact AS BIGINT) AS n_exact,
            CAST(round(63.0 / u_k) AS BIGINT) AS kmv_estimate,
-           CAST(round(abs(63.0 / u_k - n_exact) / n_exact, 4)
-                AS DECIMAL(18, 4)) AS rel_err
+           CAST(CAST(round(abs(63.0 / u_k - n_exact) / n_exact, 4)
+                     AS DECIMAL(18, 4)) AS DOUBLE) AS rel_err
     FROM kth
     ORDER BY set_name
     """,
@@ -472,6 +474,7 @@ def kmv_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est).cast("long").alias("kmv_estimate"),
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 4)
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("rel_err"),
     )
 
@@ -510,8 +513,9 @@ def kmv_distinct_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ex.n_rows, ex.f2_exact,
            CAST(round(med.med_sq3 / 3.0) AS BIGINT) AS f2_estimate,
-           CAST(round(abs(med.med_sq3 / 3.0 - ex.f2_exact) / ex.f2_exact, 4)
-                AS DECIMAL(18, 4)) AS rel_err
+           CAST(CAST(round(abs(med.med_sq3 / 3.0 - ex.f2_exact)
+                           / ex.f2_exact, 4)
+                     AS DECIMAL(18, 4)) AS DOUBLE) AS rel_err
     FROM ex CROSS JOIN med
     """,
     sort=("n_rows",),
@@ -576,5 +580,6 @@ def ams_f2_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est).cast("long").alias("f2_estimate"),
         F.round(F.abs(est - F.col("f2_exact")) / F.col("f2_exact"), 4)
         .cast("decimal(18,4)")
+        .cast("double")
         .alias("rel_err"),
     )

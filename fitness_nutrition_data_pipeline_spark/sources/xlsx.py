@@ -158,6 +158,7 @@ def _parse_sheet_parallel(
     the sequential parse."""
     import multiprocessing as mp
     import os
+    import threading
 
     lo = sheet_bytes.find(b"<row")
     hi = sheet_bytes.rfind(b"</sheetData>")
@@ -166,8 +167,16 @@ def _parse_sheet_parallel(
         return None
     name = open_tag[1:].split(None, 1)[0].rstrip(b">")
     close_tag = b"</" + name + b">"
+    # fork() from a multi-threaded process can inherit locks held by
+    # sibling threads (py4j/logging) mid-acquire and deadlock the child
+    # — and extract_all runs xlsx reads on a thread pool (ADVICE r7).
+    # Single-threaded: plain fork (no pickling, cheapest). Threads
+    # alive: forkserver — the server process is a clean single-threaded
+    # fork whose only job is to fork workers, the documented escape
+    # hatch for exactly this hazard.
+    method = "fork" if threading.active_count() == 1 else "forkserver"
     try:
-        ctx = mp.get_context("fork")
+        ctx = mp.get_context(method)
     except ValueError:  # pragma: no cover — non-POSIX
         return None
     region = sheet_bytes[lo:hi]

@@ -140,13 +140,19 @@ def run_heavy_hitters_once(
     shard's full current table, so last-batch-wins per shard is exactly
     the live state. The result is also registered as temp view ``name``
     (the old memory-sink read path)."""
+    # shard -> that shard's table from the NEWEST batch that emitted it.
+    # foreachBatch invocations are serialized in batch order, so a plain
+    # dict.update is last-batch-wins — and driver memory stays bounded
+    # by (n_shards x capacity) instead of growing with batch count
+    # (ADVICE r7: keeping every batch's full emission was linear in the
+    # number of micro-batches for no benefit).
     latest: dict[int, list] = {}
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        by_shard: dict[int, list] = {}
         for row in batch_df.collect():
-            # overwrite wholesale per shard: collect rows grouped by
-            # shard, then replace that shard's table
-            latest.setdefault(batch_id, []).append(row)
+            by_shard.setdefault(row.shard, []).append(row)
+        latest.update(by_shard)
 
     q = (
         stream_heavy_hitters(
@@ -160,14 +166,7 @@ def run_heavy_hitters_once(
     )
     q.awaitTermination()
 
-    # last emission per shard wins (batch ids are ordered)
-    final: dict[int, list] = {}
-    for batch_id in sorted(latest):
-        by_shard: dict[int, list] = {}
-        for row in latest[batch_id]:
-            by_shard.setdefault(row.shard, []).append(row)
-        final.update(by_shard)
-    rows = [r for shard_rows in final.values() for r in shard_rows]
+    rows = [r for shard_rows in latest.values() for r in shard_rows]
     out = spark.createDataFrame(rows, HH_SCHEMA) if rows else (
         spark.createDataFrame([], HH_SCHEMA)
     )

@@ -1,17 +1,31 @@
-"""Registry-wide lint: no oracle may output a HUGEINT column.
+"""Registry-wide output-type lints for the cross-engine hash gate.
 
-DuckDB's bare ``sum()`` over INTEGER/BIGINT returns int128 (HUGEINT).
-``fetchall()`` silently converts it to Python int — invisible locally —
-but the driver fetches the oracle result via Arrow/pandas, which
-coerces HUGEINT to float64, so the driver hashes ``60.0`` against
-Spark's ``60``: rows match, schema matches, hash fails.  This cost
-three rounds of red marks (winsorized_price_stats,
-drift_monitor_batch_replay, multimodal_meta_profile — VERDICT r6).
+The driver fetches the DuckDB oracle via Arrow/pandas and stringifies
+both engines' values before hashing.  Any type whose string form
+differs between the lanes is a silent hash-red:
 
-The lint binds every registered oracle against the sf0.001 views and
-fails if any output column types as HUGEINT (or UHUGEINT).  Binding a
-relation is plan-only — nothing executes — so walking all ~200 oracles
-is cheap.
+* HUGEINT (DuckDB bare ``sum()`` over integers) -> float64: ``60.0``
+  vs Spark's ``60`` (three r6 reds).
+* DECIMAL -> float64: the oracle lane reprs ``0.05`` while Spark
+  collects fixed-scale ``Decimal('0.050000')`` -> ``'0.050000'`` —
+  red iff any value's decimal string has trailing zeros (five r7
+  reds, six latent).  The SAME defect class, one type later.
+
+Instead of chasing types one-by-one, both lints are allowlists:
+
+* every final ORACLE column must type as one of
+  BIGINT/INTEGER/SMALLINT/TINYINT/DOUBLE/VARCHAR/DATE/BOOLEAN —
+  anything else (HUGEINT, DECIMAL, TIMESTAMP, FLOAT, lists, ...) must
+  be canonicalized inside the SQL (``CAST(... AS DOUBLE)``,
+  ``CAST(... AS VARCHAR)``);
+* every final SPARK schema from a registered query must use only
+  Long/Integer/Short/Byte/Double/String/Date/Boolean — in particular
+  no ``DecimalType``: quantize through decimal for cross-engine
+  exactness, then ``.cast("double")`` (the stats_ops ``ks_stat``
+  pattern).
+
+Binding a DuckDB relation is plan-only and Spark ``.schema`` is lazy,
+so walking all ~220 registrations is cheap.
 """
 
 from __future__ import annotations
@@ -20,6 +34,7 @@ import os
 
 import duckdb
 import pytest
+from pyspark.sql import types as T
 
 from fitness_nutrition_data_pipeline_spark.queries import all_specs
 
@@ -28,6 +43,37 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
+
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "BOOLEAN",
+    # TIMESTAMP is Arrow-stable: pandas Timestamp and Spark's
+    # datetime.datetime stringify identically ('2024-01-15 00:00:00',
+    # microseconds included iff nonzero) — empirically driver-green
+    # since r5 (drift_monitor_batch_replay, attribution_batch_replay,
+    # ingestion_lag_audit).
+    "TIMESTAMP",
+}
+
+ALLOWED_SPARK_TYPES = (
+    T.LongType,
+    T.IntegerType,
+    T.ShortType,
+    T.ByteType,
+    T.DoubleType,
+    T.StringType,
+    T.DateType,
+    T.BooleanType,
+    # mirrors the oracle allowlist: timestamps stringify identically
+    # across the lanes; driver-green since r5.
+    T.TimestampType,
+)
 
 
 @pytest.fixture(scope="module")
@@ -38,21 +84,47 @@ def con():
     return c
 
 
-def test_no_oracle_outputs_hugeint(con):
+def test_oracle_output_types_allowlisted(con):
     offenders = {}
     for name, spec in all_specs().items():
         if spec.oracle is None:
             continue
         rel = con.sql(spec.oracle)  # binder only; no execution
         bad = [
-            c
+            (c, str(t))
             for c, t in zip(rel.columns, rel.types)
-            if "HUGEINT" in str(t).upper()
+            if str(t).upper() not in ALLOWED_ORACLE_TYPES
         ]
         if bad:
             offenders[name] = bad
     assert not offenders, (
-        f"HUGEINT oracle output columns (driver's Arrow fetch coerces "
-        f"int128 to float64 and the value hash fails): {offenders} — "
-        f"wrap each in CAST(... AS BIGINT)"
+        f"oracle output columns outside the Arrow-stable allowlist "
+        f"{sorted(ALLOWED_ORACLE_TYPES)}: {offenders} — the driver's "
+        f"pandas/Arrow fetch coerces these (HUGEINT/DECIMAL -> float64, "
+        f"TIMESTAMP -> Timestamp) so the value hash diverges from "
+        f"Spark's str(); canonicalize with CAST(... AS DOUBLE/BIGINT/"
+        f"VARCHAR) as the final projection"
+    )
+
+
+def test_spark_output_types_allowlisted(spark, sf_dir):
+    offenders = {}
+    for name, spec in all_specs().items():
+        if spec.oracle is None:
+            continue
+        schema = spec.builder(spark, sf_dir).schema
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in schema.fields
+            if not isinstance(f.dataType, ALLOWED_SPARK_TYPES)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"registered queries with final schema types outside "
+        f"Long/Int/Short/Byte/Double/String/Date/Boolean: {offenders} — "
+        f"Spark collects DecimalType as fixed-scale Decimal "
+        f"('0.050000') while the driver's oracle lane reprs float64 "
+        f"('0.05'); finish every decimal quantization with "
+        f'.cast("double") (stats_ops ks_stat pattern)'
     )

@@ -588,6 +588,30 @@ def test_copurchase_capped_and_take_ordered(spark, sf_dir):
     assert "Window" in plan
 
 
+def test_khop_edge_build_capped_no_cartesian(spark, sf_dir):
+    # the co-purchase edge build must be basket-capped (per-order window
+    # BEFORE the self-join — one skewed mega-order would otherwise emit
+    # b^2 pairs) and co-keyed on l_orderkey, never a cartesian. khop
+    # pins the edges behind a localCheckpoint, so explain the edge
+    # builder itself rather than the truncated final plan.
+    import contextlib
+    import io
+
+    from fitness_nutrition_data_pipeline_spark.queries.graph_ops import (
+        copurchase_edges,
+    )
+    from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        copurchase_edges(li).explain(mode="simple")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan, "expected the basket-size cap window"
+    assert "basket_size" in plan
+
+
 def test_shard_assignment_window_is_per_shard(spark, sf_dir):
     # the within-shard order window must be PARTITIONED by shard (the
     # global-order trap would funnel the corpus through one task)

@@ -152,3 +152,80 @@ def test_read_tabular_prefers_siblings_then_native_xlsx(spark, tmp_path, synthet
     ).parquet(str(tmp_path / "only.parquet"))
     df3 = read_tabular(spark, x)
     assert [r.name for r in df3.collect()] == ["pqrow"]
+
+
+def _big_sheet_xml(n_rows: int) -> str:
+    """A sheetData region big enough to split into several chunks,
+    mixing r=-addressed cells, address-less cells (running position),
+    gaps, inline strings and shared strings — every lane the chunked
+    byte-level parser must keep identical to the sequential parse."""
+    rows = []
+    for i in range(1, n_rows + 1):
+        if i % 4 == 0:
+            # address-less cells: position is running order
+            rows.append(
+                f"<row><c t=\"s\"><v>0</v></c><c><v>{i}</v></c></row>"
+            )
+        elif i % 4 == 1:
+            # gap: skips column B, lands on C
+            rows.append(
+                f"<row r=\"{i}\"><c r=\"A{i}\"><v>{i}</v></c>"
+                f"<c r=\"C{i}\" t=\"inlineStr\"><is><t>x{i}</t></is></c></row>"
+            )
+        elif i % 4 == 2:
+            rows.append(
+                f"<row r=\"{i}\"><c r=\"A{i}\" t=\"s\"><v>1</v></c>"
+                f"<c r=\"B{i}\"><v>{i * 7}</v></c></row>"
+            )
+        else:
+            rows.append(f"<row r=\"{i}\"><c r=\"B{i}\" t=\"s\"><v>2</v></c></row>")
+    return (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(rows)
+        + "</sheetData></worksheet>"
+    )
+
+
+def test_parallel_parse_matches_sequential():
+    """ADVICE r7: _parse_sheet_parallel had zero coverage because every
+    fixture sits under the 4 MB threshold — call it directly and pin
+    byte-chunked parity against the sequential ElementTree parse."""
+    import xml.etree.ElementTree as ET
+
+    from fitness_nutrition_data_pipeline_spark.sources.xlsx import (
+        _parse_row_elements,
+        _parse_sheet_parallel,
+    )
+
+    shared = ["name", "kcal", "split run"]
+    xml = _big_sheet_xml(500)
+    sheet_bytes = xml.encode()
+    seq = _parse_row_elements(ET.fromstring(sheet_bytes), shared)
+    par = _parse_sheet_parallel(sheet_bytes, shared)
+    assert par is not None
+    assert par == seq
+
+
+def test_parallel_parse_safe_with_threads_active():
+    """ADVICE r7: extract_all calls the xlsx readers from a thread
+    pool; forking with sibling threads alive is a deadlock hazard, so
+    the parser must route through forkserver there — assert it still
+    completes and matches from inside a worker thread."""
+    import xml.etree.ElementTree as ET
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fitness_nutrition_data_pipeline_spark.sources.xlsx import (
+        _parse_row_elements,
+        _parse_sheet_parallel,
+    )
+
+    shared = ["name", "kcal", "split run"]
+    sheet_bytes = _big_sheet_xml(200).encode()
+    seq = _parse_row_elements(ET.fromstring(sheet_bytes), shared)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        par = pool.submit(_parse_sheet_parallel, sheet_bytes, shared).result(
+            timeout=120
+        )
+    assert par == seq

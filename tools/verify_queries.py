@@ -48,6 +48,92 @@ def norm_cell(v):
     return str(v)
 
 
+ALLOWED_ORACLE_TYPES = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "BOOLEAN",
+    # Arrow-stable: pandas Timestamp and Spark datetime stringify
+    # identically; driver-green since r5 on three replay queries.
+    "TIMESTAMP",
+}
+
+
+def pandas_rows(pdf, date_cols):
+    """Rows from a pandas frame — the shared normalization for BOTH
+    engines' fetch lanes.  Declared-DATE columns that pandas widened
+    to datetime64 are mapped back to ``datetime.date``; everything
+    else keeps pandas' coercions (that's the point).
+    """
+    import pandas as pd
+
+    cols = list(pdf.columns)
+    series = []
+    for c in cols:
+        s = pdf[c]
+        if str(s.dtype).startswith("datetime64"):
+            if c in date_cols:
+                series.append([None if pd.isna(v) else v for v in s.dt.date])
+            else:
+                # to_pydatetime, not to_numpy: tolist() on a
+                # datetime64[ns] array yields raw epoch-ns ints (ns
+                # doesn't fit datetime), while DuckDB's us-precision
+                # lane yields datetimes — normalize both to datetime.
+                series.append(
+                    [
+                        None if pd.isna(v) else v.to_pydatetime()
+                        for v in s
+                    ]
+                )
+        elif s.dtype == object:
+            series.append(list(s))
+        else:
+            series.append(s.to_numpy().tolist())
+    rows = [tuple(r) for r in zip(*series)] if cols else []
+    return cols, rows
+
+
+def fetch_oracle(rel):
+    """Fetch the DuckDB side the way the driver does — via pandas
+    (``rel.df()``, Arrow under the hood) — instead of ``fetchall()``.
+
+    ``fetchall()`` yields native Python objects (int for HUGEINT,
+    Decimal for DECIMAL) and so can NEVER reproduce the driver's
+    coercions locally; that masked both the r6 HUGEINT and the r7
+    DECIMAL hash-red classes.  The pandas lane reproduces them:
+    HUGEINT/DECIMAL -> float64, NULL-bearing int columns -> float64
+    (``60`` -> ``60.0``), NULL doubles -> NaN.
+    """
+    date_cols = {
+        c for c, t in zip(rel.columns, rel.types) if str(t).upper() == "DATE"
+    }
+    return pandas_rows(rel.df(), date_cols)
+
+
+def fetch_spark(sdf):
+    """Fetch the Spark side via ``toPandas()``, NOT ``collect()``.
+
+    The driver demonstrably coerces the Spark lane through pandas as
+    well: queries whose outputs carry NULL-bearing BIGINTs (pandas ->
+    float64, ``100`` -> ``100.0``) and NULL DOUBLEs (None -> NaN) are
+    driver-GREEN every round they were sampled
+    (range_validity_nullout, asof_join_last_view, order_gap_analysis),
+    which is only possible if both lanes see the same coercion.  A
+    collect() lane flags those three as false reds — too strict is as
+    unfaithful as too lax.
+    """
+    from pyspark.sql import types as T
+
+    date_cols = {
+        f.name for f in sdf.schema.fields if isinstance(f.dataType, T.DateType)
+    }
+    return pandas_rows(sdf.toPandas(), date_cols)
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -86,8 +172,7 @@ def main(names=None):
         t0 = time.time()
         try:
             sdf = spec.builder(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = fetch_spark(sdf)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
@@ -98,27 +183,24 @@ def main(names=None):
             continue
         try:
             rel = con.sql(spec.oracle)
-            # The driver fetches the DuckDB side via pandas/Arrow, which
-            # coerces HUGEINT (int128, DuckDB's bare sum() over integers)
-            # to float64 — so Spark's `60` hashes against `60.0` and the
-            # driver flags a value mismatch that fetchall() can never see
-            # locally (it yields Python int). Refuse HUGEINT outputs here
-            # so the defect class is caught before a round lands.
-            hug = [
-                c
+            # Allowlist lint (mirrors tests/test_oracle_types.py): any
+            # final oracle column outside the Arrow-stable set diverges
+            # under the driver's pandas fetch (HUGEINT/DECIMAL ->
+            # float64, TIMESTAMP -> Timestamp) even when values match.
+            bad = [
+                (c, str(t))
                 for c, t in zip(rel.columns, rel.types)
-                if "HUGEINT" in str(t).upper()
+                if str(t).upper() not in ALLOWED_ORACLE_TYPES
             ]
-            if hug:
+            if bad:
                 print(
-                    f"FAIL {name}: oracle column(s) {hug} type as HUGEINT — "
-                    "driver's Arrow fetch coerces int128 to float64; "
-                    "CAST(... AS BIGINT) in the oracle SQL"
+                    f"FAIL {name}: oracle column(s) {bad} outside the "
+                    f"Arrow-stable allowlist — CAST(... AS "
+                    f"DOUBLE/BIGINT/VARCHAR) as the final projection"
                 )
                 n_fail += 1
                 continue
-            ocols = list(rel.columns)
-            orows = rel.fetchall()
+            ocols, orows = fetch_oracle(rel)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
