@@ -85,10 +85,10 @@ def register(
 # and tests/test_oracle_types.py enforces an output-type allowlist on
 # both engines so the class is dead, not patched), then the eleven
 # never-driver-checked registrations (ten from r7 + r8's
-# zorder_write_band_spans), then 28 of the 29 r3-stale queries.
-# Below the fold for r9: corpus_curation_pipeline (its component ops are
-# individually in-window; the composite is the least marginal signal)
-# and the r4-stale block.
+# zorder_write_band_spans), then ALL 29 r3-stale queries — clearing the
+# oldest check cohort registry-wide. Below the fold for r9:
+# user_ltv_deciles (the sixth latent fix; r4-green and lint-protected)
+# and the r8 corpus_ops2 additions, then the r4-stale block.
 _CHECK_PRIORITY = (
     # --- round-8 window (driver checks the FIRST 50) ---
     # r7 hash-reds: DECIMAL outputs, now decimal-quantized then cast
@@ -105,7 +105,6 @@ _CHECK_PRIORITY = (
     "bloom_membership_contract",
     "kmv_distinct_contract",
     "ams_f2_contract",
-    "user_ltv_deciles",
     # never driver-checked: the ten r7 registrations (retrieval wave,
     # experimentation/forecasting, shard manifests, VARIANT, graph BFS)
     "reciprocal_rank_fusion",
@@ -149,8 +148,19 @@ _CHECK_PRIORITY = (
     "tpch_q22_dormant_capital",
     "lsh_dedup_clusters",
     "kmeans_lloyd_update",
-    # --- below the 50-line: queued for the r9 window ---
     "corpus_curation_pipeline",
+    # --- below the 50-line: queued for the r9 window ---
+    # user_ltv_deciles is the sixth latent-DECIMAL fix (now DOUBLE); it
+    # was driver-green r4 and the output-type lints make a regression
+    # structural rather than value-dependent, so it cedes its slot to
+    # the 29th r3-stale query (corpus_curation_pipeline) and heads r9
+    "user_ltv_deciles",
+    # new r8 corpus operators (corpus_ops2): strict-verified locally,
+    # queued behind the latent fix
+    "rag_chunk_plan",
+    "filter_funnel_attribution",
+    "tokenizer_fertility_by_source",
+    "char_class_profile",
 )
 
 
@@ -158,6 +168,7 @@ _QUERY_MODULES = (
     "analytics_ops",
     "behavior_ops",
     "corpus_ops",
+    "corpus_ops2",
     "curation",
     "graph_ops",
     "llm_ops",
