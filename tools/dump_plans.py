@@ -73,8 +73,14 @@ SHOWCASE = [
     ("hard_negative_mining", "contrastive negatives: broadcast anchors, label-mismatch predicate inside the join, k rows per anchor survive"),
     ("cluster_balanced_sample", "balanced curation sampling: one scan, cluster-PARTITIONED quota window, answer-sized output"),
     ("cuped_adjusted_lift", "CUPED readout: user-grain shuffle, pinned 2-row arm moments, 1-row theta broadcast back"),
-    ("variant_props_profile", "Spark 4 VARIANT: parse_json once into binary encoding, typed path extraction, keyed agg"),
+    ("variant_props_profile", "Spark 4 VARIANT: try_parse_json once into binary encoding, typed path extraction, keyed agg"),
     ("shard_manifest_checksums", "order-sensitive manifests: shard-partitioned window + sort_array(struct) inside the per-shard aggregate"),
+    # r8 additions
+    ("zorder_write_band_spans", "z-ordered WRITER readback: deterministic top-bits bands, per-band span agg over the files just written"),
+    ("rag_chunk_plan", "RAG chunk planning: closed-form integer chunk math per row, one scan, source-grain agg"),
+    ("filter_funnel_attribution", "quality funnel: one corpus scan folds to first-fail rule grain; funnel window on 4 rows"),
+    ("tokenizer_fertility_by_source", "fertility estimate: word explode, integer subword proxy, single keyed agg"),
+    ("char_class_profile", "char-class composition: regexp_replace+length codegen scalars, no explode, one scan"),
 ]
 
 
