@@ -650,3 +650,30 @@ def test_token_budget_totals_do_not_rescan(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "token_budget_plan", mode="simple")
     assert "Scan parquet" not in plan  # reads the pinned RDD, not the corpus
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_rag_chunk_plan_single_scan_no_explode(spark, sf_dir):
+    # chunk counts are closed-form integer math per row: the corpus
+    # must scan ONCE and no per-chunk/per-token Generate may appear
+    plan = plan_of(spark, sf_dir, "rag_chunk_plan", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan
+    assert "HashAggregate" in plan  # partial+final source-grain agg
+
+
+def test_char_class_profile_single_scan_no_explode(spark, sf_dir):
+    # char classes are regexp_replace+length scalars — one scan, no
+    # explode, no UDF (BatchEvalPython would mean a Python-row path)
+    plan = plan_of(spark, sf_dir, "char_class_profile", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_filter_funnel_single_corpus_scan(spark, sf_dir):
+    # the funnel folds the corpus to rule grain in ONE scan behind the
+    # pinned counts; the visible final plan must join the 4-row grid
+    # against checkpointed rule-grain rows, never re-scan documents
+    plan = final_plan_of(spark, sf_dir, "filter_funnel_attribution")
+    assert "Scan parquet" not in plan or plan.count("documents") == 0
+    assert "CartesianProduct" not in plan
