@@ -192,10 +192,29 @@ def extract_all(spark: SparkSession, cfg) -> dict[str, object]:
 
     The four source groups are independent, so they extract on a thread
     pool: the CSV schema scans and the xlsx localCheckpoint jobs run
-    JVM-side (GIL released), and the two xlsx parses fork their own
-    worker processes — the groups genuinely overlap instead of
-    serializing their per-source Spark-job submissions."""
+    JVM-side (GIL released). Big xlsx sheets PREWARM on the main thread
+    first — the fork-parallel chunk parse is main-thread-only (forking
+    from a worker thread while sibling threads hold py4j/logging locks
+    is the ADVICE r7 deadlock hazard), so the rows are parsed and
+    cached here and the pooled read_tabular calls hit the cache."""
     from concurrent.futures import ThreadPoolExecutor
+
+    from fitness_nutrition_data_pipeline_spark.sources.xlsx import prewarm_rows
+
+    for fname in ("gym_recommendation.xlsx", "nutrition.xlsx"):
+        p = os.path.join(cfg.data_dir, fname)
+        base, _ = os.path.splitext(p)
+        # only when the xlsx itself will be parsed (read_tabular prefers
+        # parquet/csv siblings, which never fork)
+        if (
+            os.path.exists(p)
+            and not os.path.exists(base + ".parquet")
+            and not os.path.exists(base + ".csv")
+        ):
+            try:
+                prewarm_rows(p)
+            except Exception:  # noqa: BLE001 — read_tabular handles/logs
+                pass
 
     tasks = {
         "fitbit": lambda: extract_fitbit(spark, cfg.fitbit_dir),

@@ -21,6 +21,7 @@ transform layer owns).
 
 from __future__ import annotations
 
+import os
 import xml.etree.ElementTree as ET
 import zipfile
 
@@ -167,16 +168,22 @@ def _parse_sheet_parallel(
         return None
     name = open_tag[1:].split(None, 1)[0].rstrip(b">")
     close_tag = b"</" + name + b">"
-    # fork() from a multi-threaded process can inherit locks held by
-    # sibling threads (py4j/logging) mid-acquire and deadlock the child
-    # — and extract_all runs xlsx reads on a thread pool (ADVICE r7).
-    # Single-threaded: plain fork (no pickling, cheapest). Threads
-    # alive: forkserver — the server process is a clean single-threaded
-    # fork whose only job is to fork workers, the documented escape
-    # hatch for exactly this hazard.
-    method = "fork" if threading.active_count() == 1 else "forkserver"
+    # fork() from a WORKER thread while sibling extract threads hold
+    # py4j/logging locks mid-acquire can deadlock the child (ADVICE
+    # r7; fork-in-threads is deprecated in CPython 3.12+), so the
+    # process pool is main-thread-only: worker-thread callers fall
+    # back to the sequential parse, and extract_all keeps the speedup
+    # by PREWARMING big sheets on the main thread (prewarm_rows)
+    # before its thread pool starts. A thread-count guard can't do
+    # this — pyspark always keeps py4j daemon threads alive, and
+    # what matters is who is forking, not who exists.
+    # (forkserver was tried and rejected: its per-worker spawn prep
+    # re-imports the caller's __main__ — re-running pyspark imports
+    # per pool, and crashing outright under stdin/embedded mains.)
+    if threading.current_thread() is not threading.main_thread():
+        return None
     try:
-        ctx = mp.get_context(method)
+        ctx = mp.get_context("fork")
     except ValueError:  # pragma: no cover — non-POSIX
         return None
     region = sheet_bytes[lo:hi]
@@ -198,14 +205,51 @@ def _parse_sheet_parallel(
     return [r for part in parts for r in part]
 
 
+# (path, mtime, size) -> parsed rows, filled by prewarm_rows on the
+# MAIN thread so thread-pooled extract workers read the cache instead
+# of forking (see _parse_sheet_parallel's main-thread-only guard).
+# Tiny by construction: a pipeline has a handful of xlsx sources.
+_ROWS_CACHE: dict[tuple[str, float, int], list[list[str]]] = {}
+_ROWS_CACHE_MAX = 4
+
+
+def prewarm_rows(path: str) -> None:
+    """Parse an xlsx's rows NOW, on the calling thread, and cache them
+    keyed by (path, mtime, size). Call from the main thread before
+    fanning extract work out to a thread pool: the fork-parallel fast
+    path only runs main-thread, so prewarming is what keeps the big-
+    sheet speedup when reads happen under ThreadPoolExecutor."""
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_mtime, st.st_size)
+    if key in _ROWS_CACHE:
+        return
+    while len(_ROWS_CACHE) >= _ROWS_CACHE_MAX:
+        _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
+    _ROWS_CACHE[key] = _read_xlsx_rows_uncached(path)
+
+
 def read_xlsx_rows(path: str) -> list[list[str]]:
     """First worksheet of an xlsx as a dense list of string rows
     (shared-string and inline-string cells resolved, gaps padded).
 
     Large sheets parse fork-parallel (the reference's 26 MB nutrition
-    sheet: ~3.2 s sequential → sub-second on 8 cores); small sheets and
-    non-POSIX platforms take the sequential path with identical
-    results."""
+    sheet: ~3.2 s sequential → sub-second on 8 cores) when called on
+    the main thread, or serve from the prewarm_rows cache; small
+    sheets, worker threads and non-POSIX platforms take the sequential
+    path with identical results."""
+    try:
+        st = os.stat(path)
+        cached = _ROWS_CACHE.get(
+            (os.path.abspath(path), st.st_mtime, st.st_size)
+        )
+        if cached is not None:
+            return cached
+    except OSError:
+        pass
+    return _read_xlsx_rows_uncached(path)
+
+
+def _read_xlsx_rows_uncached(path: str) -> list[list[str]]:
     z = zipfile.ZipFile(path)
     m = NS["m"]
     T_ = f"{{{m}}}t"

@@ -208,24 +208,44 @@ def test_parallel_parse_matches_sequential():
     assert par == seq
 
 
-def test_parallel_parse_safe_with_threads_active():
+def test_parallel_parse_refuses_worker_threads():
     """ADVICE r7: extract_all calls the xlsx readers from a thread
-    pool; forking with sibling threads alive is a deadlock hazard, so
-    the parser must route through forkserver there — assert it still
-    completes and matches from inside a worker thread."""
-    import xml.etree.ElementTree as ET
+    pool; forking from a worker thread while siblings hold py4j/
+    logging locks is a deadlock hazard. The process pool is therefore
+    MAIN-THREAD-ONLY: from a worker thread _parse_sheet_parallel must
+    decline (None → caller's sequential fallback), never fork."""
     from concurrent.futures import ThreadPoolExecutor
 
     from fitness_nutrition_data_pipeline_spark.sources.xlsx import (
-        _parse_row_elements,
         _parse_sheet_parallel,
     )
 
     shared = ["name", "kcal", "split run"]
     sheet_bytes = _big_sheet_xml(200).encode()
-    seq = _parse_row_elements(ET.fromstring(sheet_bytes), shared)
     with ThreadPoolExecutor(max_workers=2) as pool:
         par = pool.submit(_parse_sheet_parallel, sheet_bytes, shared).result(
             timeout=120
         )
-    assert par == seq
+    assert par is None
+
+
+def test_prewarm_serves_threaded_reads(tmp_path):
+    """The speedup path under extract_all's thread pool: prewarm_rows
+    on the main thread parses+caches; a worker-thread read_xlsx_rows
+    returns the cached rows, identical to a direct parse."""
+    import zipfile as _zf
+    from concurrent.futures import ThreadPoolExecutor
+
+    from fitness_nutrition_data_pipeline_spark.sources import xlsx as X
+
+    path = str(tmp_path / "big.xlsx")
+    with _zf.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", _CT)
+        z.writestr("xl/workbook.xml", "<workbook/>")
+        z.writestr("xl/sharedStrings.xml", _SHARED)
+        z.writestr("xl/worksheets/sheet1.xml", _big_sheet_xml(300))
+    direct = X._read_xlsx_rows_uncached(path)
+    X.prewarm_rows(path)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        threaded = pool.submit(X.read_xlsx_rows, path).result(timeout=60)
+    assert threaded == direct
