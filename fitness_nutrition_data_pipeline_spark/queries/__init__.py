@@ -161,6 +161,9 @@ _CHECK_PRIORITY = (
     "filter_funnel_attribution",
     "tokenizer_fertility_by_source",
     "char_class_profile",
+    "cdc_merge_apply",
+    "target_encoding_smoothed",
+    "changepoint_cusum",
 )
 
 

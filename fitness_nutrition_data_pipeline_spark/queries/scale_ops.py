@@ -681,3 +681,107 @@ def shard_manifest_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(",", ordered_hashes)).alias("manifest_md5"),
         )
     )
+
+
+@register(
+    "cdc_merge_apply",
+    """
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    delta AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT coalesce(d.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(d.cents, b.cents) AS cents,
+             coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             CASE
+               WHEN d.op = 'D' THEN 'deleted'
+               WHEN d.o_orderkey IS NOT NULL AND b.o_orderkey IS NOT NULL
+                 THEN 'updated'
+               WHEN d.o_orderkey IS NOT NULL THEN 'inserted'
+               ELSE 'kept'
+             END AS action
+      FROM base b FULL OUTER JOIN delta d USING (o_orderkey)
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN action != 'deleted' THEN cents ELSE 0 END)
+                AS BIGINT) AS surviving_cents
+    FROM merged GROUP BY action
+    ORDER BY action
+    """,
+    sort=("action",),
+    doc="MERGE INTO semantics (upsert + delete) as one FULL OUTER join "
+    "— the apply step that consumes snapshot_diff_cdc's change feed: "
+    "base rows without a delta survive, matched 'U' rows take the "
+    "delta's values, unmatched delta rows insert, 'D' rows drop. The "
+    "readout audits the merge by action with exact integer cents "
+    "totals, the reconciliation a warehouse MERGE job logs. Both "
+    "relations key on o_orderkey, so the merge is ONE co-partitioned "
+    "shuffle join; at 100 TB the base side is the partitioned/bucketed "
+    "table and the delta is orders-of-magnitude smaller — AQE "
+    "broadcasts it when it fits, and lakehouse formats lower exactly "
+    "this plan (find touched files via the join, rewrite them).",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    base = o.where(F.col("o_orderkey") % 10 != 0)
+    delta = o.where(
+        (F.col("o_orderkey") % 10 == 0)
+        | (F.col("o_orderkey") % 5 == 0)
+        | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(100)).otherwise(
+                F.lit(0)
+            )
+        ).alias("cents"),
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    b = base.alias("b")
+    d = delta.alias("d")
+    merged = b.join(d, "o_orderkey", "full_outer").select(
+        F.coalesce(F.col("d.cents"), F.col("b.cents")).alias("cents"),
+        F.when(F.col("d.op") == "D", F.lit("deleted"))
+        .when(
+            F.col("d.cents").isNotNull() & F.col("b.cents").isNotNull(),
+            F.lit("updated"),
+        )
+        .when(F.col("d.cents").isNotNull(), F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("action") != "deleted", F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("surviving_cents"),
+        )
+        .orderBy("action")
+    )

@@ -1053,3 +1053,97 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(err) * F.lit(1.0) / F.sum(act), 6
         ).alias("wape"),
     )
+
+
+@register(
+    "changepoint_cusum",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(sum(CAST(value AS DECIMAL(18,6))) * 1000000)
+                  AS BIGINT) AS micro
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(micro) AS BIGINT) AS gmicro
+      FROM daily
+    ),
+    cum AS (
+      SELECT day, micro,
+             row_number() OVER (ORDER BY day) AS t,
+             sum(micro) OVER (ORDER BY day) AS prefix
+      FROM daily
+    )
+    SELECT CAST(cum.day AS VARCHAR) AS day,
+           CAST(CAST(round(1.0 * cum.micro / 1000000, 4) AS DECIMAL(18, 4))
+                AS DOUBLE) AS daily_total,
+           CAST(CAST(round(
+             1.0 * (g.n_days * cum.prefix - cum.t * g.gmicro)
+             / g.n_days / 1000000, 4) AS DECIMAL(18, 4)) AS DOUBLE)
+             AS cusum,
+           CASE WHEN abs(g.n_days * cum.prefix - cum.t * g.gmicro) =
+                  (SELECT max(abs(g2.n_days * c2.prefix - c2.t * g2.gmicro))
+                   FROM cum c2 CROSS JOIN g g2)
+                THEN 1 ELSE 0 END AS is_changepoint
+    FROM cum CROSS JOIN g
+    ORDER BY cum.day
+    """,
+    doc="CUSUM changepoint curve on daily event totals: cusum_t = "
+    "sum_{i<=t}(x_i - mean), whose extremum marks the most likely "
+    "level-shift day (the classic offline single-changepoint "
+    "detector; the monitoring companion of psi_value_drift and "
+    "drift_monitor). Exactness: daily totals quantize to integer "
+    "MICRO units (DECIMAL sum, exact), and the mean subtraction is "
+    "cleared of division by scaling — n*prefix_t - t*grand_total is "
+    "ALL int64, so the argmax flag is exact on both engines and the "
+    "only float ops are two final correctly-rounded divisions. The "
+    "curve is day-grain: the one data-sized shuffle is the daily "
+    "rollup; windows and the argmax run over calendar-bounded rows.",
+)
+def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("micro")
+    )
+    # day-grain relation feeds the grand total, the prefix walk AND the
+    # argmax — pin it (calendar-sized) per the diamond policy
+    daily = daily.coalesce(1).localCheckpoint()
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("micro").cast("long").alias("gmicro"),
+    )
+    w = W.orderBy("day")
+    cum = daily.select(
+        "day",
+        "micro",
+        F.row_number().over(w).alias("t"),
+        F.sum("micro").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+    ).crossJoin(F.broadcast(g))
+    scaled = F.col("n_days") * F.col("prefix") - F.col("t") * F.col("gmicro")
+    peak = cum.agg(F.max(F.abs(scaled)).alias("peak"))
+    return (
+        cum.crossJoin(F.broadcast(peak))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.round(F.lit(1.0) * F.col("micro") / 1000000, 4)
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("daily_total"),
+            F.round(
+                F.lit(1.0) * scaled / F.col("n_days") / 1000000, 4
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("cusum"),
+            F.when(F.abs(scaled) == F.col("peak"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_changepoint"),
+        )
+        .orderBy("day")
+    )

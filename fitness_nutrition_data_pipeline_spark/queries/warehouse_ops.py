@@ -457,3 +457,88 @@ def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("priority_consistent"),
         )
     )
+
+
+@register(
+    "target_encoding_smoothed",
+    """
+    WITH y AS (
+      SELECT o_orderpriority AS category,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    cat AS (
+      SELECT category,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS sum_cents
+      FROM y GROUP BY category
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS gn,
+             CAST(sum(sum_cents) AS BIGINT) AS gsum
+      FROM cat
+    )
+    SELECT cat.category,
+           cat.n,
+           cat.sum_cents,
+           CAST(CAST(round(
+             1.0 * (g.gn * cat.sum_cents + 20 * g.gsum)
+             / (g.gn * (cat.n + 20)) / 100, 2) AS DECIMAL(18, 2))
+             AS DOUBLE) AS encoded_mean,
+           CAST(CAST(round(1.0 * g.gsum / g.gn / 100, 2) AS DECIMAL(18, 2))
+                AS DOUBLE) AS global_mean
+    FROM cat CROSS JOIN g
+    ORDER BY cat.category
+    """,
+    sort=("category",),
+    doc="Smoothed target encoding (the m-estimate, m=20): the "
+    "feature-engineering staple that replaces a categorical with its "
+    "shrunk target mean, enc = (sum_y + m*global_mean)/(n + m) — rare "
+    "categories pull toward the prior instead of memorizing noise. "
+    "Float discipline: the shrinkage is algebraically rearranged to "
+    "ONE division of two exact integers, (gn*sum + m*gsum)/(gn*(n+m)), "
+    "so both engines round the identical rational (int64 headroom "
+    "documented: gn*sum_cents tops out ~1e17 at bench SFs; a 100 TB "
+    "encoder keeps the two integer columns and divides at READ time, "
+    "or accepts double accumulation and drops the hash-exactness "
+    "claim). One scan to category grain; the global prior is a 1-row "
+    "broadcast. The train/apply split at scale: this relation IS the "
+    "encoder table — applying it is a broadcast join onto the fact, "
+    "never a shuffle.",
+)
+def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("category"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cat = y.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    g = cat.agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sum_cents").cast("long").alias("gsum"),
+    )
+    return (
+        cat.crossJoin(F.broadcast(g))
+        .select(
+            "category",
+            "n",
+            "sum_cents",
+            F.round(
+                F.lit(1.0)
+                * (F.col("gn") * F.col("sum_cents") + 20 * F.col("gsum"))
+                / (F.col("gn") * (F.col("n") + 20))
+                / 100,
+                2,
+            )
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("encoded_mean"),
+            F.round(F.lit(1.0) * F.col("gsum") / F.col("gn") / 100, 2)
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("global_mean"),
+        )
+        .orderBy("category")
+    )
