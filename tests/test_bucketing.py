@@ -90,3 +90,57 @@ def test_zordered_write_gives_two_dim_locality(spark, sf_dir, tmp_path):
     assert avg_y < 0.8, f"y spans not localized: {ratios_y}"
     # and the data must round-trip intact
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_zordered_band_mode_deterministic_disjoint(spark, sf_dir, tmp_path):
+    """bands=2^k mode (r8): every row's band is a pure function of its
+    values (top k bits of the z-key), so the written directories must
+    (a) preserve all rows, (b) be band-disjoint in z, and (c) be
+    bit-identical across two independent writes — the property the
+    zorder_write_band_spans oracle relies on and sampled
+    repartitionByRange cannot give."""
+    import os
+
+    from fitness_nutrition_data_pipeline_spark.load import write_zordered
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_orderkey", "l_extendedprice", "l_quantity"
+    )
+    out1 = str(tmp_path / "z1")
+    out2 = str(tmp_path / "z2")
+    write_zordered(li, out1, "l_extendedprice", "l_quantity", bits=8, bands=16)
+    write_zordered(li, out2, "l_extendedprice", "l_quantity", bits=8, bands=16)
+
+    b1 = spark.read.parquet(out1)
+    assert b1.count() == li.count()
+    assert "_zband" in b1.columns
+    bands = [r[0] for r in b1.select("_zband").distinct().collect()]
+    assert all(0 <= b < 16 for b in bands)
+
+    # per-band membership identical across the two writes
+    sig = lambda df: sorted(  # noqa: E731
+        tuple(r)
+        for r in df.groupBy("_zband")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_orderkey").alias("ck"),
+        )
+        .collect()
+    )
+    assert sig(b1) == sig(spark.read.parquet(out2))
+
+
+def test_zordered_band_mode_rejects_non_power_of_two(spark, sf_dir, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from fitness_nutrition_data_pipeline_spark.load import write_zordered
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).select(
+        "l_extendedprice", "l_quantity"
+    )
+    with _pytest.raises(ValueError, match="power of two"):
+        write_zordered(
+            li, str(tmp_path / "zz"), "l_extendedprice", "l_quantity", bands=12
+        )
