@@ -164,6 +164,11 @@ _CHECK_PRIORITY = (
     "cdc_merge_apply",
     "target_encoding_smoothed",
     "changepoint_cusum",
+    # r8 model-eval wave (eval_ops): exact rank AUC, calibration bins,
+    # Bradley-Terry MM scores — strict-verified 3 SFs + bare
+    "auc_exact_rank",
+    "calibration_reliability_bins",
+    "bradley_terry_scores",
 )
 
 
@@ -173,6 +178,7 @@ _QUERY_MODULES = (
     "corpus_ops",
     "corpus_ops2",
     "curation",
+    "eval_ops",
     "graph_ops",
     "llm_ops",
     "multimodal_ops",
