@@ -169,6 +169,8 @@ _CHECK_PRIORITY = (
     "auc_exact_rank",
     "calibration_reliability_bins",
     "bradley_terry_scores",
+    # S5's bucketed writer under the hard oracle (was pytest-only)
+    "bucketed_join_audit",
 )
 
 

@@ -542,3 +542,64 @@ def target_encoding_smoothed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+@register(
+    "bucketed_join_audit",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    sort=("c_mktsegment",),
+    doc="The bucketed-write path (load.py::write_bucketed, S5) under "
+    "the hard oracle: persist orders and customer bucketed+sorted on "
+    "the join key, then join THE BUCKETED TABLES and aggregate revenue "
+    "per segment in exact integer cents — the oracle recomputes from "
+    "the source relations, so a bucketing writer that dropped, "
+    "duplicated or mis-routed a row hash-fails (the plan-level "
+    "zero-exchange property is pinned separately in "
+    "tests/test_bucketing.py). This is the disk-layout join strategy "
+    "at 100 TB: co-bucketed fact/dim join with NO shuffle on either "
+    "side, the shuffle paid once at write time instead of once per "
+    "query.",
+)
+def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.load import write_bucketed
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ot, ct = f"orders_ba_{tag}", f"customer_ba_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        ),
+        ot,
+        "o_custkey",
+        8,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        ),
+        ct,
+        "c_custkey",
+        8,
+    )
+    o = spark.table(ot)
+    c = spark.table(ct)
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
