@@ -81,6 +81,10 @@ SHOWCASE = [
     ("filter_funnel_attribution", "quality funnel: one corpus scan folds to first-fail rule grain; funnel window on 4 rows"),
     ("tokenizer_fertility_by_source", "fertility estimate: word explode, integer subword proxy, single keyed agg"),
     ("char_class_profile", "char-class composition: regexp_replace+length codegen scalars, no explode, one scan"),
+    ("cdc_merge_apply", "MERGE apply: one co-keyed FULL OUTER join, per-action integer-cents audit"),
+    ("auc_exact_rank", "exact AUC: score-grain histogram fold, bounded rank walk, one final division"),
+    ("bradley_terry_scores", "BT preference scores: day-keyed contest join, ppm-quantized MM steps on competitor grain"),
+    ("bucketed_join_audit", "bucketed write + join: SortMergeJoin reading bucketed tables, no exchange on either side"),
 ]
 
 
