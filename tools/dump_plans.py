@@ -84,7 +84,7 @@ SHOWCASE = [
     ("cdc_merge_apply", "MERGE apply: one co-keyed FULL OUTER join, per-action integer-cents audit"),
     ("auc_exact_rank", "exact AUC: score-grain histogram fold, bounded rank walk, one final division"),
     ("bradley_terry_scores", "BT preference scores: day-keyed contest join, ppm-quantized MM steps on competitor grain"),
-    ("bucketed_join_audit", "bucketed write + join: SortMergeJoin reading bucketed tables, no exchange on either side"),
+    ("bucketed_join_audit", "bucketed write + join: the fact side never shuffles for the join (AQE broadcasts the dim at this SF; with broadcast disabled the bucketed SortMergeJoin has no exchange on either side - pinned in tests/test_bucketing.py)"),
 ]
 
 
