@@ -171,6 +171,8 @@ _CHECK_PRIORITY = (
     "bradley_terry_scores",
     # S5's bucketed writer under the hard oracle (was pytest-only)
     "bucketed_join_audit",
+    "feature_hashing_collisions",
+    "halflife_decay_scores",
 )
 
 

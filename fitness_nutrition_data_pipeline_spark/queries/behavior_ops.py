@@ -1148,3 +1148,83 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").cast("long").alias("min_sec"),
         F.max("sec").cast("long").alias("max_sec"),
     )
+
+
+@register(
+    "halflife_decay_scores",
+    """
+    WITH anchor AS (
+      SELECT max(CAST(ts AS DATE)) AS d0 FROM events
+    ),
+    ev AS (
+      SELECT user_id,
+             CAST(anchor.d0 - CAST(ts AS DATE) AS BIGINT) AS age_days,
+             value
+      FROM events CROSS JOIN anchor
+      WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT user_id,
+             CAST(round(value * 1000000) AS BIGINT)
+               * CAST(round(1000000 * pow(0.5, age_days / 7.0)) AS BIGINT)
+               // 1000000000 AS w_milli
+      FROM ev
+    ),
+    scores AS (
+      SELECT user_id, CAST(sum(w_milli) AS BIGINT) AS score_milli
+      FROM w GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(score_milli) AS BIGINT) AS total_score_milli,
+           CAST(max(score_milli) AS BIGINT) AS max_score_milli,
+           CAST(sum(CASE WHEN score_milli = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_fully_decayed
+    FROM scores
+    """,
+    sort=("n_users",),
+    doc="Half-life-decayed engagement scores (7-day half-life): each "
+    "event contributes value * 2^(-age/7), anchored to the corpus max "
+    "date so the score is a pure function of the data (re-runs agree; "
+    "no wall-clock). Float discipline, two INDEPENDENT quantizations "
+    "per event: value rounds to integer ppm (one float multiply), the "
+    "decay factor 2^(-age/7) rounds to integer ppm (31 distinct "
+    "values, empirically bit-identical Java vs libm pow; a residual "
+    "ulp could only flip a factor at a .5 boundary, never compound), "
+    "and the per-event weight is their exact integer product floored "
+    "to milli-units — sums are then exact integer math in any shuffle "
+    "order (the multitouch_attribution trick on a recency-weighted "
+    "feature). The registered readout folds user "
+    "grain to corpus stats; the user-grain scores relation is the "
+    "feature-store artifact at 100 TB — one keyed shuffle with "
+    "map-side partials, anchor broadcast.",
+)
+def halflife_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir).where(F.col("value").isNotNull())
+    anchor = ev.agg(F.max(F.to_date("ts")).alias("d0"))
+    aged = ev.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff(F.col("d0"), F.to_date("ts")).cast("long").alias("age_days"),
+        "value",
+    )
+    # value and decay quantize independently; the product is exact
+    # int64 (v_ppm <= ~1e9, decay_ppm <= 1e6). Operands non-negative,
+    # so DuckDB's floor-// and Spark's truncating div agree.
+    w = aged.select(
+        "user_id",
+        F.expr(
+            "CAST(round(value * 1000000) AS BIGINT)"
+            " * CAST(round(1000000 * pow(0.5D, age_days / 7.0D)) AS BIGINT)"
+            " div 1000000000"
+        ).alias("w_milli"),
+    )
+    scores = w.groupBy("user_id").agg(
+        F.sum("w_milli").cast("long").alias("score_milli")
+    )
+    return scores.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("score_milli").cast("long").alias("total_score_milli"),
+        F.max("score_milli").cast("long").alias("max_score_milli"),
+        F.sum(F.when(F.col("score_milli") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_fully_decayed"),
+    )

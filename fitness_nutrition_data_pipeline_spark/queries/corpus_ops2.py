@@ -435,3 +435,94 @@ def char_class_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "feature_hashing_collisions",
+    rf"""
+    WITH terms AS (
+      SELECT DISTINCT unnest(list_filter(
+               string_split_regex(lower(trim(text)), '\s+'),
+               x -> x <> '')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    hashed AS (
+      SELECT term,
+             CAST(('0x' || substr(md5(term), 1, 6)) AS BIGINT) AS h
+      FROM terms
+    ),
+    occupancy AS (
+      SELECT k.bits,
+             count(DISTINCT h % (1 << k.bits)) AS occupied,
+             count(*) AS n_terms
+      FROM hashed
+      CROSS JOIN (VALUES (8), (10), (12), (14)) AS k(bits)
+      GROUP BY k.bits
+    )
+    SELECT bits,
+           CAST(1 << bits AS BIGINT) AS n_buckets,
+           CAST(n_terms AS BIGINT) AS n_terms,
+           CAST(occupied AS BIGINT) AS occupied_buckets,
+           CAST(n_terms - occupied AS BIGINT) AS collided_terms,
+           CAST(n_terms * 1000000 // (1 << bits) AS BIGINT)
+             AS load_factor_ppm
+    FROM occupancy
+    ORDER BY bits
+    """,
+    sort=("bits",),
+    doc="Feature-hashing (hashing-trick) sizing curve: hash the distinct "
+    "vocabulary into 2^bits buckets at several widths and report "
+    "occupancy, terms lost to collisions, and the load factor — the "
+    "table that picks a feature-vector width BEFORE the featurizer "
+    "job burns a pass (collided terms alias gradients; the curve "
+    "shows where collisions stop paying for the dimension savings). "
+    "md5-deterministic, identical both engines. The corpus folds to "
+    "its DISTINCT vocabulary first (vocab-sized, not corpus-sized); "
+    "the 4-point width grid joins that fold, and each width's "
+    "occupancy is a distinct-count over vocab grain.",
+)
+def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    terms = (
+        d.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("term")
+        )
+        .distinct()
+    )
+    hashed = terms.select(
+        F.conv(F.substring(F.md5("term"), 1, 6), 16, 10)
+        .cast("long")
+        .alias("h")
+    )
+    # vocab-sized relation feeds all four widths — pin it so the
+    # corpus explode+distinct runs once (diamond policy)
+    hashed = hashed.localCheckpoint()
+    grid = spark.createDataFrame([(8,), (10,), (12,), (14,)], "bits int")
+    return (
+        hashed.crossJoin(F.broadcast(grid))
+        .groupBy("bits")
+        .agg(
+            F.countDistinct(F.expr("h % shiftleft(1, bits)"))
+            .cast("long")
+            .alias("occupied"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .select(
+            "bits",
+            F.expr("shiftleft(1, bits)").cast("long").alias("n_buckets"),
+            F.col("n_terms"),
+            F.col("occupied").alias("occupied_buckets"),
+            (F.col("n_terms") - F.col("occupied"))
+            .cast("long")
+            .alias("collided_terms"),
+            F.expr("n_terms * 1000000 div (shiftleft(1, bits))")
+            .cast("long")
+            .alias("load_factor_ppm"),
+        )
+        .orderBy("bits")
+    )
