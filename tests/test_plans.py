@@ -677,3 +677,23 @@ def test_filter_funnel_single_corpus_scan(spark, sf_dir):
     plan = final_plan_of(spark, sf_dir, "filter_funnel_attribution")
     assert "Scan parquet" not in plan or plan.count("documents") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_auc_rank_walk_on_histogram_not_rows(spark, sf_dir):
+    # the AUC rank walk must run over the score-value HISTOGRAM (one
+    # aggregate between scan and window), never over raw event rows —
+    # the bounded-relation convention that keeps the global-order
+    # window answer-sized
+    plan = plan_of(spark, sf_dir, "auc_exact_rank", mode="simple")
+    assert plan.count("Scan parquet") == 1
+    # aggregate (score histogram) appears BELOW the window in the tree
+    win = plan.index("Window")
+    assert "HashAggregate" in plan[win:], "window must consume the histogram"
+
+
+def test_bradley_terry_contest_join_co_keyed(spark, sf_dir):
+    # daily contests join day-grain aggregates on day — no cartesian;
+    # the MM strength joins touch competitor grain only (broadcast)
+    plan = plan_of(spark, sf_dir, "bradley_terry_scores", mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
