@@ -173,6 +173,8 @@ _CHECK_PRIORITY = (
     "bucketed_join_audit",
     "feature_hashing_collisions",
     "halflife_decay_scores",
+    "incremental_agg_maintenance",
+    "rfm_segmentation",
 )
 
 

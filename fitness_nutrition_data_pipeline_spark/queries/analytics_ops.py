@@ -10,6 +10,7 @@ Jaccard on the same candidate pairs, as a driver-checkable contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.dedup import (
@@ -347,4 +348,84 @@ def user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("spend_share"),
         )
         .orderBy("decile")
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(min(anchor.d0 - CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN anchor
+      GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT ntile(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_q,
+             ntile(5) OVER (ORDER BY frequency, o_custkey) AS f_q,
+             ntile(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_q,
+             monetary_cents
+      FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+    sort=("r_q", "f_q", "m_q"),
+    doc="RFM segmentation, the CRM workhorse: per customer, recency "
+    "(days since last order, anchored to the corpus max date — no "
+    "wall clock), frequency and monetary value in exact integer "
+    "cents, each quintiled with ntile(5) under a FULLY DETERMINISTIC "
+    "order (metric, then custkey — ties can't float between engines; "
+    "5 = best on every axis since recency sorts DESC), then the "
+    "125-cell segment grid with counts and revenue. The three global "
+    "ntile windows run on CUSTOMER grain — the repo's documented "
+    "oracle-exactness device; the 100 TB variant quintiles via the "
+    "equi-depth histogram CDF (equi_depth_price_deciles' shape) "
+    "instead of a global sort. The orders scan folds to customer "
+    "grain first with map-side partials.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("d0"), F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = per_cust.select(
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .alias("r_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(5)
+        .over(W.orderBy(F.asc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_q"),
+        "monetary_cents",
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
     )

@@ -603,3 +603,113 @@ def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 != 0
+    ),
+    delta AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 5 = 0 THEN 100 ELSE 0 END AS cents,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op
+      FROM orders
+      WHERE o_orderkey % 10 = 0 OR o_orderkey % 5 = 0 OR o_orderkey % 7 = 0
+    ),
+    merged AS (
+      SELECT coalesce(d.o_orderkey, b.o_orderkey) AS k,
+             coalesce(d.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+             coalesce(d.cents, b.cents) AS cents,
+             d.op
+      FROM base b FULL OUTER JOIN delta d USING (o_orderkey)
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM merged
+    WHERE op IS NULL OR op != 'D'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    sort=("o_orderstatus",),
+    doc="Incremental view maintenance, PROVEN equal to recompute: the "
+    "engine maintains the per-status (count, cents) aggregate by "
+    "combining the PRIOR aggregate with delta effects only — inserts "
+    "add, deletes subtract, updates subtract the old row's "
+    "contribution and add the new (the retraction join touches "
+    "delta-sized data) — while the ORACLE recomputes the view from "
+    "the merged state in full. A hash match is an algebraic proof "
+    "the maintenance arithmetic equals recompute on this data; any "
+    "sign error or missed retraction diverges. This is the pattern "
+    "that turns a 100 TB nightly rebuild into a delta-sized job: "
+    "old-agg is group-grain (tiny), and the only data-touching work "
+    "is delta JOIN base on the key — co-bucketed, it never shuffles "
+    "the base.",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    base = o.where(F.col("o_orderkey") % 10 != 0)
+    delta = o.where(
+        (F.col("o_orderkey") % 10 == 0)
+        | (F.col("o_orderkey") % 5 == 0)
+        | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (
+            F.col("cents")
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(100)).otherwise(
+                F.lit(0)
+            )
+        ).alias("cents"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    # prior aggregate — group-grain, the thing a real system has stored
+    old_agg = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+    )
+    # delta effects: the retraction join finds each touched key's OLD
+    # row (delta-sized probe into the base; co-bucketed at scale)
+    d = delta.alias("d")
+    b = base.alias("b")
+    joined = d.join(b, F.col("d.o_orderkey") == F.col("b.o_orderkey"), "left")
+    # per (status, effect): deletes retract old; updates retract old and
+    # insert new; unmatched 'U' rows are pure inserts
+    retract = joined.where(F.col("b.o_orderkey").isNotNull()).select(
+        F.col("b.o_orderstatus").alias("o_orderstatus"),
+        F.lit(-1).alias("dn"),
+        (-F.col("b.cents")).alias("dc"),
+    )
+    insert = joined.where(F.col("d.op") != "D").select(
+        F.col("d.o_orderstatus").alias("o_orderstatus"),
+        F.lit(1).alias("dn"),
+        F.col("d.cents").alias("dc"),
+    )
+    effects = retract.unionByName(insert).groupBy("o_orderstatus").agg(
+        F.sum("dn").alias("en"), F.sum("dc").alias("ec")
+    )
+    return (
+        old_agg.join(effects, "o_orderstatus", "full_outer")
+        .select(
+            "o_orderstatus",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("en", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            (F.coalesce("c", F.lit(0)) + F.coalesce("ec", F.lit(0)))
+            .cast("long")
+            .alias("total_cents"),
+        )
+        .where(F.col("n_orders") > 0)
+        .orderBy("o_orderstatus")
+    )
