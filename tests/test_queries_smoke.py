@@ -395,3 +395,19 @@ def test_hopping_windows_cover_each_event_four_times(spark, sf_dir):
     assert sum(r.n_events for r in rows) == 4 * total
     for r in rows:
         assert r.n_events >= r.n_users >= 1
+
+
+def test_cdc_merge_and_ivm_agree(spark, sf_dir):
+    """cdc_merge_apply and incremental_agg_maintenance consume the SAME
+    synthetic change feed; the merge audit's surviving totals must equal
+    the maintained view's totals — recompute-vs-maintenance agreement
+    across two independent implementations."""
+    from pyspark.sql import functions as F
+
+    merge = SPECS["cdc_merge_apply"].builder(spark, sf_dir)
+    ivm = SPECS["incremental_agg_maintenance"].builder(spark, sf_dir)
+    m = merge.where(F.col("action") != "deleted").agg(
+        F.sum("n_rows").alias("n"), F.sum("surviving_cents").alias("c")
+    ).first()
+    v = ivm.agg(F.sum("n_orders").alias("n"), F.sum("total_cents").alias("c")).first()
+    assert (m.n, m.c) == (v.n, v.c)
