@@ -175,6 +175,8 @@ _CHECK_PRIORITY = (
     "halflife_decay_scores",
     "incremental_agg_maintenance",
     "rfm_segmentation",
+    # completes the S5 layout trio under the oracle
+    "partitioned_write_prune_audit",
 )
 
 

@@ -713,3 +713,61 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 0)
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "partitioned_write_prune_audit",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(coalesce(value, 0) * 1000000) AS BIGINT))
+                AS BIGINT) AS value_ppm
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+    GROUP BY 1
+    ORDER BY day
+    """,
+    sort=("day",),
+    doc="The date-PARTITIONED writer under the hard oracle, completing "
+    "the S5 layout trio (partitioned here, bucketed_join_audit, "
+    "zorder_write_band_spans): write events partitioned by day to "
+    "parquet, read the partitioned table back with a one-week "
+    "predicate, and aggregate — the oracle recomputes from the source "
+    "relation, so a writer that mis-partitioned, dropped or "
+    "duplicated rows across directory boundaries hash-fails. The "
+    "filter on the PARTITION column prunes at planning time: only 7 "
+    "of ~31 day directories are scanned (the plan's PartitionFilters "
+    "carries the BETWEEN — asserted in tests/test_plans.py), which is "
+    "THE mechanism that turns a 100 TB fact scan into a "
+    "week-of-data scan. Values fold to integer ppm so the audit is "
+    "exact.",
+)
+def partitioned_write_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/spark_graft_part_{tag}/events_by_day"
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).where(
+        (F.col("day") >= F.lit("2024-01-08").cast("date"))
+        & (F.col("day") <= F.lit("2024-01-14").cast("date"))
+    )
+    return (
+        back.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 1000000).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("value_ppm"),
+        )
+        .orderBy("day")
+    )

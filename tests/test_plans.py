@@ -697,3 +697,12 @@ def test_bradley_terry_contest_join_co_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "bradley_terry_scores", mode="simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_partitioned_readback_prunes_at_plan_time(spark, sf_dir):
+    # the week predicate must land in PartitionFilters (directory
+    # pruning — planning-time), not as a post-scan Filter over all days
+    plan = plan_of(spark, sf_dir, "partitioned_write_prune_audit")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "expected a partitioned scan"
+    assert any("2024-01-08" in ln or "19730" in ln for ln in pf), pf

@@ -85,6 +85,10 @@ SHOWCASE = [
     ("auc_exact_rank", "exact AUC: score-grain histogram fold, bounded rank walk, one final division"),
     ("bradley_terry_scores", "BT preference scores: day-keyed contest join, ppm-quantized MM steps on competitor grain"),
     ("bucketed_join_audit", "bucketed write + join: the fact side never shuffles for the join (AQE broadcasts the dim at this SF; with broadcast disabled the bucketed SortMergeJoin has no exchange on either side - pinned in tests/test_bucketing.py)"),
+    ("incremental_agg_maintenance", "IVM: prior group-grain agg + delta-sized retraction join; hash-equal to the oracle's full recompute"),
+    ("rfm_segmentation", "RFM quintiles: orders fold to customer grain, three deterministic ntile windows, 125-cell rollup"),
+    ("feature_hashing_collisions", "hashing-trick sizing: vocab fold pinned once, 4-width grid joins the fold"),
+    ("halflife_decay_scores", "recency decay: per-event double quantization to exact integer weights, one user-keyed shuffle"),
 ]
 
 
