@@ -171,8 +171,10 @@ def write_zordered(
         # hash-check what the writer actually put on disk
         # (zorder_write_band_spans). Sampled repartitionByRange can't
         # make that promise (bounds vary run to run).
-        if bands & (bands - 1):
-            raise ValueError("bands must be a power of two")
+        if bands < 1 or bands > 4**bits or bands & (bands - 1):
+            raise ValueError(
+                f"bands must be a power of two in [1, 4**bits={4**bits}]"
+            )
         shift = 2 * bits - (bands.bit_length() - 1)
         banded = keyed.withColumn(
             "_zband", F.shiftright("_z", shift).cast("int")

@@ -231,6 +231,12 @@ def extract_all(spark: SparkSession, cfg) -> dict[str, object]:
     with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
         futures = {name: pool.submit(fn) for name, fn in tasks.items()}
         results = {name: f.result() for name, f in futures.items()}
+    # the prewarmed rows have been consumed (each xlsx became a pinned
+    # executor block above) — drop the driver-side copies rather than
+    # carrying hundreds of MB of parsed strings for the process lifetime
+    from fitness_nutrition_data_pipeline_spark.sources.xlsx import _ROWS_CACHE
+
+    _ROWS_CACHE.clear()
     # fitbit is a dict (empty = every file missing); the rest are
     # DataFrame-or-None
     return {

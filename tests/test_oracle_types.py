@@ -24,8 +24,14 @@ Instead of chasing types one-by-one, both lints are allowlists:
   exactness, then ``.cast("double")`` (the stats_ops ``ks_stat``
   pattern).
 
-Binding a DuckDB relation is plan-only and Spark ``.schema`` is lazy,
-so walking all ~220 registrations is cheap.
+Cost honesty: the ORACLE half is binder-only (no execution). The
+SPARK half is NOT free — builders with eager ``localCheckpoint`` steps
+materialize their pinned stages, and the three write-path audits
+(bucketed / z-ordered / partitioned) perform their writes before
+returning a DataFrame — so the schema walk runs ~1-2 min at sf0.001
+and leaves scratch tables under the warehouse dir and /tmp. That is
+the price of linting the REAL registered builders rather than a
+parallel registry that could drift.
 """
 
 from __future__ import annotations
@@ -44,22 +50,9 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
-ALLOWED_ORACLE_TYPES = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "VARCHAR",
-    "DATE",
-    "BOOLEAN",
-    # TIMESTAMP is Arrow-stable: pandas Timestamp and Spark's
-    # datetime.datetime stringify identically ('2024-01-15 00:00:00',
-    # microseconds included iff nonzero) — empirically driver-green
-    # since r5 (drift_monitor_batch_replay, attribution_batch_replay,
-    # ingestion_lag_audit).
-    "TIMESTAMP",
-}
+from fitness_nutrition_data_pipeline_spark.oracle_types import (
+    ALLOWED_ORACLE_TYPES,
+)  # single source of truth — shared with tools/verify_queries.py
 
 ALLOWED_SPARK_TYPES = (
     T.LongType,

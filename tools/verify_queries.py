@@ -48,19 +48,9 @@ def norm_cell(v):
     return str(v)
 
 
-ALLOWED_ORACLE_TYPES = {
-    "BIGINT",
-    "INTEGER",
-    "SMALLINT",
-    "TINYINT",
-    "DOUBLE",
-    "VARCHAR",
-    "DATE",
-    "BOOLEAN",
-    # Arrow-stable: pandas Timestamp and Spark datetime stringify
-    # identically; driver-green since r5 on three replay queries.
-    "TIMESTAMP",
-}
+from fitness_nutrition_data_pipeline_spark.oracle_types import (  # noqa: E402
+    ALLOWED_ORACLE_TYPES,
+)
 
 
 def pandas_rows(pdf, date_cols):
