@@ -42,6 +42,9 @@ import duckdb
 import pytest
 from pyspark.sql import types as T
 
+from fitness_nutrition_data_pipeline_spark.oracle_types import (
+    ALLOWED_ORACLE_TYPES,
+)  # single source of truth — shared with tools/verify_queries.py
 from fitness_nutrition_data_pipeline_spark.queries import all_specs
 
 SF_DIR = os.environ.get("SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.001")
@@ -49,10 +52,6 @@ TABLES = (
     "region nation customer supplier part orders lineitem "
     "events documents embeddings"
 ).split()
-
-from fitness_nutrition_data_pipeline_spark.oracle_types import (
-    ALLOWED_ORACLE_TYPES,
-)  # single source of truth — shared with tools/verify_queries.py
 
 ALLOWED_SPARK_TYPES = (
     T.LongType,
@@ -121,3 +120,32 @@ def test_spark_output_types_allowlisted(spark, sf_dir):
         f"('0.05'); finish every decimal quantization with "
         f'.cast("double") (stats_ops ks_stat pattern)'
     )
+
+
+def test_lints_are_not_vacuous(con, spark):
+    """Self-test: the allowlists must actually REJECT the two defect
+    classes that cost rounds 6 and 7 — a bare integer sum() (HUGEINT)
+    and a DECIMAL cast — on both engines' lanes."""
+    from pyspark.sql import functions as F
+
+    rel = con.sql(
+        "SELECT sum(r_regionkey) AS s, "
+        "CAST(1.5 AS DECIMAL(18,2)) AS d FROM region"
+    )
+    bad = [
+        str(t)
+        for t in rel.types
+        if str(t).upper() not in ALLOWED_ORACLE_TYPES
+    ]
+    assert len(bad) == 2, f"expected HUGEINT+DECIMAL rejected, got {bad}"
+
+    sdf = spark.range(1).select(
+        F.lit(1.5).cast("decimal(18,2)").alias("d"),
+        F.lit(1).alias("ok"),
+    )
+    bad_s = [
+        f.dataType.simpleString()
+        for f in sdf.schema.fields
+        if not isinstance(f.dataType, ALLOWED_SPARK_TYPES)
+    ]
+    assert bad_s == ["decimal(18,2)"], bad_s
