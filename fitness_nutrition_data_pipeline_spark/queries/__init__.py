@@ -177,6 +177,8 @@ _CHECK_PRIORITY = (
     "rfm_segmentation",
     # completes the S5 layout trio under the oracle
     "partitioned_write_prune_audit",
+    # exact binary-payload CAS dedup, sniffed format under the hash
+    "multimodal_payload_dedup",
 )
 
 
