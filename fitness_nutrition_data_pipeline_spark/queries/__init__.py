@@ -179,6 +179,8 @@ _CHECK_PRIORITY = (
     "partitioned_write_prune_audit",
     # exact binary-payload CAS dedup, sniffed format under the hash
     "multimodal_payload_dedup",
+    # sequence-model eval: temporal-split Markov top-1 accuracy
+    "markov_next_event_accuracy",
 )
 
 

@@ -1228,3 +1228,114 @@ def halflife_decay_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_fully_decayed"),
     )
+
+
+@register(
+    "markov_next_event_accuracy",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                  THEN 0 ELSE 1 END AS split,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type,
+             lead(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                       THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_split
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS from_type, next_type, count(*) AS n
+      FROM seq WHERE next_type IS NOT NULL AND split = 0 AND next_split = 0
+      GROUP BY 1, 2
+    ),
+    model AS (
+      SELECT from_type, next_type AS predicted,
+             row_number() OVER (PARTITION BY from_type
+                                ORDER BY n DESC, next_type) AS rk
+      FROM trans
+    ),
+    test AS (
+      SELECT event_type AS from_type, next_type AS actual
+      FROM seq WHERE next_type IS NOT NULL AND split = 1 AND next_split = 1
+    )
+    SELECT t.from_type,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.actual = m.predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN t.actual = m.predicted THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+           max(m.predicted) AS predicted
+    FROM test t
+    JOIN model m ON m.from_type = t.from_type AND m.rk = 1
+    GROUP BY t.from_type
+    ORDER BY t.from_type
+    """,
+    sort=("from_type",),
+    doc="Sequence-model evaluation with an honest temporal split: fit a "
+    "first-order Markov next-event predictor (per-state argmax "
+    "transition, deterministic tie-break) on the first-half window "
+    "and score top-1 accuracy on transitions that lie ENTIRELY in the "
+    "second half — no train/test leakage across the boundary (both "
+    "ends of a transition must sit in the same split, checked via a "
+    "lead over the split flag). Completes the sequence family: "
+    "event_transition_matrix describes the dynamics, this measures "
+    "their predictive value, in integer ppm. Windows are per-user "
+    "slices (parallel); the model is state-count-sized and broadcast "
+    "into the test join; the rollup shuffles state grain.",
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    split = F.when(
+        F.to_date("ts") < F.lit("2024-01-16").cast("date"), 0
+    ).otherwise(1)
+    seq = ev.select(
+        "event_type",
+        split.alias("split"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead(split).over(w).alias("next_split"),
+    ).where(F.col("next_type").isNotNull())
+    # the sequenced relation feeds train AND test — pin it so the
+    # per-user window pass runs once (diamond policy)
+    seq = seq.localCheckpoint()
+    trans = (
+        seq.where((F.col("split") == 0) & (F.col("next_split") == 0))
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("nt"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = (
+        trans.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("from_type").orderBy(F.desc("n"), F.asc("nt"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("from_type", F.col("nt").alias("predicted"))
+    )
+    test = seq.where((F.col("split") == 1) & (F.col("next_split") == 1)).select(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("actual"),
+    )
+    hit = F.when(F.col("actual") == F.col("predicted"), 1).otherwise(0)
+    return (
+        test.join(F.broadcast(model), "from_type")
+        .groupBy("from_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(hit).cast("long").alias("n_correct"),
+            F.expr(
+                "sum(CASE WHEN actual = predicted THEN 1 ELSE 0 END) "
+                "* 1000000 div count(1)"
+            )
+            .cast("long")
+            .alias("accuracy_ppm"),
+            F.max("predicted").alias("predicted"),
+        )
+        .orderBy("from_type")
+    )
