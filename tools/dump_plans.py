@@ -89,6 +89,9 @@ SHOWCASE = [
     ("rfm_segmentation", "RFM quintiles: orders fold to customer grain, three deterministic ntile windows, 125-cell rollup"),
     ("feature_hashing_collisions", "hashing-trick sizing: vocab fold pinned once, 4-width grid joins the fold"),
     ("halflife_decay_scores", "recency decay: per-event double quantization to exact integer weights, one user-keyed shuffle"),
+    ("partitioned_write_prune_audit", "partitioned write + readback: week predicate lands in PartitionFilters - 7 of ~31 day dirs scanned"),
+    ("multimodal_payload_dedup", "binary CAS dedup: JVM magic sniff + md5-over-hex digests; only 32-char digests cross the shuffle"),
+    ("markov_next_event_accuracy", "sequence eval: pinned per-user lead pass, state-count model broadcast into the test join"),
 ]
 
 
