@@ -258,9 +258,16 @@ def calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bradley_terry_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # day x type grain (~calendar x 5 rows) feeds BOTH sides of the
+    # contest self-join and, through sides, the p1/terms lineages —
+    # pin it so events scans exactly once (diamond policy; the audit
+    # showed 4 scans without the pin)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)
+        .localCheckpoint()
+    )
     a = daily.alias("a")
     b = daily.alias("b")
     contests = (

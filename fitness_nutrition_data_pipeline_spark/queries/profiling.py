@@ -411,7 +411,13 @@ def zorder_write_band_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fitness_nutrition_data_pipeline_spark.load import write_zordered
     from fitness_nutrition_data_pipeline_spark.operators.layout import quantize
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-application scratch: two concurrent processes (e.g. a local
+    # verify beside an audit) previously shared this path and clobbered
+    # each other's files mid-read; the appId keeps reruns within one
+    # session stable while isolating processes
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     path = f"/tmp/spark_graft_zorder_{tag}/orders"
     base = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),

@@ -573,7 +573,9 @@ def bucketed_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from fitness_nutrition_data_pipeline_spark.load import write_bucketed
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     ot, ct = f"orders_ba_{tag}", f"customer_ba_{tag}"
     write_bucketed(
         load_table(spark, sf_dir, "orders").select(
@@ -683,7 +685,13 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row (delta-sized probe into the base; co-bucketed at scale)
     d = delta.alias("d")
     b = base.alias("b")
-    joined = d.join(b, F.col("d.o_orderkey") == F.col("b.o_orderkey"), "left")
+    # the retraction join is DELTA-sized (a real IVM system materializes
+    # its change feed anyway) and feeds BOTH the retract and insert
+    # branches — pin it so orders scans 3x (prior agg, base join side,
+    # delta), not 5x (audit_scans caught the unpinned diamond)
+    joined = d.join(
+        b, F.col("d.o_orderkey") == F.col("b.o_orderkey"), "left"
+    ).localCheckpoint()
     # per (status, effect): deletes retract old; updates retract old and
     # insert new; unmatched 'U' rows are pure inserts
     retract = joined.where(F.col("b.o_orderkey").isNotNull()).select(
@@ -749,7 +757,11 @@ def partitioned_write_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     ev = load_table(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-application scratch (see zorder_write_band_spans): isolate
+    # concurrent processes, keep within-session reruns stable
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
     path = f"/tmp/spark_graft_part_{tag}/events_by_day"
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     back = spark.read.parquet(path).where(
