@@ -383,3 +383,66 @@ def cdc_chunks(
         F.md5(F.array_join(ordered_toks, " ")).alias("chunk_hash"),
         F.count(F.lit(1)).alias("n_toks"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """The RAG chunker itself — the executable counterpart of
+    queries/corpus_ops2.py::rag_chunk_plan's closed-form accounting:
+    slide a ``size``-token window advancing ``stride`` tokens (overlap
+    = size - stride) over each document's whitespace tokens and emit
+    one row per chunk: (id, chunk_id, n_tokens, chunk_text).
+
+    Shuffle-free by construction: tokens -> a per-row
+    ``sequence(0, n_chunks-1)`` -> ``posexplode`` -> ``slice`` of the
+    token array, all inside one map stage (codegen; no UDF, no
+    window). At 100 TB this is the shape that matters — the chunker
+    adds zero exchanges to whatever scan feeds it, so it fuses with
+    the embedding stage's repartition rather than paying its own.
+
+    Invariants (pinned in tests/test_cleaning.py): chunk count equals
+    the closed form 1 + ceil((toks - size)/stride) for toks > size,
+    1 for 0 < toks <= size; every chunk except the last has exactly
+    ``size`` tokens; total emitted tokens = toks + overlap*(chunks-1);
+    concatenating chunks with the overlap removed reproduces the
+    document's token stream exactly.
+    """
+    if not (0 < stride <= size):
+        raise ValueError("need 0 < stride <= size")
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(toks)
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= size, F.lit(1))
+        .otherwise(F.lit(1) + F.ceil((n - F.lit(size)) / F.lit(stride)))
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        n.alias("_n"),
+        n_chunks.cast("int").alias("_nc"),
+    ).where(F.col("_nc") > 0)
+    exploded = base.select(
+        id_col,
+        "_toks",
+        "_n",
+        F.posexplode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias(
+            "chunk_id", "_"
+        ),
+    )
+    start = F.col("chunk_id") * stride  # 0-based token offset
+    piece = F.slice(F.col("_toks"), start + 1, size)
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
