@@ -181,6 +181,8 @@ _CHECK_PRIORITY = (
     "multimodal_payload_dedup",
     # sequence-model eval: temporal-split Markov top-1 accuracy
     "markov_next_event_accuracy",
+    # the executable chunker hash-proven equal to its closed-form plan
+    "rag_chunk_emit_audit",
 )
 
 

@@ -526,3 +526,68 @@ def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bits")
     )
+
+
+@register(
+    "rag_chunk_emit_audit",
+    f"""
+    WITH d AS (
+      SELECT source, {_TOK_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT source, toks,
+             CASE WHEN toks = 0 THEN 0
+                  WHEN toks <= {_CHUNK} THEN 1
+                  ELSE 1 + (toks - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+             END AS n_chunks
+      FROM d
+    )
+    SELECT source,
+           CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+           CAST(sum(toks + {_CHUNK - _STRIDE} * (n_chunks - 1)) AS BIGINT)
+             AS emitted_tokens,
+           CAST(sum(CASE WHEN n_chunks > 0
+                         THEN least(toks, {_CHUNK})
+                         ELSE 0 END) AS BIGINT) AS first_chunk_tokens
+    FROM c GROUP BY source
+    ORDER BY source
+    """,
+    sort=("source",),
+    doc="The EXECUTABLE chunker (operators/text.py::chunk_documents) "
+    "audited against the closed form, under the hash: actually emit "
+    "every chunk (posexplode over per-row sequences — one map stage, "
+    "zero exchanges before the rollup), then aggregate per source "
+    "what was EMITTED — chunk count, emitted token volume, and the "
+    "first-chunk token mass — while the oracle computes the same "
+    "totals from rag_chunk_plan's closed-form arithmetic WITHOUT "
+    "chunking anything. A hash match proves plan == execution: an "
+    "off-by-one in the window walk, a dropped short tail, or a "
+    "mis-sliced overlap diverges. The explode is the one data-growth "
+    "stage (bounded by the ~1.33x emitted/original ratio); the "
+    "rollup is source-grain with map-side partials.",
+)
+def rag_chunk_emit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import chunk_documents
+
+    d = _docs(spark, sf_dir).where(F.col("text").isNotNull())
+    chunks = chunk_documents(
+        d.select("doc_id", "source", "text"),
+        size=_CHUNK,
+        stride=_STRIDE,
+    )
+    # re-attach source (chunker keys by doc_id); documents is the dim
+    # side here and the join stays on the id grain
+    src = d.select("doc_id", "source")
+    return (
+        chunks.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_chunks"),
+            F.sum("n_tokens").cast("long").alias("emitted_tokens"),
+            F.sum(F.when(F.col("chunk_id") == 0, F.col("n_tokens")))
+            .cast("long")
+            .alias("first_chunk_tokens"),
+        )
+        .orderBy("source")
+    )
