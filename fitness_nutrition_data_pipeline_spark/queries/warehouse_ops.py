@@ -783,3 +783,145 @@ def partitioned_write_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@register(
+    "ivm_batch_replay",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 1000000) AS BIGINT))
+                AS BIGINT) AS value_ppm
+    FROM events
+    WHERE NOT (event_id % 3 = 0 AND event_id % 7 = 0)
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Batch replay of the STREAMING incremental-view maintainer "
+    "(streaming/ivm.py): three deterministic micro-batch waves of "
+    "events — two insert waves, then a wave that both inserts and "
+    "RETRACTS every wave-1 row with event_id % 7 = 0 — fold through "
+    "the identical delta_effects + merge_state functions the "
+    "foreachBatch sink runs, while the oracle recomputes the final "
+    "per-type (count, value_ppm) aggregate from scratch over the "
+    "net-surviving rows. A hash match proves the streaming "
+    "maintainer's signed algebra (insert +1/+v, retract -1/-v, merge "
+    "= union + re-aggregate over state + delta only) equals full "
+    "recompute — the bridge VERDICT r8 asked for between "
+    "incremental_agg_maintenance (batch) and the streaming rollups. "
+    "Scale: each merge touches group-grain state + one batch's "
+    "delta; the history is never re-scanned, which is what turns a "
+    "100 TB continuous aggregate into per-batch work.",
+)
+def ivm_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.streaming.ivm import (
+        delta_effects,
+        empty_state,
+        merge_state,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 1000000)
+        .cast("long")
+        .alias("value_ppm"),
+    )
+    w1 = ev.where(F.col("event_id") % 3 == 0).withColumn("op", F.lit("I"))
+    w2 = ev.where(F.col("event_id") % 3 == 1).withColumn("op", F.lit("I"))
+    # wave 3: its own inserts + retraction records replaying wave-1 rows
+    w3 = (
+        ev.where(F.col("event_id") % 3 == 2)
+        .withColumn("op", F.lit("I"))
+        .unionByName(
+            ev.where(
+                (F.col("event_id") % 3 == 0) & (F.col("event_id") % 7 == 0)
+            ).withColumn("op", F.lit("R"))
+        )
+    )
+    state = empty_state(spark, "event_type string")
+    for wave in (w1, w2, w3):
+        effects = delta_effects(
+            wave, ["event_type"], "value_ppm", op_col="op"
+        )
+        state = merge_state(state, effects, ["event_type"])
+    return state.orderBy("event_type")
+
+
+@register(
+    "storage_layout_inventory_audit",
+    """
+    SELECT 'events_by_day' AS table_kind,
+           'partitioned' AS layout,
+           'day' AS layout_columns,
+           (SELECT CAST(count(*) AS BIGINT) FROM events) AS n_rows
+    UNION ALL
+    SELECT 'orders_bucketed', 'bucketed(8)', 'o_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    ORDER BY table_kind
+    """,
+    sort=("table_kind",),
+    doc="The DESCRIBE FORMATTED-based storage-layout inventory "
+    "(validation.py::storage_layout_inventory, the Spark analogue of "
+    "the reference's index inventory, validation.sql:397-404) under "
+    "the oracle: write orders BUCKETED (8, o_custkey) into the "
+    "catalog and events date-PARTITIONED to parquet, then report what "
+    "the INTROSPECTION — catalog bucket spec + hive directory layout, "
+    "not the writer's arguments — says each table's layout is, with "
+    "the row count read back from the physical files. The oracle "
+    "pins the layout contract as constants and recomputes counts from "
+    "source: a writer that silently dropped the bucket spec, "
+    "mis-named partition dirs, or lost rows across layout boundaries "
+    "diverges. The inventory is catalog-metadata-sized; the only "
+    "data-touching work is the two writes and two count scans.",
+)
+def storage_layout_inventory_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.load import write_bucketed
+    from fitness_nutrition_data_pipeline_spark.validation import (
+        storage_layout_inventory,
+    )
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    tbl = f"orders_sli_{tag}"
+    write_bucketed(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        tbl,
+        "o_custkey",
+        8,
+    )
+    path = f"/tmp/spark_graft_sli_{tag}/events_by_day"
+    (
+        load_table(spark, sf_dir, "events")
+        .withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    inv = {
+        r["table"]: r
+        for r in storage_layout_inventory(spark, {"events_by_day": path})
+    }
+    # answer-sized driver reads (policy): 2 inventory rows + 2 counts
+    rows = [
+        (
+            "events_by_day",
+            inv["events_by_day"]["layout"],
+            inv["events_by_day"]["layout_columns"],
+            spark.read.parquet(path).count(),
+        ),
+        (
+            "orders_bucketed",
+            inv[tbl]["layout"],
+            inv[tbl]["layout_columns"],
+            spark.table(tbl).count(),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_kind string, layout string, layout_columns string, n_rows long",
+    ).orderBy("table_kind")

@@ -1,0 +1,150 @@
+"""Incremental view maintenance, streaming <-> batch bridge (r9).
+
+queries/warehouse_ops.incremental_agg_maintenance proves the batch
+retraction-join arithmetic equals full recompute; this module lifts the
+SAME maintenance algebra into a ``foreachBatch`` streaming maintainer so
+one code path serves both: a micro-batch's rows fold to signed delta
+effects (inserts +1/+v, retractions -1/-v), and merging effects into the
+stored group-grain state is a union + re-aggregate that touches only
+state + delta — never the history.
+
+At 100 TB the state relation is group-grain (tiny vs the stream), the
+merge shuffles on the same key every batch (AQE coalesces it), and the
+parquet state dir is the restart token: a maintainer pointed at an
+existing state dir resumes exactly where the previous run stopped
+(pinned by tests/test_streaming_ivm.py::test_restart_resumes).
+
+The batch replay (queries/warehouse_ops.ivm_batch_replay) folds three
+deterministic waves — including retractions — through ``delta_effects``
++ ``merge_state`` and is driver-checked against a full-recompute oracle:
+a hash match is an algebraic proof the streaming maintainer's arithmetic
+equals recompute on this data.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# maintained state schema: key column(s) + exact-integer measures
+_STATE_MEASURES = ("n_events", "value_ppm")
+
+
+def delta_effects(
+    batch: DataFrame,
+    keys: list[str],
+    value_col: str,
+    op_col: str | None = None,
+) -> DataFrame:
+    """Fold a micro-batch to signed per-key effects (keys, dn, dv).
+
+    Rows are inserts unless ``op_col`` holds 'R' (retraction), which
+    contributes (-1, -value) — the same signed algebra the batch
+    retraction join uses. One group-grain aggregate with map-side
+    partials; the output is key-cardinality-sized.
+    """
+    sign = (
+        F.when(F.col(op_col) == "R", F.lit(-1)).otherwise(F.lit(1))
+        if op_col
+        else F.lit(1)
+    )
+    return batch.groupBy(*keys).agg(
+        F.sum(sign).cast("long").alias("dn"),
+        F.sum(sign * F.col(value_col)).cast("long").alias("dv"),
+    )
+
+
+def merge_state(state: DataFrame, effects: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge signed effects into group-grain state; drop keys that have
+    fully netted out (count AND sum both zero). NEGATIVE intermediates
+    are kept: a retraction that arrives in an earlier micro-batch than
+    its insert (file sources make no ordering promise) must survive as
+    (-1, -v) until the insert lands, or the fold silently loses it —
+    caught by tests/test_streaming_ivm.py when the source delivered the
+    retraction batch first. Union + re-aggregate touches state + delta
+    only — the history never re-scans. The result is pinned
+    (localCheckpoint): it feeds the next merge AND whatever sink reads
+    it, and an unpinned chain of N merges would re-execute the whole
+    fold lineage each batch.
+    """
+    as_effects = state.select(
+        *keys,
+        F.col(_STATE_MEASURES[0]).alias("dn"),
+        F.col(_STATE_MEASURES[1]).alias("dv"),
+    )
+    merged = (
+        as_effects.unionByName(effects)
+        .groupBy(*keys)
+        .agg(
+            F.sum("dn").cast("long").alias(_STATE_MEASURES[0]),
+            F.sum("dv").cast("long").alias(_STATE_MEASURES[1]),
+        )
+        .where(
+            (F.col(_STATE_MEASURES[0]) != 0) | (F.col(_STATE_MEASURES[1]) != 0)
+        )
+    )
+    return merged.localCheckpoint()
+
+
+def empty_state(spark: SparkSession, keys_ddl: str) -> DataFrame:
+    """Zero-row state with the maintained schema, e.g.
+    keys_ddl='event_type string'."""
+    return spark.createDataFrame(
+        [], f"{keys_ddl}, {_STATE_MEASURES[0]} long, {_STATE_MEASURES[1]} long"
+    )
+
+
+class IncrementalAggMaintainer:
+    """foreachBatch sink that maintains a keyed (count, sum) aggregate
+    in a parquet state dir across micro-batches AND restarts.
+
+    Usage::
+
+        m = IncrementalAggMaintainer(spark, "/state/dir",
+                                     keys=["event_type"],
+                                     keys_ddl="event_type string",
+                                     value_col="value_ppm", op_col="op")
+        stream.writeStream.foreachBatch(m.process_batch).start()
+
+    The state write is write-new-then-swap (never overwrite-in-place
+    while a lineage may still read the old files); state is group-grain
+    so the rewrite cost is constant, not history-sized.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        *,
+        keys: list[str],
+        keys_ddl: str,
+        value_col: str,
+        op_col: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.keys = keys
+        self.keys_ddl = keys_ddl
+        self.value_col = value_col
+        self.op_col = op_col
+
+    def read_state(self) -> DataFrame:
+        if os.path.isdir(self.state_dir):
+            return self.spark.read.parquet(self.state_dir)
+        return empty_state(self.spark, self.keys_ddl)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        effects = delta_effects(
+            batch, self.keys, self.value_col, op_col=self.op_col
+        )
+        merged = merge_state(self.read_state(), effects, self.keys)
+        # merged is localCheckpoint-pinned, so its rows no longer
+        # reference the old state files — safe to swap underneath it
+        tmp = self.state_dir + "._next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if os.path.isdir(self.state_dir):
+            shutil.rmtree(self.state_dir)
+        os.replace(tmp, self.state_dir)

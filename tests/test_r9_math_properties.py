@@ -1,0 +1,134 @@
+"""Property tests for the r9 operators' math, engine-free (the
+test_r8_math_properties.py pattern): the cross-engine hash proves
+Spark == DuckDB; these prove the shared formulas == brute-force
+simulations, catching a bug both engines would implement identically.
+Pure Python + hypothesis — no SparkSession.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# ---- hybrid_retrieval_eval: RRF fusion order == exact rational order
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 1), min_size=1, max_size=40),
+    st.randoms(use_true_random=False),
+)
+def test_rrf_fusion_double_order_matches_rational(rels, rnd):
+    """The fused score 1/(60+sem) + 1/(60+lex) is compared as a double
+    in both engines; with ranks <= ~1e6 the double total order must
+    equal the exact Fraction order (no two distinct rational scores
+    collapse to the same double in opposite order)."""
+    n = len(rels)
+    sem = list(range(1, n + 1))
+    rnd.shuffle(sem)
+    # lexical rank present for a subset only (union-fusion semantics)
+    lex_pool = list(range(1, n + 1))
+    rnd.shuffle(lex_pool)
+    lex = [r if rnd.random() < 0.7 else None for r in lex_pool]
+    as_double = [
+        1.0 / (60 + s) + (1.0 / (60 + l) if l is not None else 0.0)
+        for s, l in zip(sem, lex)
+    ]
+    as_frac = [
+        Fraction(1, 60 + s) + (Fraction(1, 60 + l) if l is not None else 0)
+        for s, l in zip(sem, lex)
+    ]
+    # tiebreak by doc index, exactly like the query's ", doc_id"
+    order_d = sorted(range(n), key=lambda i: (-as_double[i], i))
+    order_f = sorted(range(n), key=lambda i: (-as_frac[i], i))
+    # doubles may tie where fractions differ ONLY if the double compare
+    # still yields the same sorted order — assert full order equality
+    assert order_d == order_f
+
+
+# ---- retrieval metrics: ppm integer forms == Fraction definitions
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(0, 1), min_size=1, max_size=50))
+def test_precision_recall_mrr_ppm_identities(rel_at_rank):
+    k = 10
+    topk = rel_at_rank[:k]
+    hits = sum(topk)
+    n_rel_total = sum(rel_at_rank) or 1  # query guaranteed >=0 rel; guard
+    prec_ppm = hits * 1_000_000 // k
+    rec_ppm = hits * 1_000_000 // n_rel_total
+    assert prec_ppm == int(Fraction(hits, k) * 1_000_000)
+    assert rec_ppm == int(Fraction(hits, n_rel_total) * 1_000_000)
+    best = next((i + 1 for i, r in enumerate(topk) if r == 1), None)
+    mrr_ppm = 1_000_000 // best if best else 0
+    if best:
+        assert mrr_ppm == int(Fraction(1_000_000, best))
+        assert 100_000 <= mrr_ppm <= 1_000_000  # best in 1..10
+    else:
+        assert hits == 0
+
+
+# ---- streaming/ivm.py: the signed fold is wave-partition invariant
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from("abcd"),
+            st.integers(-50, 50),
+            st.sampled_from(["I", "R"]),
+        ),
+        max_size=30,
+    ),
+    st.lists(st.integers(0, 3), min_size=30, max_size=30),
+)
+def test_ivm_fold_wave_partition_invariant(events, wave_of):
+    """Assigning each event to ANY of 4 micro-batches (in any order of
+    waves) yields the same final state as a one-shot aggregate — the
+    merge algebra is a commutative monoid fold, including negative
+    intermediates (a retraction can precede its insert)."""
+
+    def effects(batch):
+        out: dict[str, list[int]] = {}
+        for k, v, op in batch:
+            sign = -1 if op == "R" else 1
+            c = out.setdefault(k, [0, 0])
+            c[0] += sign
+            c[1] += sign * v
+        return out
+
+    def merge(state, eff):
+        for k, (dn, dv) in eff.items():
+            c = state.setdefault(k, [0, 0])
+            c[0] += dn
+            c[1] += dv
+        return {k: c for k, c in state.items() if c[0] != 0 or c[1] != 0}
+
+    waves: list[list] = [[], [], [], []]
+    for ev, w in zip(events, wave_of):
+        waves[w].append(ev)
+    state: dict[str, list[int]] = {}
+    for w in waves:
+        state = merge(state, effects(w))
+    oneshot = merge({}, effects(events))
+    assert state == oneshot
+
+
+# ---- lexical retriever: integer Jaccard ppm == Fraction floor, bounded
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.sets(st.integers(0, 40)), st.sets(st.integers(0, 40)))
+def test_jaccard_ppm_floor_and_bounds(a, b):
+    if not a or not b:
+        return
+    overlap = len(a & b)
+    union = len(a) + len(b) - overlap
+    ppm = overlap * 1_000_000 // union
+    assert ppm == int(Fraction(overlap, union) * 1_000_000)
+    assert 0 <= ppm <= 1_000_000
+    assert (ppm == 1_000_000) == (a == b)
