@@ -130,6 +130,15 @@ _CHECK_PRIORITY = (
     "rag_corpus_pipeline",
     # DESCRIBE FORMATTED layout introspection under the oracle (ask #7)
     "storage_layout_inventory_audit",
+    # NDCG@10 on the same fused ranking as hybrid_retrieval_eval
+    # (shared CTEs; integer log2 weights precomputed once in Python)
+    "ndcg_fused_eval",
+    # routing-only salt spread of a hot join key, hash-proven
+    # semantics-preserving against the plain-join oracle
+    "skew_salted_join_audit",
+    # runtime sibling of the static prune audit: dim-filter-driven
+    # dynamicpruning PartitionFilter on the fact scan (plan-tested)
+    "dynamic_partition_prune_audit",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -153,10 +162,10 @@ _CHECK_PRIORITY = (
     "fixed_size_stratum_sample",
     "ann_recall_contract",
     "embedding_dedup_clusters",
+    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
     "embedding_lsh_buckets",
     "embedding_quantization_params",
     "bm25_query_scores",
-    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
     "boilerplate_chunks",
     "cdc_chunk_dedup",
     "cluster_survivor_selection",

@@ -224,7 +224,6 @@ def _rag_pipeline_sql() -> str:
         _STRIDE,
     )
 
-    ovl = _CHUNK - _STRIDE
     return f"""
     WITH d AS (
       SELECT doc_id, source,

@@ -785,3 +785,74 @@ def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("action")
     )
+
+
+@register(
+    "skew_salted_join_audit",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(e.event_id) AS BIGINT) AS event_id_checksum,
+           CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    sort=("c_mktsegment",),
+    doc="Hot-key (salted) join, audited: the fact side (events, whose "
+    "user_id domain is ~10x narrower than customer's key space — the "
+    "skewed-fanout shape) takes a routing-only salt pmod(xxhash64("
+    "event_id), 8); the dim side replicates each row across all 8 salts "
+    "via explode(sequence); the join keys become (user_id, salt) so one "
+    "hot user's rows spread over 8 reducers instead of one. The salt "
+    "never reaches the output — the oracle is the PLAIN join aggregate, "
+    "so the driver hash proves salting is semantics-preserving (every "
+    "fact row meets exactly one replica of its dim row). The merge hint "
+    "pins the shuffled-join path (a broadcast would hide the salt; at "
+    "100 TB the dim is too big to broadcast — that is when salting "
+    "matters), and tests/test_plans.py asserts salt is in the join keys "
+    "with no BroadcastHashJoin. Complements AQE skew-split (which "
+    "handles partition-level skew after stats exist): explicit salting "
+    "is the plan-level fix when one KEY alone overflows an executor. "
+    "value_cents uses floor(value*100) — IEEE-exact in both engines.",
+)
+def skew_salted_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salt = 8
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100).cast("long").alias("v_cents"),
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salt))
+            .cast("int")
+            .alias("salt"),
+        )
+        .alias("e")
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+        .alias("c")
+    )
+    joined = ev.hint("merge").join(
+        dim,
+        (F.col("e.user_id") == F.col("c.c_custkey"))
+        & (F.col("e.salt") == F.col("c.salt")),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("event_id_checksum"),
+            F.sum("v_cents").cast("long").alias("value_cents"),
+        )
+    )

@@ -28,6 +28,8 @@ after candidate generation is candidate- or answer-sized.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -41,6 +43,18 @@ _N_QUERIES = 5  # vec_id/doc_id < 5 are the query set
 _RRF_K = 60  # the standard RRF dampening constant
 _CAND_K = 25  # candidates per query surviving lexical retrieval
 _EVAL_K = 10  # metrics cutoff
+
+# NDCG discount weights, INTEGER by construction: w_i = round(1e6 /
+# log2(i+1)) is computed ONCE here in Python and embedded as literal
+# constants in BOTH the Spark plan and the DuckDB oracle, so neither
+# engine evaluates a log at query time and the metric is exact integer
+# math end-to-end (the repo's float-discipline rule). _NDCG_CUM[k-1] is
+# the ideal DCG for k relevant docs (binary gains => ideal ranking
+# packs all relevant docs first).
+_NDCG_W = tuple(
+    round(1_000_000 / math.log2(i + 1)) for i in range(1, _EVAL_K + 1)
+)
+_NDCG_CUM = tuple(sum(_NDCG_W[: k + 1]) for k in range(_EVAL_K))
 
 # distinct whitespace tokens — set semantics so Jaccard is well-defined
 _TOKSET_SQL = (
@@ -77,6 +91,35 @@ _PAIRS_CTES = f"""
                   AS BIGINT) AS jacc_ppm,
              {_COS_SQL.format(a="a.q_emb", b="c.emb")} AS cos
       FROM anch a CROSS JOIN corp c
+    )
+"""
+
+
+# Shared fused-ranking CTEs (appended after _PAIRS_CTES): per-query
+# lexical and semantic ranks fused by RRF into rank_final. Used by the
+# hybrid eval AND the NDCG readout so the two metrics grade the SAME
+# ranking.
+_FUSED_CTES = f"""
+    lex AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY jacc_ppm DESC, doc_id) AS lex_rank
+      FROM pairs WHERE overlap >= 1
+    ),
+    sem AS (
+      SELECT q_id, doc_id,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, doc_id) AS sem_rank
+      FROM pairs
+    ),
+    fused AS (
+      SELECT s.q_id, s.doc_id,
+             row_number() OVER (PARTITION BY s.q_id
+               ORDER BY 1.0 / ({_RRF_K} + s.sem_rank)
+                      + coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0) DESC,
+                        s.doc_id) AS rank_final
+      FROM sem s LEFT JOIN lex l
+        ON l.q_id = s.q_id AND l.doc_id = s.doc_id
     )
 """
 
@@ -133,31 +176,41 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fused(pairs: DataFrame) -> DataFrame:
+    """Spark twin of _FUSED_CTES: (q_id, doc_id, rank_final) — the RRF
+    fusion of the lexical and semantic rank lists. Shared by the hybrid
+    eval and the NDCG readout so both metrics grade the SAME ranking."""
+    lex = pairs.where(F.col("overlap") >= 1).select(
+        "q_id",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("jacc_ppm"), "doc_id"))
+        .alias("lex_rank"),
+    )
+    sem = pairs.select(
+        "q_id",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(F.desc("cos"), "doc_id"))
+        .alias("sem_rank"),
+    )
+    rrf = F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+    )
+    return sem.join(lex, ["q_id", "doc_id"], "left").select(
+        "q_id",
+        "doc_id",
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(rrf.desc(), "doc_id"))
+        .alias("rank_final"),
+    )
+
+
 @register(
     "hybrid_retrieval_eval",
     f"""
     WITH {_PAIRS_CTES},
-    lex AS (
-      SELECT q_id, doc_id,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY jacc_ppm DESC, doc_id) AS lex_rank
-      FROM pairs WHERE overlap >= 1
-    ),
-    sem AS (
-      SELECT q_id, doc_id,
-             row_number() OVER (PARTITION BY q_id
-               ORDER BY cos DESC, doc_id) AS sem_rank
-      FROM pairs
-    ),
-    fused AS (
-      SELECT s.q_id, s.doc_id,
-             row_number() OVER (PARTITION BY s.q_id
-               ORDER BY 1.0 / ({_RRF_K} + s.sem_rank)
-                      + coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0) DESC,
-                        s.doc_id) AS rank_final
-      FROM sem s LEFT JOIN lex l
-        ON l.q_id = s.q_id AND l.doc_id = s.doc_id
-    ),
+    {_FUSED_CTES},
     rel AS (
       SELECT q_id, CAST(sum(is_rel) AS BIGINT) AS n_rel_corpus
       FROM pairs GROUP BY q_id
@@ -195,38 +248,7 @@ def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def hybrid_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _pairs(spark, sf_dir)
-    lex = (
-        pairs.where(F.col("overlap") >= 1)
-        .select(
-            "q_id",
-            "doc_id",
-            F.row_number()
-            .over(
-                W.partitionBy("q_id").orderBy(F.desc("jacc_ppm"), "doc_id")
-            )
-            .alias("lex_rank"),
-        )
-    )
-    sem = pairs.select(
-        "q_id",
-        "doc_id",
-        F.row_number()
-        .over(W.partitionBy("q_id").orderBy(F.desc("cos"), "doc_id"))
-        .alias("sem_rank"),
-    )
-    rrf = F.lit(1.0) / (F.lit(_RRF_K) + F.col("sem_rank")) + F.coalesce(
-        F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
-    )
-    fused = (
-        sem.join(lex, ["q_id", "doc_id"], "left")
-        .select(
-            "q_id",
-            "doc_id",
-            F.row_number()
-            .over(W.partitionBy("q_id").orderBy(rrf.desc(), "doc_id"))
-            .alias("rank_final"),
-        )
-    )
+    fused = _fused(pairs)
     rel = pairs.groupBy("q_id", "q_label").agg(
         F.sum("is_rel").cast("long").alias("n_rel_corpus")
     )
@@ -363,5 +385,97 @@ def rerank_eval_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.expr("1000000L div _best"), F.lit(0))
             .cast("long")
             .alias("mrr_rerank_ppm"),
+        )
+    )
+
+
+_W_CASE = "CASE f.rank_final " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " END"
+_IDCG_CASE = f"CASE least(r.n_rel_corpus, {_EVAL_K}) " + " ".join(
+    f"WHEN {k + 1} THEN {c}" for k, c in enumerate(_NDCG_CUM)
+) + " ELSE 0 END"
+
+
+@register(
+    "ndcg_fused_eval",
+    f"""
+    WITH {_PAIRS_CTES},
+    {_FUSED_CTES},
+    rel AS (
+      SELECT q_id, CAST(sum(is_rel) AS BIGINT) AS n_rel_corpus
+      FROM pairs GROUP BY q_id
+    ),
+    dcg AS (
+      SELECT f.q_id,
+             CAST(sum(CASE WHEN p.is_rel = 1 THEN {_W_CASE} ELSE 0 END)
+                  AS BIGINT) AS dcg_w
+      FROM fused f
+      JOIN pairs p ON p.q_id = f.q_id AND p.doc_id = f.doc_id
+      WHERE f.rank_final <= {_EVAL_K}
+      GROUP BY f.q_id
+    )
+    SELECT a.q_id, CAST(a.q_label AS BIGINT) AS q_label,
+           r.n_rel_corpus, d.dcg_w,
+           CAST({_IDCG_CASE} AS BIGINT) AS idcg_w,
+           CAST(CASE WHEN r.n_rel_corpus = 0 THEN 0
+                ELSE d.dcg_w * 1000000 // ({_IDCG_CASE}) END
+                AS BIGINT) AS ndcg10_ppm
+    FROM anch a JOIN rel r USING (q_id) JOIN dcg d USING (q_id)
+    ORDER BY q_id
+    """,
+    sort=("q_id",),
+    doc="NDCG@10 over the SAME RRF-fused ranking hybrid_retrieval_eval "
+    "grades (shared _FUSED_CTES / _fused(), so the two metrics cannot "
+    "drift apart). Exact integer end-to-end: the log2 discount weights "
+    "round(1e6/log2(i+1)) are computed once in Python and embedded as "
+    "literals in both engines, binary gains make the ideal ranking a "
+    "prefix, so IDCG is a precomputed cumulative-sum lookup on "
+    "least(n_rel, 10) and ndcg10_ppm = dcg*1e6 div idcg — no query-time "
+    "float anywhere. Scale: identical to the hybrid eval (queries "
+    "broadcast, one corpus pass per retriever, metric joins are "
+    "top-10-sized).",
+)
+def ndcg_fused_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs(spark, sf_dir)
+    fused = _fused(pairs)
+    w_arr = F.array(*[F.lit(w) for w in _NDCG_W])
+    cum_arr = F.array(*[F.lit(c) for c in _NDCG_CUM])
+    dcg = (
+        fused.where(F.col("rank_final") <= _EVAL_K)
+        .join(pairs.select("q_id", "doc_id", "is_rel"), ["q_id", "doc_id"])
+        .groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_rel") == 1,
+                    F.element_at(w_arr, F.col("rank_final").cast("int")),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("dcg_w")
+        )
+    )
+    rel = pairs.groupBy("q_id", "q_label").agg(
+        F.sum("is_rel").cast("long").alias("n_rel_corpus")
+    )
+    idcg = F.when(F.col("n_rel_corpus") == 0, F.lit(0)).otherwise(
+        F.element_at(
+            cum_arr, F.least(F.col("n_rel_corpus"), F.lit(_EVAL_K)).cast("int")
+        )
+    )
+    return (
+        rel.join(dcg, "q_id")
+        .withColumn("idcg_w", idcg.cast("long"))
+        .select(
+            "q_id",
+            "q_label",
+            "n_rel_corpus",
+            "dcg_w",
+            "idcg_w",
+            F.when(F.col("idcg_w") == 0, F.lit(0))
+            .otherwise(F.expr("dcg_w * 1000000L div idcg_w"))
+            .cast("long")
+            .alias("ndcg10_ppm"),
         )
     )

@@ -925,3 +925,77 @@ def storage_layout_inventory_audit(spark: SparkSession, sf_dir: str) -> DataFram
         rows,
         "table_kind string, layout string, layout_columns string, n_rows long",
     ).orderBy("table_kind")
+
+
+@register(
+    "dynamic_partition_prune_audit",
+    """
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                         DATE '2024-03-31',
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    wk AS (
+      SELECT day FROM spine
+      WHERE week(day) = 2 AND isoyear(day) = 2024
+    )
+    SELECT CAST(e_day AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(coalesce(value, 0) * 1000000) AS BIGINT))
+                AS BIGINT) AS value_ppm
+    FROM (SELECT CAST(ts AS DATE) AS e_day, user_id, value FROM events) e
+    JOIN wk ON e.e_day = wk.day
+    GROUP BY 1
+    ORDER BY day
+    """,
+    sort=("day",),
+    doc="DYNAMIC partition pruning under the hard oracle — the runtime "
+    "sibling of partitioned_write_prune_audit's static prune: events "
+    "are written partitioned by day, then joined to a date-spine dim "
+    "whose filter (ISO week 2 of 2024) names no partition value "
+    "literally — the surviving days exist only after the dim filter "
+    "runs, so planning-time pruning is impossible. Spark broadcasts "
+    "the 7-row dim and REUSES that broadcast as a runtime "
+    "PartitionFilter on the fact scan (the plan's `dynamicpruning` "
+    "subquery, pinned in tests/test_plans.py), so only 7 of ~30 day "
+    "directories are read. This is THE mechanism that makes "
+    "star-schema date-dim joins scan-bounded at 100 TB: the fact "
+    "scan is sized by the dim predicate, not the table. Week "
+    "semantics are ISO in both engines (weekofyear / week+isoyear); "
+    "values fold to integer ppm so the audit is exact.",
+)
+def dynamic_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    path = f"/tmp/spark_graft_part_{tag}/events_by_day_dpp"
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    spine = spark.sql(
+        "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-03-31')) AS day"
+    ).where(
+        (F.weekofyear("day") == 2)
+        & (F.expr("extract(YEAROFWEEK FROM day)") == 2024)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.join(spine, "day")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0)) * 1000000).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("value_ppm"),
+        )
+        .orderBy("day")
+    )

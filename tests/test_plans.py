@@ -706,3 +706,28 @@ def test_partitioned_readback_prunes_at_plan_time(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, "expected a partitioned scan"
     assert any("2024-01-08" in ln or "19730" in ln for ln in pf), pf
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    # the salted join must (a) actually be a shuffled join — a
+    # broadcast would defeat the point of salting — and (b) carry the
+    # salt in the join keys so a hot user_id spreads over n_salt
+    # reducers; the SALT must also never reach the output schema
+    plan = plan_of(spark, sf_dir, "skew_salted_join_audit")
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    smj = [ln for ln in plan.splitlines() if "keys" in ln and "salt" in ln]
+    assert smj, "salt must appear in the join keys"
+    df = SPECS["skew_salted_join_audit"].builder(spark, sf_dir)
+    assert "salt" not in df.columns
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark, sf_dir):
+    # the fact scan's PartitionFilters must carry a runtime
+    # dynamicpruning subquery fed by the dim-side week filter (plus
+    # whatever static predicates Catalyst infers through the join) —
+    # the scan is sized by the dim predicate, not the table
+    plan = plan_of(spark, sf_dir, "dynamic_partition_prune_audit")
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf, "expected a partitioned scan"
+    assert any("dynamicpruning" in ln for ln in pf), pf

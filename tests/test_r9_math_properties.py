@@ -132,3 +132,56 @@ def test_jaccard_ppm_floor_and_bounds(a, b):
     assert ppm == int(Fraction(overlap, union) * 1_000_000)
     assert 0 <= ppm <= 1_000_000
     assert (ppm == 1_000_000) == (a == b)
+
+
+# ---- ndcg_fused_eval: integer-weight NDCG == float-definition NDCG
+
+
+def test_ndcg_weight_table_matches_definition():
+    import math
+
+    from fitness_nutrition_data_pipeline_spark.queries.serving_ops import (
+        _EVAL_K,
+        _NDCG_CUM,
+        _NDCG_W,
+    )
+
+    assert len(_NDCG_W) == _EVAL_K and _NDCG_W[0] == 1_000_000
+    for i, w in enumerate(_NDCG_W, start=1):
+        assert w == round(1_000_000 / math.log2(i + 1))
+    # strictly decreasing discounts; cumsum table is their prefix sums
+    assert list(_NDCG_W) == sorted(_NDCG_W, reverse=True)
+    assert _NDCG_CUM == tuple(
+        sum(_NDCG_W[: k + 1]) for k in range(_EVAL_K)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(0, 1), min_size=1, max_size=50))
+def test_ndcg_ppm_tracks_float_ndcg(rel_at_rank):
+    """dcg*1e6 div idcg over the rounded integer weights must stay
+    within 10 ppm of the textbook float NDCG (binary gains): the
+    quantization error of round(1e6/log2) weights is ~1e-6 relative,
+    so the integer metric is the float metric for any consumer."""
+    import math
+
+    from fitness_nutrition_data_pipeline_spark.queries.serving_ops import (
+        _EVAL_K,
+        _NDCG_CUM,
+        _NDCG_W,
+    )
+
+    k = _EVAL_K
+    topk = rel_at_rank[:k]
+    n_rel = sum(rel_at_rank)
+    dcg_w = sum(w for w, r in zip(_NDCG_W, topk) if r)
+    idcg_w = _NDCG_CUM[min(n_rel, k) - 1] if n_rel else 0
+    ndcg_ppm = (dcg_w * 1_000_000) // idcg_w if idcg_w else 0
+
+    dcg_f = sum(
+        r / math.log2(i + 2) for i, r in enumerate(topk)
+    )
+    idcg_f = sum(1 / math.log2(i + 2) for i in range(min(n_rel, k)))
+    ndcg_f = dcg_f / idcg_f if idcg_f else 0.0
+    assert abs(ndcg_ppm - ndcg_f * 1_000_000) <= 10
+    assert 0 <= ndcg_ppm <= 1_000_000
