@@ -92,6 +92,13 @@ SHOWCASE = [
     ("partitioned_write_prune_audit", "partitioned write + readback: week predicate lands in PartitionFilters - 7 of ~31 day dirs scanned"),
     ("multimodal_payload_dedup", "binary CAS dedup: JVM magic sniff + md5-over-hex digests; only 32-char digests cross the shuffle"),
     ("markov_next_event_accuracy", "sequence eval: pinned per-user lead pass, state-count model broadcast into the test join"),
+    # r9 additions
+    ("hybrid_retrieval_eval", "serving cascade: pinned pairs pass (queries broadcast), two rank windows fused by RRF, metric joins top-10-sized"),
+    ("ndcg_fused_eval", "NDCG@10 on the same fused ranking: integer log2 weights as array literals, IDCG a cumsum lookup — no query-time float"),
+    ("skew_salted_join_audit", "hot-key salting: SortMergeJoin on (user_id, salt), dim replicated x8, salt never reaches the output"),
+    ("dynamic_partition_prune_audit", "runtime pruning: dim week-filter injects dynamicpruning PartitionFilter on the fact scan — 7 of ~30 day dirs read"),
+    ("ivm_batch_replay", "IVM bridge: three delta waves folded through the foreachBatch maintainer algebra, group-grain state only"),
+    ("rag_corpus_pipeline", "composed RAG ingestion: quality filter -> exact dedup -> posexplode chunker -> chunk-grain dedup, zero pre-rollup exchanges"),
 ]
 
 
