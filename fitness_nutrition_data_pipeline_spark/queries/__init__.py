@@ -139,6 +139,9 @@ _CHECK_PRIORITY = (
     # runtime sibling of the static prune audit: dim-filter-driven
     # dynamicpruning PartitionFilter on the fact scan (plan-tested)
     "dynamic_partition_prune_audit",
+    # train-side composition: curation survivors -> temperature mix ->
+    # budget -> packing -> sharding, integer math after one doc pass
+    "pretraining_mix_plan",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -161,8 +164,8 @@ _CHECK_PRIORITY = (
     "column_fill_rates",
     "fixed_size_stratum_sample",
     "ann_recall_contract",
-    "embedding_dedup_clusters",
     # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    "embedding_dedup_clusters",
     "embedding_lsh_buckets",
     "embedding_quantization_params",
     "bm25_query_scores",

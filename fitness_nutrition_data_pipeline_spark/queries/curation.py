@@ -381,3 +381,124 @@ def rag_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("emitted_tokens"),
         )
     )
+
+
+# -- pretraining mix plan: the train-side composition (the serving-side
+#    sibling is serving_ops; the ingestion sibling is rag_corpus_pipeline)
+
+_SEQ_LEN = 1024  # packed sequence length (tokens)
+_SHARD_SEQS = 32  # sequences per output shard
+_MIX_BUDGET = 100_000  # global token budget to allocate across sources
+
+
+@register(
+    "pretraining_mix_plan",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks,
+             CASE WHEN doc_id > min(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_exact
+      FROM documents
+    ),
+    kept AS (
+      SELECT source, len(toks) AS n_toks
+      FROM feats
+      WHERE is_exact = 0
+        AND len(toks) >= 10
+        AND CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL})))
+              AS DOUBLE) / len(toks) BETWEEN 0.01 AND 0.6
+    ),
+    src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs_kept,
+             CAST(sum(n_toks) AS BIGINT) AS tokens_kept
+      FROM kept GROUP BY source
+    ),
+    w AS (
+      SELECT source, n_docs_kept, tokens_kept,
+             CAST(round(pow(tokens_kept, 0.7) * 1000000) AS BIGINT)
+               AS weight_ppm
+      FROM src
+    ),
+    t AS (SELECT CAST(sum(weight_ppm) AS BIGINT) AS tot FROM w),
+    alloc AS (
+      SELECT w.source, w.n_docs_kept, w.tokens_kept, w.weight_ppm,
+             CAST({_MIX_BUDGET} * w.weight_ppm // t.tot AS BIGINT)
+               AS budget_tokens
+      FROM w CROSS JOIN t
+    )
+    SELECT source, n_docs_kept, tokens_kept, weight_ppm, budget_tokens,
+           CAST((budget_tokens + {_SEQ_LEN - 1}) // {_SEQ_LEN} AS BIGINT)
+             AS n_sequences,
+           CAST(((budget_tokens + {_SEQ_LEN - 1}) // {_SEQ_LEN}
+                 + {_SHARD_SEQS - 1}) // {_SHARD_SEQS} AS BIGINT)
+             AS n_shards
+    FROM alloc
+    ORDER BY source
+    """,
+    sort=("source",),
+    doc="The TRAIN-side composition closing the pipeline triangle "
+    "(ingestion = rag_corpus_pipeline, serving = serving_ops): curation "
+    "survivors (quality rule + exact-dedup min-id window, the exact "
+    "stages corpus_curation_pipeline grades) fold to source grain, then "
+    "temperature mixing (weight = pow(tokens, 0.7) quantized to integer "
+    "ppm immediately — the source_temperature_mix precedent), a global "
+    "token budget allocated by integer div, and ceil-div packing into "
+    "1024-token sequences and 32-sequence shards. Everything after the "
+    "one doc-grain pass is source-grain; the 1-row weight total "
+    "broadcasts; all outputs BIGINT. At 100 TB this is the planning "
+    "query a training-data job runs FIRST — the budgets/shard counts "
+    "it emits drive the actual shard writer (training_shard_assignment).",
+)
+def pretraining_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    is_exact = (
+        F.col("doc_id")
+        > F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    ).cast("int")
+    q = quality_features(
+        d.select("doc_id", "source", "text").withColumn("is_exact", is_exact),
+        "text",
+        _STOPWORDS,
+    )
+    kept = q.where(
+        (F.col("is_exact") == 0) & (F.col("passes_quality") == 1)
+    )
+    src = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+    )
+    w = src.withColumn(
+        "weight_ppm",
+        F.round(F.pow(F.col("tokens_kept"), F.lit(0.7)) * 1000000)
+        .cast("long"),
+    )
+    tot = w.agg(F.sum("weight_ppm").cast("long").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "budget_tokens",
+            F.expr(f"{_MIX_BUDGET}L * weight_ppm div tot").cast("long"),
+        )
+        .withColumn(
+            "n_sequences",
+            F.expr(f"(budget_tokens + {_SEQ_LEN - 1}) div {_SEQ_LEN}")
+            .cast("long"),
+        )
+        .withColumn(
+            "n_shards",
+            F.expr(
+                f"(n_sequences + {_SHARD_SEQS - 1}) div {_SHARD_SEQS}"
+            ).cast("long"),
+        )
+        .select(
+            "source",
+            "n_docs_kept",
+            "tokens_kept",
+            "weight_ppm",
+            "budget_tokens",
+            "n_sequences",
+            "n_shards",
+        )
+    )
