@@ -185,3 +185,38 @@ def test_ndcg_ppm_tracks_float_ndcg(rel_at_rank):
     ndcg_f = dcg_f / idcg_f if idcg_f else 0.0
     assert abs(ndcg_ppm - ndcg_f * 1_000_000) <= 10
     assert 0 <= ndcg_ppm <= 1_000_000
+
+
+# ---- pretraining_mix_plan: allocation/packing integer identities
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(1, 10**9), min_size=1, max_size=20))
+def test_mix_budget_allocation_conserves_and_packs(token_counts):
+    """Floor-div allocation never over-spends the global budget; each
+    source's ceil-div sequence count covers its budget exactly (no
+    sequence short by more than SEQ_LEN-1 tokens); shard counts cover
+    sequences the same way."""
+    from fitness_nutrition_data_pipeline_spark.queries.curation import (
+        _MIX_BUDGET,
+        _SEQ_LEN,
+        _SHARD_SEQS,
+    )
+
+    weights = [round((t ** 0.7) * 1_000_000) for t in token_counts]
+    tot = sum(weights)
+    budgets = [(_MIX_BUDGET * w) // tot for w in weights]
+    assert sum(budgets) <= _MIX_BUDGET  # floor-div never over-allocates
+    # floor-div under-allocation is bounded by one unit per source
+    assert _MIX_BUDGET - sum(budgets) < len(weights)
+    for b in budgets:
+        n_seq = (b + _SEQ_LEN - 1) // _SEQ_LEN
+        assert n_seq * _SEQ_LEN >= b
+        assert n_seq * _SEQ_LEN - b < _SEQ_LEN
+        n_shard = (n_seq + _SHARD_SEQS - 1) // _SHARD_SEQS
+        assert n_shard * _SHARD_SEQS >= n_seq
+        assert n_shard * _SHARD_SEQS - n_seq < _SHARD_SEQS
+    # monotone: a source with more tokens never gets a smaller budget
+    order = sorted(range(len(token_counts)), key=lambda i: token_counts[i])
+    for a, b in zip(order, order[1:]):
+        assert budgets[a] <= budgets[b]
