@@ -142,6 +142,9 @@ _CHECK_PRIORITY = (
     # train-side composition: curation survivors -> temperature mix ->
     # budget -> packing -> sharding, integer math after one doc pass
     "pretraining_mix_plan",
+    # additive-column evolution: gen-1 files without the column, gen-2
+    # with it, mergeSchema read audited against source recompute
+    "schema_evolution_read_audit",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -163,8 +166,8 @@ _CHECK_PRIORITY = (
     "sequence_packing_windows",
     "column_fill_rates",
     "fixed_size_stratum_sample",
-    "ann_recall_contract",
     # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    "ann_recall_contract",
     "embedding_dedup_clusters",
     "embedding_lsh_buckets",
     "embedding_quantization_params",

@@ -999,3 +999,76 @@ def dynamic_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+@register(
+    "schema_evolution_read_audit",
+    """
+    WITH v1 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(NULL AS VARCHAR) AS status
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    unioned AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    SELECT coalesce(status, '<pre-evolution>') AS status,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM unioned
+    GROUP BY 1
+    ORDER BY status
+    """,
+    sort=("status",),
+    doc="Schema evolution under the hard oracle: generation-1 files are "
+    "written WITHOUT the status column (even-key orders), generation-2 "
+    "files add it (odd-key orders) — the additive-column evolution "
+    "every long-lived lakehouse table goes through. The read-back uses "
+    "mergeSchema, so the unified schema materializes NULL status for "
+    "pre-evolution files, and the audit aggregates by "
+    "coalesce(status, '<pre-evolution>') with exact integer cents; the "
+    "oracle recomputes both generations from the source relation, so a "
+    "reader that dropped old files, misaligned columns by position, or "
+    "defaulted the missing column to anything but NULL hash-fails. At "
+    "100 TB this is why new columns are FREE in parquet (no rewrite of "
+    "old files) — and why readers must resolve columns by NAME, never "
+    "by position.",
+)
+def schema_evolution_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    path = f"/tmp/spark_graft_part_{tag}/orders_evolved"
+    # generation 1: the column does not exist yet
+    o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "cents"
+    ).write.mode("overwrite").parquet(path)
+    # generation 2: schema grows a column; old files are NOT rewritten
+    o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "cents", F.col("o_orderstatus").alias("status")
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("status"), F.lit("<pre-evolution>")).alias(
+                "status"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("status")
+    )
