@@ -145,6 +145,9 @@ _CHECK_PRIORITY = (
     # additive-column evolution: gen-1 files without the column, gen-2
     # with it, mergeSchema read audited against source recompute
     "schema_evolution_read_audit",
+    # inline/packed/external placement plan for binary payloads —
+    # payload bytes never shuffle, only (format, n_bytes) pairs
+    "multimodal_storage_tiering",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -165,8 +168,8 @@ _CHECK_PRIORITY = (
     "user_value_trend",
     "sequence_packing_windows",
     "column_fill_rates",
-    "fixed_size_stratum_sample",
     # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    "fixed_size_stratum_sample",
     "ann_recall_contract",
     "embedding_dedup_clusters",
     "embedding_lsh_buckets",

@@ -206,3 +206,90 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("format")
     )
+
+
+# storage-tier thresholds (bytes). Sized to the testdata's 48-553 B
+# payload range so all three tiers are populated; at production scale
+# the same plan runs with inline<4KB (fits the metadata row),
+# packed<1MB (many per file), external>=1MB (one CAS object each).
+_TIER_INLINE = 256
+_TIER_PACKED = 448
+
+
+@register(
+    "multimodal_storage_tiering",
+    f"""
+    WITH p AS (
+      SELECT CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'gif' ELSE 'riff' END AS format,
+             CAST(CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+                                  WHEN 2 THEN 6 ELSE 4 END
+                  + octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT CAST(sum(n_bytes) AS BIGINT) AS tot FROM p),
+    g AS (
+      SELECT format,
+             CASE WHEN n_bytes < {_TIER_INLINE} THEN 'inline'
+                  WHEN n_bytes < {_TIER_PACKED} THEN 'packed'
+                  ELSE 'external' END AS tier,
+             CAST(count(*) AS BIGINT) AS n_payloads,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             CAST(max(n_bytes) AS BIGINT) AS max_bytes
+      FROM p GROUP BY 1, 2
+    )
+    SELECT g.format, g.tier, g.n_payloads, g.total_bytes, g.max_bytes,
+           CAST(g.total_bytes * 1000000 // t.tot AS BIGINT)
+             AS bytes_share_ppm
+    FROM g CROSS JOIN t
+    ORDER BY format, tier
+    """,
+    sort=("format", "tier"),
+    doc="Binary-payload storage-tier placement plan — the inline/packed/"
+    "external decision every multimodal lakehouse makes: payloads small "
+    "enough to ride in the metadata row stay INLINE, mid-sized ones "
+    "PACK many-per-file, large ones go to one content-addressed object "
+    "each (EXTERNAL — where multimodal_payload_dedup's digests become "
+    "the keys). Grouped by sniffed container format x tier with exact "
+    "byte totals and an integer-ppm share of total bytes (1-row grand "
+    "total broadcast). Payload bytes are measured with F.length on the "
+    "BINARY column (octet semantics) — the payload itself never "
+    "shuffles; only (format, n_bytes) pairs do. Thresholds are module "
+    "constants sized to the testdata range; production uses 4KB/1MB "
+    "with the identical plan.",
+)
+def multimodal_storage_tiering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthesize_media(spark, sf_dir).where(
+        F.col("payload").isNotNull()
+    )
+    fmt = (
+        F.when(F.pmod(F.col("media_id"), F.lit(4)) == 0, "png")
+        .when(F.pmod(F.col("media_id"), F.lit(4)) == 1, "jpeg")
+        .when(F.pmod(F.col("media_id"), F.lit(4)) == 2, "gif")
+        .otherwise("riff")
+    )
+    p = media.select(
+        fmt.alias("format"),
+        F.length("payload").cast("long").alias("n_bytes"),
+    )
+    tier = (
+        F.when(F.col("n_bytes") < _TIER_INLINE, "inline")
+        .when(F.col("n_bytes") < _TIER_PACKED, "packed")
+        .otherwise("external")
+    )
+    g = p.groupBy("format", tier.alias("tier")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_payloads"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.max("n_bytes").cast("long").alias("max_bytes"),
+    )
+    tot = p.agg(F.sum("n_bytes").cast("long").alias("tot"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "format",
+        "tier",
+        "n_payloads",
+        "total_bytes",
+        "max_bytes",
+        F.expr("total_bytes * 1000000L div tot")
+        .cast("long")
+        .alias("bytes_share_ppm"),
+    )
