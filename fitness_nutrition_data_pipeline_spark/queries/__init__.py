@@ -148,6 +148,9 @@ _CHECK_PRIORITY = (
     # inline/packed/external placement plan for binary payloads —
     # payload bytes never shuffle, only (format, n_bytes) pairs
     "multimodal_storage_tiering",
+    # two-phase late-dim resolve-then-backfill, hash-proven equal to
+    # the one-shot join; never-arriving keys hit the placeholder row
+    "late_dim_backfill_audit",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -167,8 +170,8 @@ _CHECK_PRIORITY = (
     "sessionize_events",
     "user_value_trend",
     "sequence_packing_windows",
-    "column_fill_rates",
     # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    "column_fill_rates",
     "fixed_size_stratum_sample",
     "ann_recall_contract",
     "embedding_dedup_clusters",

@@ -1072,3 +1072,73 @@ def schema_evolution_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "late_dim_backfill_audit",
+    """
+    SELECT coalesce(c.c_mktsegment, '<unresolved>') AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+           CAST(sum(e.event_id) AS BIGINT) AS event_id_checksum
+    FROM events e
+    LEFT JOIN customer c
+      ON c.c_custkey = e.user_id AND c.c_custkey % 15 != 0
+    GROUP BY 1
+    ORDER BY segment
+    """,
+    sort=("segment",),
+    doc="Late-arriving dimension handling, PROVEN equal to the one-shot "
+    "join: the dim arrives in two waves (custkey % 3 != 0 early, the "
+    "rest late — the classic early-fact problem), except custkeys "
+    "divisible by 15 NEVER arrive, so the placeholder branch is "
+    "exercised on real rows, not just in theory. Phase 1 left-joins "
+    "facts against the EARLY wave only; misses become a pending set. "
+    "The backfill pass joins ONLY the pending rows (delta-sized, the "
+    "IVM property) against the late wave; rows matching neither wave "
+    "surface as '<unresolved>' — the placeholder-key row a warehouse "
+    "loads instead of dropping facts. The ORACLE is the single join "
+    "against the arrived dim, so the hash proves the two-phase "
+    "resolve-then-backfill algebra loses and double-counts nothing. "
+    "At 100 TB phase 1 is the nightly load and the backfill touches "
+    "pending x late-dim only — never the resolved fact mass.",
+)
+def late_dim_backfill_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    early = dim.where(F.col("c_custkey") % 3 != 0)
+    late = dim.where(
+        (F.col("c_custkey") % 3 == 0) & (F.col("c_custkey") % 15 != 0)
+    )
+    # phase 1: nightly load against the dim as it existed
+    ph1 = ev.join(early, ev.user_id == early.c_custkey, "left")
+    resolved1 = ph1.where(F.col("c_custkey").isNotNull()).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    # pending is delta-sized — pin it so the backfill join and the
+    # unresolved branch read one materialization, not two fact scans
+    pending = (
+        ph1.where(F.col("c_custkey").isNull())
+        .select("event_id", "user_id")
+        .localCheckpoint()
+    )
+    # backfill: pending x late-wave only
+    bf = pending.join(late, pending.user_id == late.c_custkey, "left")
+    resolved2 = bf.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("c_mktsegment"), F.lit("<unresolved>")).alias(
+            "c_mktsegment"
+        ),
+    )
+    final = resolved1.unionByName(resolved2)
+    return (
+        final.groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum("event_id").cast("long").alias("event_id_checksum"),
+        )
+    )
