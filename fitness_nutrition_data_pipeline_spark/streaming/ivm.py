@@ -106,12 +106,18 @@ class IncrementalAggMaintainer:
         m = IncrementalAggMaintainer(spark, "/state/dir",
                                      keys=["event_type"],
                                      keys_ddl="event_type string",
-                                     value_col="value_ppm", op_col="op")
-        stream.writeStream.foreachBatch(m.process_batch).start()
+                                     value_col="value_ppm", op_col="op",
+                                     query_tag=ckpt_dir)
+        (stream.writeStream.foreachBatch(m.process_batch)
+               .option("checkpointLocation", ckpt_dir).start())
 
     The state write is write-new-then-swap (never overwrite-in-place
     while a lineage may still read the old files); state is group-grain
-    so the rewrite cost is constant, not history-sized.
+    so the rewrite cost is constant, not history-sized. Pass
+    ``query_tag`` (normally the checkpointLocation) to make the sink
+    idempotent under foreachBatch's at-least-once redelivery — the
+    applied-batch watermark is swapped atomically with the state and
+    scoped to that query lineage.
     """
 
     def __init__(
@@ -123,6 +129,7 @@ class IncrementalAggMaintainer:
         keys_ddl: str,
         value_col: str,
         op_col: str | None = None,
+        query_tag: str | None = None,
     ) -> None:
         self.spark = spark
         self.state_dir = state_dir
@@ -130,13 +137,45 @@ class IncrementalAggMaintainer:
         self.keys_ddl = keys_ddl
         self.value_col = value_col
         self.op_col = op_col
+        # identity of the streaming query this maintainer serves —
+        # normally its checkpointLocation. batch_ids are only monotone
+        # WITHIN one checkpoint lineage, so the redelivery watermark is
+        # scoped to it; a new query against existing state (new
+        # checkpoint → ids restart at 0) must NOT be skipped. Without a
+        # tag the watermark is disabled and the sink is at-least-once.
+        self.query_tag = query_tag
 
     def read_state(self) -> DataFrame:
         if os.path.isdir(self.state_dir):
             return self.spark.read.parquet(self.state_dir)
         return empty_state(self.spark, self.keys_ddl)
 
+    def last_applied(self) -> int:
+        """Highest batch_id already folded into the state by THIS
+        query lineage (-1 if none, or if the stored tag belongs to a
+        different query — its ids are incomparable). Stored INSIDE the
+        state dir (underscore-prefixed, so parquet readers ignore it)
+        and swapped atomically with the state — the two can never
+        disagree."""
+        if self.query_tag is None:
+            return -1
+        p = os.path.join(self.state_dir, "_applied_batch_id")
+        if os.path.isfile(p):
+            with open(p) as f:
+                tag, _, bid = f.read().strip().rpartition("\n")
+            if tag == self.query_tag:
+                return int(bid)
+        return -1
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is AT-LEAST-ONCE: after a crash between our state
+        # swap and the engine's checkpoint commit, the SAME batch_id is
+        # re-delivered (with identical deterministic contents). Applying
+        # it again would double-count every effect — the query-scoped
+        # watermark makes the sink idempotent, which is what upgrades
+        # the end-to-end contract to exactly-once.
+        if batch_id <= self.last_applied():
+            return
         effects = delta_effects(
             batch, self.keys, self.value_col, op_col=self.op_col
         )
@@ -145,6 +184,9 @@ class IncrementalAggMaintainer:
         # reference the old state files — safe to swap underneath it
         tmp = self.state_dir + "._next"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        if self.query_tag is not None:
+            with open(os.path.join(tmp, "_applied_batch_id"), "w") as f:
+                f.write(f"{self.query_tag}\n{batch_id}")
         if os.path.isdir(self.state_dir):
             shutil.rmtree(self.state_dir)
         os.replace(tmp, self.state_dir)

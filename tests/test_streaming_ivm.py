@@ -121,3 +121,48 @@ def test_merge_is_order_insensitive_fold(spark):
     # and equals the hand recompute over net-surviving rows ('a' had
     # one retraction of its 3-valued insert)
     assert outs[0] == {"a": (1, 4), "b": (2, 3), "c": (1, 9)}
+
+
+def test_redelivered_batch_is_idempotent(spark, tmp_path_factory):
+    """foreachBatch is at-least-once: a crash between the state swap
+    and the engine's checkpoint commit re-delivers the SAME batch_id.
+    With a query_tag the maintainer must apply it exactly once."""
+    state = str(tmp_path_factory.mktemp("ivm_i_state")) + "/agg"
+    m = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-A",
+    )
+    b0 = spark.createDataFrame(
+        [("a", 10, "I"), ("b", 7, "I")], "k string, v long, op string"
+    )
+    m.process_batch(b0, 0)
+    m.process_batch(b0, 0)  # redelivery after simulated crash
+    assert _state_dict(m.read_state()) == {"a": (1, 10), "b": (1, 7)}
+    # the next id still applies
+    b1 = spark.createDataFrame([("a", 1, "I")], "k string, v long, op string")
+    m.process_batch(b1, 1)
+    assert _state_dict(m.read_state()) == {"a": (2, 11), "b": (1, 7)}
+
+
+def test_new_query_lineage_is_not_skipped(spark, tmp_path_factory):
+    """batch_ids restart at 0 for a NEW checkpoint lineage over the
+    same state — a different query_tag must not be deduped against the
+    previous lineage's watermark (ids are incomparable across tags)."""
+    state = str(tmp_path_factory.mktemp("ivm_n_state")) + "/agg"
+    m1 = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-A",
+    )
+    m1.process_batch(
+        spark.createDataFrame([("a", 5, "I")], "k string, v long, op string"),
+        0,
+    )
+    m2 = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-B",
+    )
+    m2.process_batch(
+        spark.createDataFrame([("a", 2, "I")], "k string, v long, op string"),
+        0,  # same id, different lineage — must apply
+    )
+    assert _state_dict(m2.read_state()) == {"a": (2, 7)}
