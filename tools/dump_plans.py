@@ -99,6 +99,10 @@ SHOWCASE = [
     ("dynamic_partition_prune_audit", "runtime pruning: dim week-filter injects dynamicpruning PartitionFilter on the fact scan — 7 of ~30 day dirs read"),
     ("ivm_batch_replay", "IVM bridge: three delta waves folded through the foreachBatch maintainer algebra, group-grain state only"),
     ("rag_corpus_pipeline", "composed RAG ingestion: quality filter -> exact dedup -> posexplode chunker -> chunk-grain dedup, zero pre-rollup exchanges"),
+    ("pretraining_mix_plan", "train-side composition: doc-grain pass folds to source grain, ppm temperature weights, integer-div budget, ceil-div packing"),
+    ("schema_evolution_read_audit", "mergeSchema readback over two file generations: NULL materialization for pre-evolution files, name-based resolution"),
+    ("multimodal_storage_tiering", "inline/packed/external placement: only (format, n_bytes) pairs shuffle, 1-row byte total broadcast for ppm shares"),
+    ("late_dim_backfill_audit", "two-phase late-dim resolution: pinned delta-sized pending set, backfill join never touches resolved facts"),
 ]
 
 
