@@ -21,6 +21,7 @@ are judged against (recorded per round in SCALE.md). The default
 from __future__ import annotations
 
 import json
+from statistics import median
 import os
 import sys
 import time
@@ -50,13 +51,6 @@ HEADLINE = [
     "sessionize_events",
     "rollup_qty",
 ]
-
-
-def _median(xs: list[float]) -> float:
-    s = sorted(xs)
-    n = len(s)
-    mid = n // 2
-    return s[mid] if n % 2 else (s[mid - 1] + s[mid]) / 2
 
 
 def main() -> None:
@@ -97,7 +91,7 @@ def main() -> None:
                 runs.append(dt)
                 best = dt if best is None else min(best, dt)
             timings[name] = round(
-                _median(runs) if median_mode else best, 3
+                median(runs) if median_mode else best, 3
             )
             spreads[name] = [round(min(runs), 3), round(max(runs), 3)]
         except Exception as e:  # noqa: BLE001

@@ -80,10 +80,12 @@ def register(
 # r8 asks #1/#2: the staged never-checked set first — user_ltv_deciles
 # (the sixth latent-DECIMAL fix, green signal predates the fix) plus all
 # 19 r8 registrations (r8 went 50/50 green, so these are the only
-# never-driver-checked queries) — then this round's 4 new compositions
-# (serving cascade, IVM streaming/batch bridge, RAG pipeline), then 26
-# of the 37 r4-stale queries (the oldest signal cohort; r8 cleared r3).
-# Below the fold: the remaining 11 r4-stale, queued for r10.
+# never-driver-checked queries) — then this round's 12 new
+# registrations (serving cascade + NDCG, IVM streaming/batch bridge,
+# RAG + pretraining-mix compositions, layout/salting/pruning/schema/
+# tiering/late-dim audits), then 18 of the 37 r4-stale queries (the
+# oldest signal cohort; r8 cleared r3). Below the fold: the remaining
+# 19 r4-stale, queued for r10. Window = 1 + 19 + 12 + 18 = 50.
 _CHECK_PRIORITY = (
     # --- round-9 window (driver checks the FIRST 50) ---
     # the sixth latent-DECIMAL member: fixed to DOUBLE in r8, but its

@@ -417,18 +417,18 @@ _MIX_BUDGET = 100_000  # global token budget to allocate across sources
     ),
     w AS (
       SELECT source, n_docs_kept, tokens_kept,
-             CAST(round(pow(tokens_kept, 0.7) * 1000000) AS BIGINT)
-               AS weight_ppm
+             CAST(round(pow(tokens_kept, 0.7) * 1000) AS BIGINT)
+               AS weight_q
       FROM src
     ),
-    t AS (SELECT CAST(sum(weight_ppm) AS BIGINT) AS tot FROM w),
+    t AS (SELECT CAST(sum(weight_q) AS BIGINT) AS tot FROM w),
     alloc AS (
-      SELECT w.source, w.n_docs_kept, w.tokens_kept, w.weight_ppm,
-             CAST({_MIX_BUDGET} * w.weight_ppm // t.tot AS BIGINT)
+      SELECT w.source, w.n_docs_kept, w.tokens_kept, w.weight_q,
+             CAST({_MIX_BUDGET} * w.weight_q // t.tot AS BIGINT)
                AS budget_tokens
       FROM w CROSS JOIN t
     )
-    SELECT source, n_docs_kept, tokens_kept, weight_ppm, budget_tokens,
+    SELECT source, n_docs_kept, tokens_kept, weight_q, budget_tokens,
            CAST((budget_tokens + {_SEQ_LEN - 1}) // {_SEQ_LEN} AS BIGINT)
              AS n_sequences,
            CAST(((budget_tokens + {_SEQ_LEN - 1}) // {_SEQ_LEN}
@@ -442,8 +442,10 @@ _MIX_BUDGET = 100_000  # global token budget to allocate across sources
     "(ingestion = rag_corpus_pipeline, serving = serving_ops): curation "
     "survivors (quality rule + exact-dedup min-id window, the exact "
     "stages corpus_curation_pipeline grades) fold to source grain, then "
-    "temperature mixing (weight = pow(tokens, 0.7) quantized to integer "
-    "ppm immediately — the source_temperature_mix precedent), a global "
+    "temperature mixing (weight = pow(tokens, 0.7) quantized x1000 to "
+    "an integer immediately — the source_temperature_mix precedent; "
+    "x1000 not ppm so BUDGET * weight stays inside int64 up to ~4e15 "
+    "tokens per source, review-caught overflow headroom), a global "
     "token budget allocated by integer div, and ceil-div packing into "
     "1024-token sequences and 32-sequence shards. Everything after the "
     "one doc-grain pass is source-grain; the 1-row weight total "
@@ -470,16 +472,16 @@ def pretraining_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("tokens_kept"),
     )
     w = src.withColumn(
-        "weight_ppm",
-        F.round(F.pow(F.col("tokens_kept"), F.lit(0.7)) * 1000000)
+        "weight_q",
+        F.round(F.pow(F.col("tokens_kept"), F.lit(0.7)) * 1000)
         .cast("long"),
     )
-    tot = w.agg(F.sum("weight_ppm").cast("long").alias("tot"))
+    tot = w.agg(F.sum("weight_q").cast("long").alias("tot"))
     return (
         w.crossJoin(F.broadcast(tot))
         .withColumn(
             "budget_tokens",
-            F.expr(f"{_MIX_BUDGET}L * weight_ppm div tot").cast("long"),
+            F.expr(f"{_MIX_BUDGET}L * weight_q div tot").cast("long"),
         )
         .withColumn(
             "n_sequences",
@@ -496,7 +498,7 @@ def pretraining_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs_kept",
             "tokens_kept",
-            "weight_ppm",
+            "weight_q",
             "budget_tokens",
             "n_sequences",
             "n_shards",

@@ -146,6 +146,7 @@ class IncrementalAggMaintainer:
         self.query_tag = query_tag
 
     def read_state(self) -> DataFrame:
+        self._recover()
         if os.path.isdir(self.state_dir):
             return self.spark.read.parquet(self.state_dir)
         return empty_state(self.spark, self.keys_ddl)
@@ -159,6 +160,7 @@ class IncrementalAggMaintainer:
         disagree."""
         if self.query_tag is None:
             return -1
+        self._recover()
         p = os.path.join(self.state_dir, "_applied_batch_id")
         if os.path.isfile(p):
             with open(p) as f:
@@ -167,6 +169,43 @@ class IncrementalAggMaintainer:
                 return int(bid)
         return -1
 
+    # swap-protocol sidecar dirs
+    def _next_dir(self) -> str:
+        return self.state_dir + "._next"
+
+    def _old_dir(self) -> str:
+        return self.state_dir + "._old"
+
+    def _next_complete(self) -> bool:
+        """A ._next dir is promotable only once EVERYTHING in it is on
+        disk. With a query_tag the watermark sidecar is written last,
+        so it is the completeness marker (promoting a watermark-less
+        dir would let the redelivered batch double-apply on top of the
+        new state); without a tag, parquet's own _SUCCESS marker."""
+        marker = "_applied_batch_id" if self.query_tag else "_SUCCESS"
+        return os.path.isfile(os.path.join(self._next_dir(), marker))
+
+    def _recover(self) -> None:
+        """Repair any crash window of the swap protocol (see
+        process_batch). Idempotent; called before every state read."""
+        nxt, old = self._next_dir(), self._old_dir()
+        if os.path.isdir(self.state_dir):
+            # crashes before the rename-aside (leftover ._next was never
+            # committed — its batch will be re-delivered) or after the
+            # swap-in (leftover ._old already superseded): discard both
+            shutil.rmtree(nxt, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if self._next_complete():
+            # crash between rename-aside and swap-in: ._next is whole
+            # (watermark included), so finish the swap
+            os.replace(nxt, self.state_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            # ._next unusable — roll back; the batch re-delivers
+            os.replace(old, self.state_dir)
+            shutil.rmtree(nxt, ignore_errors=True)
+
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # foreachBatch is AT-LEAST-ONCE: after a crash between our state
         # swap and the engine's checkpoint commit, the SAME batch_id is
@@ -174,6 +213,7 @@ class IncrementalAggMaintainer:
         # it again would double-count every effect — the query-scoped
         # watermark makes the sink idempotent, which is what upgrades
         # the end-to-end contract to exactly-once.
+        self._recover()
         if batch_id <= self.last_applied():
             return
         effects = delta_effects(
@@ -181,12 +221,21 @@ class IncrementalAggMaintainer:
         )
         merged = merge_state(self.read_state(), effects, self.keys)
         # merged is localCheckpoint-pinned, so its rows no longer
-        # reference the old state files — safe to swap underneath it
-        tmp = self.state_dir + "._next"
+        # reference the old state files — safe to swap underneath it.
+        # Swap protocol (every step atomic or repairable by _recover):
+        # write ._next fully (watermark last) → rename state aside to
+        # ._old → rename ._next in → drop ._old. A crash in any window
+        # either rolls back (batch re-delivers) or rolls forward
+        # (watermark skips the redelivery) — never an empty state, which
+        # a delete-then-rename sequence could leave behind.
+        tmp = self._next_dir()
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         if self.query_tag is not None:
             with open(os.path.join(tmp, "_applied_batch_id"), "w") as f:
                 f.write(f"{self.query_tag}\n{batch_id}")
+        old = self._old_dir()
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(self.state_dir):
-            shutil.rmtree(self.state_dir)
+            os.replace(self.state_dir, old)
         os.replace(tmp, self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)

@@ -203,8 +203,12 @@ def test_mix_budget_allocation_conserves_and_packs(token_counts):
         _SHARD_SEQS,
     )
 
-    weights = [round((t ** 0.7) * 1_000_000) for t in token_counts]
+    weights = [round((t ** 0.7) * 1_000) for t in token_counts]
     tot = sum(weights)
+    # int64 headroom: BUDGET * weight must not overflow for any source
+    # up to ~4e15 tokens (the x1000-not-ppm quantization exists for
+    # exactly this; a 100 TB corpus is ~2e13 tokens total)
+    assert _MIX_BUDGET * round((4e15 ** 0.7) * 1_000) < 2**63
     budgets = [(_MIX_BUDGET * w) // tot for w in weights]
     assert sum(budgets) <= _MIX_BUDGET  # floor-div never over-allocates
     # floor-div under-allocation is bounded by one unit per source

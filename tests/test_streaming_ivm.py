@@ -166,3 +166,60 @@ def test_new_query_lineage_is_not_skipped(spark, tmp_path_factory):
         0,  # same id, different lineage — must apply
     )
     assert _state_dict(m2.read_state()) == {"a": (2, 7)}
+
+
+def test_crash_between_renames_rolls_forward(spark, tmp_path_factory):
+    """Simulated crash AFTER the state was renamed aside and the
+    complete ._next (watermark included) was left un-promoted: recovery
+    must finish the swap, and the redelivered batch must be skipped."""
+    import os
+    import shutil
+
+    state = str(tmp_path_factory.mktemp("ivm_c_state")) + "/agg"
+    m = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-A",
+    )
+    b0 = spark.createDataFrame([("a", 5, "I")], "k string, v long, op string")
+    b1 = spark.createDataFrame([("a", 2, "I")], "k string, v long, op string")
+    m.process_batch(b0, 0)
+    m.process_batch(b1, 1)
+    # reconstruct the mid-swap crash: current state (after batch 1)
+    # becomes the un-promoted ._next; prior state (after batch 0 only)
+    # becomes ._old; state_dir is gone
+    prior = IncrementalAggMaintainer(
+        spark, state + "_prior", keys=["k"], keys_ddl="k string",
+        value_col="v", op_col="op", query_tag="ckpt-A",
+    )
+    prior.process_batch(b0, 0)
+    shutil.move(state, state + "._next")
+    shutil.move(state + "_prior", state + "._old")
+    m.process_batch(b1, 1)  # redelivery against the crashed layout
+    assert not os.path.isdir(state + "._next")
+    assert not os.path.isdir(state + "._old")
+    assert _state_dict(m.read_state()) == {"a": (2, 7)}  # applied ONCE
+
+
+def test_crash_with_incomplete_next_rolls_back(spark, tmp_path_factory):
+    """Simulated crash mid-write of ._next (no watermark sidecar):
+    recovery must restore ._old and the redelivered batch must apply —
+    never an empty state, never a double-apply."""
+    import os
+    import shutil
+
+    state = str(tmp_path_factory.mktemp("ivm_rb_state")) + "/agg"
+    m = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-A",
+    )
+    b0 = spark.createDataFrame([("a", 5, "I")], "k string, v long, op string")
+    b1 = spark.createDataFrame([("b", 3, "I")], "k string, v long, op string")
+    m.process_batch(b0, 0)
+    # crash layout: state renamed aside, ._next exists but is junk
+    # (parquet write died before the watermark landed)
+    shutil.move(state, state + "._old")
+    os.makedirs(state + "._next")
+    with open(state + "._next/part-junk", "w") as f:
+        f.write("torn write")
+    m.process_batch(b1, 1)  # redelivery
+    assert _state_dict(m.read_state()) == {"a": (1, 5), "b": (1, 3)}
