@@ -166,7 +166,14 @@ class IncrementalAggMaintainer:
             with open(p) as f:
                 tag, _, bid = f.read().strip().rpartition("\n")
             if tag == self.query_tag:
-                return int(bid)
+                try:
+                    return int(bid)
+                except ValueError:
+                    # torn sidecar (crash without fsync): treat as
+                    # unknown rather than crash-looping the stream; the
+                    # protocol only reaches this file through a
+                    # completed ._next swap, so in practice it is whole
+                    return -1
         return -1
 
     # swap-protocol sidecar dirs
