@@ -80,12 +80,13 @@ def register(
 # r8 asks #1/#2: the staged never-checked set first — user_ltv_deciles
 # (the sixth latent-DECIMAL fix, green signal predates the fix) plus all
 # 19 r8 registrations (r8 went 50/50 green, so these are the only
-# never-driver-checked queries) — then this round's 12 new
+# never-driver-checked queries) — then this round's 14 new
 # registrations (serving cascade + NDCG, IVM streaming/batch bridge,
 # RAG + pretraining-mix compositions, layout/salting/pruning/schema/
-# tiering/late-dim audits), then 18 of the 37 r4-stale queries (the
-# oldest signal cohort; r8 cleared r3). Below the fold: the remaining
-# 19 r4-stale, queued for r10. Window = 1 + 19 + 12 + 18 = 50.
+# tiering/late-dim/restatement/k-core audits), then 16 of the 37
+# r4-stale queries (the oldest signal cohort; r8 cleared r3). Below
+# the fold: the remaining 21 r4-stale, queued for r10.
+# Window = 1 + 19 + 14 + 16 = 50.
 _CHECK_PRIORITY = (
     # --- round-9 window (driver checks the FIRST 50) ---
     # the sixth latent-DECIMAL member: fixed to DOUBLE in r8, but its
@@ -153,6 +154,11 @@ _CHECK_PRIORITY = (
     # two-phase late-dim resolve-then-backfill, hash-proven equal to
     # the one-shot join; never-arriving keys hit the placeholder row
     "late_dim_backfill_audit",
+    # day-grain restatement: recompute ONLY late-touched partitions,
+    # hash-proven equal to full recompute (lambda-architecture backfill)
+    "partition_restatement_audit",
+    # bounded-round k-core peel on the capped co-purchase graph
+    "kcore_peel_audit",
     # --- r4-stale rotation (oldest driver signal registry-wide) ---
     "tpch_q7_volume_shipping",
     "tpch_q8_market_share",
@@ -170,9 +176,9 @@ _CHECK_PRIORITY = (
     "retention_matrix",
     "signup_conversion_cohorts",
     "sessionize_events",
+    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
     "user_value_trend",
     "sequence_packing_windows",
-    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
     "column_fill_rates",
     "fixed_size_stratum_sample",
     "ann_recall_contract",

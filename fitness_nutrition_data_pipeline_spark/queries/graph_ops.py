@@ -237,3 +237,111 @@ def khop_reach_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_hop2_new", F.lit(0)).cast("long").alias("n_hop2_new"),
         )
     )
+
+
+_KCORE_K = 3
+_EDGE_CTES = """
+    sized AS (
+      SELECT l_orderkey, l_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS basket_size
+      FROM lineitem
+    ),
+    capped AS (SELECT l_orderkey, l_partkey FROM sized WHERE basket_size <= 20),
+    pairs AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    )
+"""
+
+
+@register(
+    "kcore_peel_audit",
+    f"""
+    WITH {_EDGE_CTES},
+    deg0 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+             FROM pairs GROUP BY src),
+    keep1 AS (SELECT v FROM deg0 WHERE d >= {_KCORE_K}),
+    e1 AS (
+      SELECT p.src, p.dst FROM pairs p
+      JOIN keep1 a ON a.v = p.src JOIN keep1 b ON b.v = p.dst
+    ),
+    deg1 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+             FROM e1 GROUP BY src),
+    keep2 AS (SELECT v FROM deg1 WHERE d >= {_KCORE_K}),
+    e2 AS (
+      SELECT p.src, p.dst FROM e1 p
+      JOIN keep2 a ON a.v = p.src JOIN keep2 b ON b.v = p.dst
+    ),
+    deg2 AS (SELECT src AS v, CAST(count(*) AS BIGINT) AS d
+             FROM e2 GROUP BY src)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS round,
+             CAST(count(*) AS BIGINT) AS n_vertices,
+             CAST(coalesce(sum(d), 0) AS BIGINT) AS n_directed_edges,
+             CAST(coalesce(min(d), 0) AS BIGINT) AS min_degree,
+             CAST(coalesce(max(d), 0) AS BIGINT) AS max_degree
+      FROM deg0
+      UNION ALL
+      SELECT 1, CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(d), 0) AS BIGINT),
+             CAST(coalesce(min(d), 0) AS BIGINT),
+             CAST(coalesce(max(d), 0) AS BIGINT) FROM deg1
+      UNION ALL
+      SELECT 2, CAST(count(*) AS BIGINT),
+             CAST(coalesce(sum(d), 0) AS BIGINT),
+             CAST(coalesce(min(d), 0) AS BIGINT),
+             CAST(coalesce(max(d), 0) AS BIGINT) FROM deg2
+    ) ORDER BY round
+    """,
+    sort=("round",),
+    doc="Bounded-round k-core peel (k=3, two rounds) over the basket-"
+    "capped co-purchase graph: each round drops vertices with degree "
+    "< k and the edges touching them, reporting vertex/edge counts and "
+    "the degree envelope per round — the shrinking-subgraph trace a "
+    "true k-core computes to fixpoint. Per round the distributed cost "
+    "is ONE degree aggregate plus one semi-join of the edge list "
+    "against surviving vertices (edge list pinned once, the "
+    "lsh_dedup_clusters bounded-iteration precedent); rounds converge "
+    "in O(peeling depth). The bounded unroll keeps the oracle "
+    "SQL-expressible; at 100 TB the same two operations loop until "
+    "no vertex drops.",
+)
+def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = copurchase_edges(li).localCheckpoint()
+    stats = []
+    for rnd in range(3):
+        deg = edges.groupBy(F.col("src").alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("d")
+        )
+        stats.append(
+            deg.agg(
+                F.lit(rnd).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_vertices"),
+                F.coalesce(F.sum("d"), F.lit(0))
+                .cast("long")
+                .alias("n_directed_edges"),
+                F.coalesce(F.min("d"), F.lit(0))
+                .cast("long")
+                .alias("min_degree"),
+                F.coalesce(F.max("d"), F.lit(0))
+                .cast("long")
+                .alias("max_degree"),
+            )
+        )
+        if rnd < 2:
+            keep = deg.where(F.col("d") >= _KCORE_K).select("v")
+            edges = (
+                edges.join(
+                    keep.withColumnRenamed("v", "src"), "src", "left_semi"
+                )
+                .join(keep.withColumnRenamed("v", "dst"), "dst", "left_semi")
+                .localCheckpoint()
+            )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
