@@ -224,3 +224,78 @@ def test_mix_budget_allocation_conserves_and_packs(token_counts):
     order = sorted(range(len(token_counts)), key=lambda i: token_counts[i])
     for a, b in zip(order, order[1:]):
         assert budgets[a] <= budgets[b]
+
+
+# ---- partition_restatement_audit: scoped recompute == full recompute
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 100), st.booleans()),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_partition_restatement_equals_full_recompute(rows):
+    """(day, value, is_late) rows: recomputing ONLY late-touched days
+    from full rows and keeping nightly aggregates elsewhere must equal
+    the full per-day recompute — for ANY late/on-time split."""
+    from collections import defaultdict
+
+    full = defaultdict(lambda: [0, 0])
+    nightly = defaultdict(lambda: [0, 0])
+    affected = set()
+    for day, v, late in rows:
+        full[day][0] += 1
+        full[day][1] += v
+        if late:
+            affected.add(day)
+        else:
+            nightly[day][0] += 1
+            nightly[day][1] += v
+    restated = {
+        d: agg for d, agg in nightly.items() if d not in affected
+    }
+    for d in affected:
+        restated[d] = full[d]
+    assert restated == dict(full)
+
+
+# ---- kcore_peel_audit: peel invariants
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_kcore_peel_monotone_and_fixpoint_consistent(raw):
+    """Two peel rounds (k=3) over a symmetrized simple graph: vertex
+    and edge counts shrink monotonically, every surviving round-2
+    vertex had round-1 degree >= k, and a round that removes nothing
+    is a fixpoint (round 2 == round 1)."""
+    k = 3
+    edges = {(a, b) for a, b in raw if a != b}
+    edges |= {(b, a) for a, b in edges}
+
+    def degrees(es):
+        d = {}
+        for a, _ in es:
+            d[a] = d.get(a, 0) + 1
+        return d
+
+    traces = []
+    es = edges
+    for _ in range(3):
+        d = degrees(es)
+        traces.append((len(d), sum(d.values())))
+        keep = {v for v, deg in d.items() if deg >= k}
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+    (v0, e0), (v1, e1), (v2, e2) = traces
+    assert v0 >= v1 >= v2 and e0 >= e1 >= e2
+    if (v1, e1) == (v0, e0):  # nothing removed -> fixpoint
+        assert (v2, e2) == (v1, e1)

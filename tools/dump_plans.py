@@ -103,6 +103,8 @@ SHOWCASE = [
     ("schema_evolution_read_audit", "mergeSchema readback over two file generations: NULL materialization for pre-evolution files, name-based resolution"),
     ("multimodal_storage_tiering", "inline/packed/external placement: only (format, n_bytes) pairs shuffle, 1-row byte total broadcast for ppm shares"),
     ("late_dim_backfill_audit", "two-phase late-dim resolution: pinned delta-sized pending set, backfill join never touches resolved facts"),
+    ("partition_restatement_audit", "day-grain restatement: broadcast affected-day set, anti-join keeps untouched aggregates, recompute reads affected days only"),
+    ("kcore_peel_audit", "bounded k-core peel: pinned edge list, per round one degree agg + two left-semi joins against survivors"),
 ]
 
 
