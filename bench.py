@@ -57,7 +57,12 @@ def main() -> None:
     median_mode = "--median" in sys.argv
     if median_mode:
         i = sys.argv.index("--median")
-        reps = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 5
+        # only consume the next token if it is actually a rep count —
+        # `bench.py --median somefile` must not ValueError on int()
+        nxt = sys.argv[i + 1] if len(sys.argv) > i + 1 else ""
+        reps = int(nxt) if nxt.isdigit() else 5
+        if reps < 1:
+            raise SystemExit("--median rep count must be >= 1")
     else:
         reps = 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

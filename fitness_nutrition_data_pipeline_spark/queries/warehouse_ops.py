@@ -1185,11 +1185,19 @@ def partition_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("v_ppm").cast("long").alias("value_ppm"),
     )
-    # affected-partition set: distinct days in the late delta (tiny)
-    affected = late.select("day").distinct().localCheckpoint()
+    # affected-partition set: distinct days in the late delta (tiny).
+    # Both joins below are NULL-SAFE: a NULL-ts late row makes NULL a
+    # legitimate affected "day" (the oracle groups NULL day normally);
+    # a plain equi-join would drop it from the recompute while the
+    # anti-join kept the stale nightly NULL row — a divergence latent
+    # until a fixture gains NULL timestamps (r9 advice).
+    affected = (
+        late.select(F.col("day").alias("aday")).distinct().localCheckpoint()
+    )
     # recompute ONLY affected days from the full row set for those days
     restated = (
-        ev.join(F.broadcast(affected), "day")
+        ev.join(F.broadcast(affected), F.col("day").eqNullSafe(F.col("aday")))
+        .drop("aday")
         .groupBy("day")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
@@ -1197,7 +1205,11 @@ def partition_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # untouched days keep the nightly aggregate as-is
-    untouched = nightly.join(F.broadcast(affected), "day", "left_anti")
+    untouched = nightly.join(
+        F.broadcast(affected),
+        F.col("day").eqNullSafe(F.col("aday")),
+        "left_anti",
+    )
     return untouched.unionByName(restated).select(
         F.col("day").cast("string").alias("day"), "n_events", "value_ppm"
     )

@@ -33,6 +33,23 @@ from pyspark.sql import functions as F
 _STATE_MEASURES = ("n_events", "value_ppm")
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a directory so a completed rename/create inside it survives
+    power loss (POSIX renames are atomic but not durable until the
+    containing directory is synced). Best-effort on platforms whose
+    filesystems refuse O_RDONLY dir fds."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def delta_effects(
     batch: DataFrame,
     keys: list[str],
@@ -131,6 +148,20 @@ class IncrementalAggMaintainer:
         op_col: str | None = None,
         query_tag: str | None = None,
     ) -> None:
+        # the swap protocol is plain-POSIX (os.replace/shutil on the
+        # driver), so the state dir MUST be a local filesystem path — a
+        # scheme'd URI (hdfs://, s3a://) would make os.path.isdir return
+        # False and read_state() silently resume from EMPTY state (wrong
+        # aggregates, no error). Fail loudly instead; for object-store
+        # state, front it with a local mount or swap this class for a
+        # committer that speaks the store's rename semantics.
+        if "://" in state_dir:
+            raise ValueError(
+                "IncrementalAggMaintainer state_dir must be a local "
+                f"filesystem path (got URI {state_dir!r}); the "
+                "write-new-then-swap protocol uses POSIX renames and "
+                "cannot provide atomicity on remote filesystems"
+            )
         self.spark = spark
         self.state_dir = state_dir
         self.keys = keys
@@ -169,11 +200,21 @@ class IncrementalAggMaintainer:
                 try:
                     return int(bid)
                 except ValueError:
-                    # torn sidecar (crash without fsync): treat as
-                    # unknown rather than crash-looping the stream; the
-                    # protocol only reaches this file through a
-                    # completed ._next swap, so in practice it is whole
-                    return -1
+                    # the protocol fsyncs the sidecar and its directory
+                    # before every promotion, so a matching tag with an
+                    # unparsable batch id means the state dir was
+                    # corrupted OUTSIDE the protocol. Returning -1 here
+                    # would silently re-apply a batch the lineage
+                    # provably already folded in (double-count) — fail
+                    # loudly instead.
+                    raise RuntimeError(
+                        f"corrupt _applied_batch_id in {self.state_dir}:"
+                        f" tag matches query but batch id {bid!r} is "
+                        "unparsable; refusing to guess (re-applying a "
+                        "delivered batch would double-count). Restore "
+                        "the state dir from the upstream source or "
+                        "delete it to rebuild from batch 0."
+                    ) from None
         return -1
 
     # swap-protocol sidecar dirs
@@ -238,11 +279,21 @@ class IncrementalAggMaintainer:
         tmp = self._next_dir()
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         if self.query_tag is not None:
+            # durability, not just atomicity: fsync the sidecar and the
+            # dirs the renames mutate, so the exactly-once claim holds
+            # across POWER LOSS, not just process crashes. Without the
+            # fsyncs, a machine crash could persist the rename but tear
+            # the watermark — and a torn watermark whose tag still
+            # matched would have silently re-applied the batch.
             with open(os.path.join(tmp, "_applied_batch_id"), "w") as f:
                 f.write(f"{self.query_tag}\n{batch_id}")
+                f.flush()
+                os.fsync(f.fileno())
+            _fsync_dir(tmp)
         old = self._old_dir()
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(self.state_dir):
             os.replace(self.state_dir, old)
         os.replace(tmp, self.state_dir)
+        _fsync_dir(os.path.dirname(os.path.abspath(self.state_dir)))
         shutil.rmtree(old, ignore_errors=True)

@@ -223,3 +223,44 @@ def test_crash_with_incomplete_next_rolls_back(spark, tmp_path_factory):
         f.write("torn write")
     m.process_batch(b1, 1)  # redelivery
     assert _state_dict(m.read_state()) == {"a": (1, 5), "b": (1, 3)}
+
+
+def test_remote_state_dir_rejected(spark):
+    """The swap protocol is POSIX-rename based; a scheme'd URI would make
+    os.path checks silently see 'no state' and resume from empty (wrong
+    aggregates). The constructor must refuse it loudly."""
+    import pytest
+
+    for uri in ("hdfs://nn/state/agg", "s3a://bucket/state/agg"):
+        with pytest.raises(ValueError, match="local filesystem"):
+            IncrementalAggMaintainer(
+                spark, uri, keys=["k"], keys_ddl="k string", value_col="v"
+            )
+
+
+def test_corrupt_watermark_raises_not_reapplies(spark, tmp_path_factory):
+    """A watermark whose tag matches this query but whose batch id is
+    unparsable means out-of-protocol corruption (the protocol fsyncs the
+    sidecar before promotion). Guessing -1 would double-apply a batch the
+    lineage provably folded in — the maintainer must raise instead."""
+    import os
+    import pytest
+
+    state = str(tmp_path_factory.mktemp("ivm_corrupt")) + "/agg"
+    m = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-A",
+    )
+    b0 = spark.createDataFrame([("a", 5, "I")], "k string, v long, op string")
+    m.process_batch(b0, 0)
+    # corrupt the batch id in place, tag intact
+    with open(os.path.join(state, "_applied_batch_id"), "w") as f:
+        f.write("ckpt-A\nnot-a-number")
+    with pytest.raises(RuntimeError, match="corrupt _applied_batch_id"):
+        m.last_applied()
+    # a DIFFERENT query's tag stays incomparable -> -1, no raise
+    m2 = IncrementalAggMaintainer(
+        spark, state, keys=["k"], keys_ddl="k string", value_col="v",
+        op_col="op", query_tag="ckpt-B",
+    )
+    assert m2.last_applied() == -1
