@@ -76,107 +76,17 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-9 window (exactly 50), per VERDICT
-# r8 asks #1/#2: the staged never-checked set first — user_ltv_deciles
-# (the sixth latent-DECIMAL fix, green signal predates the fix) plus all
-# 19 r8 registrations (r8 went 50/50 green, so these are the only
-# never-driver-checked queries) — then this round's 14 new
-# registrations (serving cascade + NDCG, IVM streaming/batch bridge,
-# RAG + pretraining-mix compositions, layout/salting/pruning/schema/
-# tiering/late-dim/restatement/k-core audits), then 16 of the 37
-# r4-stale queries (the oldest signal cohort; r8 cleared r3). Below
-# the fold: the remaining 21 r4-stale, queued for r10.
-# Window = 1 + 19 + 14 + 16 = 50.
+# ordering is signal allocation. Round-10 window, per VERDICT r9 ask #1:
+# lead with ALL 21 remaining r4-stale queries (the oldest driver signal
+# registry-wide; r9 refreshed the other 16 and went 50/50 green), then
+# this round's new registrations, then r5-stale refreshes to fill the
+# window — clearing the r4 cohort entirely makes the oldest signal
+# registry-wide r5, the target the r8 verdict set.
 _CHECK_PRIORITY = (
-    # --- round-9 window (driver checks the FIRST 50) ---
-    # the sixth latent-DECIMAL member: fixed to DOUBLE in r8, but its
-    # green signal predates the fix (r4) — prove the fix, not the luck
-    "user_ltv_deciles",
-    # r8 corpus operators (corpus_ops2): strict-verified 3 SFs locally,
-    # never driver-checked
-    "rag_chunk_plan",
-    "filter_funnel_attribution",
-    "tokenizer_fertility_by_source",
-    "char_class_profile",
-    "cdc_merge_apply",
-    "target_encoding_smoothed",
-    "changepoint_cusum",
-    # r8 model-eval wave (eval_ops): exact rank AUC, calibration bins,
-    # Bradley-Terry MM scores
-    "auc_exact_rank",
-    "calibration_reliability_bins",
-    "bradley_terry_scores",
-    # S5's bucketed writer under the hard oracle (was pytest-only)
-    "bucketed_join_audit",
-    "feature_hashing_collisions",
-    "halflife_decay_scores",
-    "incremental_agg_maintenance",
-    "rfm_segmentation",
-    # completes the S5 layout trio under the oracle
-    "partitioned_write_prune_audit",
-    # exact binary-payload CAS dedup, sniffed format under the hash
-    "multimodal_payload_dedup",
-    # sequence-model eval: temporal-split Markov top-1 accuracy
-    "markov_next_event_accuracy",
-    # the executable chunker hash-proven equal to its closed-form plan
-    "rag_chunk_emit_audit",
-    # --- new r9 registrations (strict-verified at 3 SFs) ---
-    # serving-side retrieval: hybrid retrieve->fuse->evaluate and the
-    # retrieve->rerank->evaluate cascade (VERDICT r8 ask #3)
-    "hybrid_retrieval_eval",
-    "rerank_eval_lift",
-    # streaming/batch IVM bridge: foreachBatch maintainer algebra
-    # hash-proven equal to recompute (ask #4)
-    "ivm_batch_replay",
-    # chunker + dedup + quality composed into the RAG ingestion flow
-    # (ask #6)
-    "rag_corpus_pipeline",
-    # DESCRIBE FORMATTED layout introspection under the oracle (ask #7)
-    "storage_layout_inventory_audit",
-    # NDCG@10 on the same fused ranking as hybrid_retrieval_eval
-    # (shared CTEs; integer log2 weights precomputed once in Python)
-    "ndcg_fused_eval",
-    # routing-only salt spread of a hot join key, hash-proven
-    # semantics-preserving against the plain-join oracle
-    "skew_salted_join_audit",
-    # runtime sibling of the static prune audit: dim-filter-driven
-    # dynamicpruning PartitionFilter on the fact scan (plan-tested)
-    "dynamic_partition_prune_audit",
-    # train-side composition: curation survivors -> temperature mix ->
-    # budget -> packing -> sharding, integer math after one doc pass
-    "pretraining_mix_plan",
-    # additive-column evolution: gen-1 files without the column, gen-2
-    # with it, mergeSchema read audited against source recompute
-    "schema_evolution_read_audit",
-    # inline/packed/external placement plan for binary payloads —
-    # payload bytes never shuffle, only (format, n_bytes) pairs
-    "multimodal_storage_tiering",
-    # two-phase late-dim resolve-then-backfill, hash-proven equal to
-    # the one-shot join; never-arriving keys hit the placeholder row
-    "late_dim_backfill_audit",
-    # day-grain restatement: recompute ONLY late-touched partitions,
-    # hash-proven equal to full recompute (lambda-architecture backfill)
-    "partition_restatement_audit",
-    # bounded-round k-core peel on the capped co-purchase graph
-    "kcore_peel_audit",
-    # --- r4-stale rotation (oldest driver signal registry-wide) ---
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q19_discounted_revenue",
-    "supplier_authority_rank",
-    "gini_customer_spend",
-    "chi_square_priority_status",
-    "equi_depth_price_deciles",
-    "benford_first_digit",
-    "daily_anomaly_zscore",
-    "mad_outlier_counts",
-    "entropy_event_type_buckets",
-    "interarrival_gap_stats",
-    "retention_matrix",
-    "signup_conversion_cohorts",
-    "sessionize_events",
-    # --- below the 50-line: the remaining r4-stale, queued for r10 ---
+    # --- round-10 window (driver checks the FIRST 50) ---
+    # (1) the full r4-stale cohort: 21 queries whose green signal
+    # predates five rounds of shared-infra churn (incl. the DECIMAL
+    # lane fix); all HEAD-green in the r9 closing 3-SF sweeps
     "user_value_trend",
     "sequence_packing_windows",
     "column_fill_rates",
@@ -198,6 +108,43 @@ _CHECK_PRIORITY = (
     "type_token_ratio",
     "unigram_logprob_docs",
     "zipf_slope_top_terms",
+    # (2) new r10 registrations (strict-verified at 3 SFs before
+    # registration; inserted here as they land)
+    # (3) r5-stale refreshes fill the remaining slots: the bench
+    # headliners whose wall-clock regressed with untouched code
+    # (minhash_lsh_buckets +26% over two rounds — prove the semantics
+    # while the plan-diff proves the physics), the newly-oracled
+    # multimodal_format_profile, the DECIMAL money lane, and the six
+    # r5-stale TPC-H analogues
+    "minhash_lsh_buckets",
+    "star_join_topk",
+    "entity_resolution_profiles",
+    "multimodal_format_profile",
+    "decimal_money_totals",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "surrogate_key_assignment",
+    "heavy_hitters_verified",
+    "winnowing_cross_matches",
+    "sessionize_native_window",
+    "date_dimension",
+    "composite_pk_check",
+    "dedup_exact_summary",
+    "inverted_index_postings",
+    "k_anonymity_audit",
+    "corpus_datacard",
+    "cross_source_dup_leakage",
+    "minhash_jaccard_calibration",
+    "mmr_diversified_topk",
+    "attribution_batch_replay",
+    "bigram_pmi_collocations",
+    "bpe_merge_candidates",
+    "column_profile_orders",
+    "concurrent_sessions_peak",
 )
 
 
