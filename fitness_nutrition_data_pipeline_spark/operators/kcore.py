@@ -1,0 +1,147 @@
+"""k-core decomposition to FIXPOINT — the loop-until-converged form of
+queries/graph_ops.kcore_peel_audit's bounded two-round unroll.
+
+The k-core of a graph is the maximal subgraph in which every vertex has
+degree >= k; it is computed by repeatedly deleting vertices of degree
+< k (and the edges touching them) until no vertex drops. Each deletion
+round is exactly the audit query's shape — ONE degree aggregate plus two
+semi-joins of the edge list against surviving vertices — so the
+distributed cost is O(rounds x |E|) with rounds bounded by the graph's
+peeling depth (degeneracy ordering), not |V|.
+
+Round-state protocol (the reason this module exists separately from the
+bounded audit): an iterative Spark loop must truncate lineage each round
+or the plan doubles per iteration, and `localCheckpoint` — fine for the
+audit's two bounded rounds — is executor-memory-resident and
+lineage-unsafe under executor loss. At 100 TB the loop runs dozens of
+rounds over hours; this operator pins each round's edge list to a
+parquet round-state directory (the streaming/ivm.py precedent: durable
+storage IS the lineage truncation), reads it back, and deletes the
+n-2 round's state once round n is durable. Executor loss mid-round
+recomputes at most one round from the previous round's parquet. When no
+``state_dir`` is given it falls back to ``localCheckpoint`` — the
+small-graph / test path, same math.
+
+Convergence needs one scalar action per round (did any vertex drop?);
+both counts come from a single vertex-grain aggregate, so the per-round
+driver traffic is two longs — never vertex or edge rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _pin(df: DataFrame, state_dir: str | None, tag: str) -> DataFrame:
+    """Truncate lineage: parquet round-state when durable storage is
+    given (survives executor loss; the 100 TB path), localCheckpoint
+    otherwise (tests / bounded graphs)."""
+    if state_dir is None:
+        return df.localCheckpoint()
+    path = os.path.join(state_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _drop_stale(state_dir: str | None, tags: list[str]) -> None:
+    if state_dir is None:
+        return
+    for t in tags:
+        shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int | None = None,
+    state_dir: str | None = None,
+) -> tuple[DataFrame, int]:
+    """Peel ``edges`` to its k-core fixpoint; return (core_edges, rounds).
+
+    ``edges`` must be oriented-symmetric (both (u,v) and (v,u) present,
+    as queries/graph_ops.copurchase_edges emits), so out-degree IS
+    degree. ``rounds`` counts peel rounds that actually dropped a
+    vertex; the returned edge list is the k-core (possibly empty — every
+    graph with max degree < k peels to nothing). ``max_rounds`` bounds
+    the loop for callers that want the audit query's bounded-unroll
+    semantics; ``None`` iterates until convergence.
+
+    Per round: one map-side-partial degree aggregate, one two-long
+    driver action, two left-semi joins. Nothing vertex- or edge-sized
+    ever reaches the driver.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    cur = _pin(cur, state_dir, "edges_r0")
+    rounds = 0
+    prev_tags: list[str] = []
+    while max_rounds is None or rounds < max_rounds:
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        deg = _pin(deg, state_dir, f"deg_r{rounds}")
+        # one action, two longs: current vertex count + survivors
+        stat = deg.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("_d") >= k, 1)).alias("n_keep"),
+        ).first()
+        if stat["n_keep"] == stat["n"]:
+            # no vertex drops — fixpoint (also the empty-graph case)
+            _drop_stale(state_dir, [f"deg_r{rounds}"])
+            break
+        keep = deg.where(F.col("_d") >= k).select("src")
+        cur = cur.join(keep, "src", "left_semi").join(
+            keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+        )
+        rounds += 1
+        cur = _pin(cur, state_dir, f"edges_r{rounds}")
+        # round n is durable -> everything before round n-1 is garbage
+        _drop_stale(state_dir, prev_tags)
+        prev_tags = [f"edges_r{rounds - 1}", f"deg_r{rounds - 1}"]
+        if stat["n_keep"] == 0:
+            break
+    return cur.select("src", "dst"), rounds
+
+
+def core_numbers(
+    edges: DataFrame,
+    k_max: int,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    state_dir: str | None = None,
+) -> DataFrame:
+    """(vertex, core) for every vertex: the largest k <= k_max whose
+    k-core contains the vertex (0 if below the 1-core, i.e. isolated).
+
+    Computed by nested peeling — the (k+1)-core is a subgraph of the
+    k-core, so each level peels the PREVIOUS level's output, and total
+    work is sum over levels of that level's (shrinking) edge mass, not
+    k_max full passes over the input.
+    """
+    sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out = sym.select(F.col("src").alias("vertex")).distinct().withColumn(
+        "core", F.lit(0)
+    )
+    cur = sym
+    for k in range(1, k_max + 1):
+        sub = os.path.join(state_dir, f"k{k}") if state_dir else None
+        cur, _ = kcore_peel(cur, k, state_dir=sub)
+        members = cur.select(F.col("src").alias("vertex")).distinct()
+        out = (
+            out.join(members.withColumn("_in", F.lit(k)), "vertex", "left")
+            .select(
+                "vertex",
+                F.coalesce("_in", F.col("core")).alias("core"),
+            )
+        )
+        out = _pin(out, state_dir, f"core_r{k}")
+        if cur.isEmpty():
+            break
+    return out

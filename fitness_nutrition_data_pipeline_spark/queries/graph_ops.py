@@ -304,8 +304,11 @@ _EDGE_CTES = """
     "against surviving vertices (edge list pinned once, the "
     "lsh_dedup_clusters bounded-iteration precedent); rounds converge "
     "in O(peeling depth). The bounded unroll keeps the oracle "
-    "SQL-expressible; at 100 TB the same two operations loop until "
-    "no vertex drops.",
+    "SQL-expressible; the loop-until-converged form (with durable "
+    "parquet round-state instead of localCheckpoint — the 100 TB "
+    "path) is operators/kcore.py::kcore_peel, convergence pinned by "
+    "tests/test_kcore.py on graphs whose peeling depth exceeds this "
+    "audit's unroll.",
 )
 def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
