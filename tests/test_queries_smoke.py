@@ -26,10 +26,11 @@ def test_every_query_has_doc():
         assert spec.doc, f"{name} missing doc"
 
 
-# The Arrow-batched mapInPandas feature stage has no SQL analogue — the
-# ONE allowed oracle-less (rows-only-checked) entry. Anything else
-# registering without an oracle is a coverage regression.
-_ORACLE_EXEMPT = {"multimodal_format_profile"}
+# Since r10 the registry has ZERO oracle-less entries (the last one,
+# multimodal_format_profile, now inverts its float32 histogram shares to
+# exact integer bin counts DuckDB can recompute). Anything registering
+# without an oracle is a coverage regression.
+_ORACLE_EXEMPT: set[str] = set()
 
 
 def test_oracle_coverage():
