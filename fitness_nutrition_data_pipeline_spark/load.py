@@ -209,6 +209,84 @@ def mirror_to_jdbc(
             ).options(**properties).mode("append").save()
 
 
+def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str]):
+    """Driver-side JDBC connection (for the DDL the Spark writer cannot
+    express: renames, existence checks). Uses the same driver class the
+    writer uses."""
+    jvm = spark._jvm
+    if "driver" in properties:
+        jvm.java.lang.Class.forName(properties["driver"])
+    return jvm.java.sql.DriverManager.getConnection(url)
+
+
+def _jdbc_table_exists(conn, table: str) -> bool:
+    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+    try:
+        return bool(rs.next())
+    finally:
+        rs.close()
+
+
+def _jdbc_exec(conn, sql: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(sql)
+    finally:
+        st.close()
+
+
+def mirror_to_jdbc_idempotent(
+    warehouse: dict[str, DataFrame], url: str, properties: dict[str, str]
+) -> None:
+    """Exactly-once JDBC mirror: write-staging-then-rename-swap, so a
+    RETRIED load converges to the same table contents instead of
+    appending duplicates (``mirror_to_jdbc``'s append mode is
+    at-least-once — a crashed-and-retried orchestration doubles rows).
+
+    Per table, in dependency order: (1) repair any crashed swap — a
+    missing live table with a ``_old`` sidecar rolls back; a stale
+    ``_old`` next to a live table is superseded garbage; (2) overwrite
+    ``{table}_stg`` via the Spark JDBC writer (partition-parallel);
+    (3) swap with two renames on a driver connection. Every step is
+    idempotent or repairable, the streaming/ivm.py swap protocol
+    re-expressed in DDL; a crash in any window either rolls back (the
+    retry rewrites staging) or rolls forward (the retry's overwrite of
+    staging is the only repeated work). The swap is not atomic for
+    CONCURRENT readers (two renames) — the contract is retry-safety of
+    the nightly mirror, not online schema migration.
+    """
+    spark = next(iter(warehouse.values())).sparkSession
+    conn = _jdbc_connection(spark, url, properties)
+    try:
+        for name in LOAD_ORDER:
+            if name not in warehouse:
+                continue
+            live, stg, old = name.lower(), f"{name.lower()}_stg", f"{name.lower()}_old"
+            # (1) repair a crashed swap
+            if not _jdbc_table_exists(conn, live) and _jdbc_table_exists(conn, old):
+                _jdbc_exec(conn, f"RENAME TABLE {old} TO {live}")
+            if _jdbc_table_exists(conn, old):
+                _jdbc_exec(conn, f"DROP TABLE {old}")
+            # (2) stage (overwrite drops + recreates — itself idempotent)
+            (
+                warehouse[name]
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", stg)
+                .options(**properties)
+                .mode("overwrite")
+                .save()
+            )
+            # (3) swap
+            if _jdbc_table_exists(conn, live):
+                _jdbc_exec(conn, f"RENAME TABLE {live} TO {old}")
+            _jdbc_exec(conn, f"RENAME TABLE {stg} TO {live}")
+            if _jdbc_table_exists(conn, old):
+                _jdbc_exec(conn, f"DROP TABLE {old}")
+    finally:
+        conn.close()
+
+
 def upsert_partitions(
     df: DataFrame, path: str, partition_col: str = "DateKey"
 ) -> None:

@@ -55,3 +55,62 @@ def test_partitioned_fact_prunes(spark, mini_warehouse, tmp_path):
         "DateKey #", "DateKey#"
     ) or "PartitionFilters: [isnotnull(DateKey" in plan
     assert df.count() == 2
+
+
+def test_jdbc_idempotent_mirror_double_invoke(spark, mini_warehouse, tmp_path):
+    """The staging-swap mirror must converge under retries: invoking it
+    twice (a crashed-and-retried orchestration) yields IDENTICAL table
+    contents, where the append-mode mirror would double every row."""
+    from fitness_nutrition_data_pipeline_spark.load import (
+        mirror_to_jdbc_idempotent,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/dwdb2;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    for _ in range(2):
+        mirror_to_jdbc_idempotent(mini_warehouse, url, props)
+    back = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", "fact_workoutsession"
+    ).options(**props).load()
+    assert back.count() == 3  # not 6
+    dur_col = next(c for c in back.columns if c.lower() == "durationhours")
+    assert sorted(r[dur_col] for r in back.collect()) == [2.0, 3.0, 4.0]
+
+
+def test_jdbc_idempotent_mirror_repairs_crashed_swap(
+    spark, mini_warehouse, tmp_path
+):
+    """Crash window between rename-aside and rename-in: live table is
+    missing, _old holds the previous generation. The retry must roll
+    back, restage, and finish with exactly one generation of rows."""
+    from fitness_nutrition_data_pipeline_spark.load import (
+        _jdbc_connection,
+        _jdbc_exec,
+        _jdbc_table_exists,
+        mirror_to_jdbc_idempotent,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/dwdb3;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    mirror_to_jdbc_idempotent(mini_warehouse, url, props)
+    conn = _jdbc_connection(spark, url, props)
+    try:
+        # simulate the crash layout
+        _jdbc_exec(
+            conn, "RENAME TABLE fact_workoutsession TO fact_workoutsession_old"
+        )
+        assert not _jdbc_table_exists(conn, "fact_workoutsession")
+    finally:
+        conn.close()
+    mirror_to_jdbc_idempotent(mini_warehouse, url, props)  # the retry
+    conn = _jdbc_connection(spark, url, props)
+    try:
+        assert _jdbc_table_exists(conn, "fact_workoutsession")
+        assert not _jdbc_table_exists(conn, "fact_workoutsession_old")
+        assert not _jdbc_table_exists(conn, "fact_workoutsession_stg")
+    finally:
+        conn.close()
+    back = spark.read.format("jdbc").option("url", url).option(
+        "dbtable", "fact_workoutsession"
+    ).options(**props).load()
+    assert back.count() == 3
