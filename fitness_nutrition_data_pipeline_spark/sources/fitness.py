@@ -199,8 +199,9 @@ def extract_all(spark: SparkSession, cfg) -> dict[str, object]:
     cached here and the pooled read_tabular calls hit the cache."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from fitness_nutrition_data_pipeline_spark.sources.xlsx import prewarm_rows
+    from fitness_nutrition_data_pipeline_spark.sources.xlsx import prewarm_rows_many
 
+    to_warm = []
     for fname in ("gym_recommendation.xlsx", "nutrition.xlsx"):
         p = os.path.join(cfg.data_dir, fname)
         base, _ = os.path.splitext(p)
@@ -211,10 +212,13 @@ def extract_all(spark: SparkSession, cfg) -> dict[str, object]:
             and not os.path.exists(base + ".parquet")
             and not os.path.exists(base + ".csv")
         ):
-            try:
-                prewarm_rows(p)
-            except Exception:  # noqa: BLE001 — read_tabular handles/logs
-                pass
+            to_warm.append(p)
+    if to_warm:
+        try:
+            # one call: the files' fork-parallel parses overlap
+            prewarm_rows_many(to_warm)
+        except Exception:  # noqa: BLE001 — read_tabular handles/logs
+            pass
 
     tasks = {
         "fitbit": lambda: extract_fitbit(spark, cfg.fitbit_dir),

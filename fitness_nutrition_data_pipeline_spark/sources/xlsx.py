@@ -148,15 +148,15 @@ def _root_open_tag(sheet_bytes: bytes) -> bytes | None:
 _PARALLEL_MIN_BYTES = 4 << 20
 
 
-def _parse_sheet_parallel(
-    sheet_bytes: bytes, shared: list[str]
-) -> list[list[str]] | None:
-    """Fork-parallel parse of <sheetData>: split the row region at <row
-    boundaries into one chunk per worker, parse chunks concurrently
-    (escaped text cannot contain a literal '<row', so byte-level splits
-    are always element-aligned). Returns None when the layout doesn't
-    match expectations or fork isn't available — caller falls back to
-    the sequential parse."""
+def _start_parallel_parse(sheet_bytes: bytes, shared: list[str]):
+    """Begin a fork-parallel parse of <sheetData>: split the row region
+    at <row boundaries into one chunk per worker and submit the chunks
+    to a fresh process pool WITHOUT blocking (map_async). Returns
+    (pool, async_result) — the caller collects with ``res.get()`` and
+    must close the pool — or None when the layout doesn't match
+    expectations or fork isn't available (caller falls back to the
+    sequential parse). Non-blocking start is what lets prewarm_rows_many
+    parse SEVERAL files' sheets concurrently, one pool each."""
     import multiprocessing as mp
     import os
     import threading
@@ -173,7 +173,7 @@ def _parse_sheet_parallel(
     # r7; fork-in-threads is deprecated in CPython 3.12+), so the
     # process pool is main-thread-only: worker-thread callers fall
     # back to the sequential parse, and extract_all keeps the speedup
-    # by PREWARMING big sheets on the main thread (prewarm_rows)
+    # by PREWARMING big sheets on the main thread (prewarm_rows_many)
     # before its thread pool starts. A thread-count guard can't do
     # this — pyspark always keeps py4j daemon threads alive, and
     # what matters is who is forking, not who exists.
@@ -197,11 +197,25 @@ def _parse_sheet_parallel(
         bounds.append(pos)
     bounds.append(len(region))
     chunks = [region[a:b] for a, b in zip(bounds, bounds[1:])]
-    with ctx.Pool(
+    pool = ctx.Pool(
         len(chunks), initializer=_mp_init,
         initargs=(shared, open_tag, close_tag),
-    ) as pool:
-        parts = pool.map(_mp_parse_chunk, chunks)
+    )
+    return pool, pool.map_async(_mp_parse_chunk, chunks)
+
+
+def _parse_sheet_parallel(
+    sheet_bytes: bytes, shared: list[str]
+) -> list[list[str]] | None:
+    """Blocking wrapper over _start_parallel_parse (escaped text cannot
+    contain a literal '<row', so byte-level splits are always
+    element-aligned)."""
+    started = _start_parallel_parse(sheet_bytes, shared)
+    if started is None:
+        return None
+    pool, res = started
+    with pool:
+        parts = res.get()
     return [r for part in parts for r in part]
 
 
@@ -213,19 +227,56 @@ _ROWS_CACHE: dict[tuple[str, float, int], list[list[str]]] = {}
 _ROWS_CACHE_MAX = 4
 
 
+def _cache_put(key, rows: list[list[str]]) -> None:
+    while len(_ROWS_CACHE) >= _ROWS_CACHE_MAX:
+        _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
+    _ROWS_CACHE[key] = rows
+
+
 def prewarm_rows(path: str) -> None:
     """Parse an xlsx's rows NOW, on the calling thread, and cache them
     keyed by (path, mtime, size). Call from the main thread before
     fanning extract work out to a thread pool: the fork-parallel fast
     path only runs main-thread, so prewarming is what keeps the big-
     sheet speedup when reads happen under ThreadPoolExecutor."""
-    st = os.stat(path)
-    key = (os.path.abspath(path), st.st_mtime, st.st_size)
-    if key in _ROWS_CACHE:
-        return
-    while len(_ROWS_CACHE) >= _ROWS_CACHE_MAX:
-        _ROWS_CACHE.pop(next(iter(_ROWS_CACHE)))
-    _ROWS_CACHE[key] = _read_xlsx_rows_uncached(path)
+    prewarm_rows_many([path])
+
+
+def prewarm_rows_many(paths: list[str]) -> None:
+    """Prewarm SEVERAL xlsx files with their fork-parallel parses in
+    flight concurrently (one pool per big sheet, started non-blocking),
+    instead of paying each pool.map in turn — with two ~1 s sheets the
+    serial prewarm cost tA+tB, this costs ~max(tA, tB). Small sheets
+    parse inline; any failed parallel start falls back to the
+    sequential parser, same results."""
+    pending = []
+    for path in paths:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime, st.st_size)
+        if key in _ROWS_CACHE:
+            continue
+        shared, sheet_bytes = _load_shared_and_sheet(path)
+        started = (
+            _start_parallel_parse(sheet_bytes, shared)
+            if len(sheet_bytes) >= _PARALLEL_MIN_BYTES
+            else None
+        )
+        if started is None:
+            _cache_put(
+                key, _pad(_parse_row_elements(ET.fromstring(sheet_bytes), shared))
+            )
+        else:
+            pending.append((key, sheet_bytes, shared, started))
+    for key, sheet_bytes, shared, (pool, res) in pending:
+        rows: list[list[str]] | None = None
+        with pool:
+            try:
+                rows = [r for part in res.get() for r in part]
+            except Exception:  # noqa: BLE001 — sequential fallback below
+                rows = None
+        if rows is None:
+            rows = _parse_row_elements(ET.fromstring(sheet_bytes), shared)
+        _cache_put(key, _pad(rows))
 
 
 def read_xlsx_rows(path: str) -> list[list[str]]:
@@ -249,7 +300,9 @@ def read_xlsx_rows(path: str) -> list[list[str]]:
     return _read_xlsx_rows_uncached(path)
 
 
-def _read_xlsx_rows_uncached(path: str) -> list[list[str]]:
+def _load_shared_and_sheet(path: str) -> tuple[list[str], bytes]:
+    """Shared-string table + first worksheet bytes (the zip I/O half of
+    a read, split out so prewarm_rows_many can overlap parses)."""
     z = zipfile.ZipFile(path)
     m = NS["m"]
     T_ = f"{{{m}}}t"
@@ -258,15 +311,22 @@ def _read_xlsx_rows_uncached(path: str) -> list[list[str]]:
         root = ET.fromstring(z.read("xl/sharedStrings.xml"))
         for si in root.findall("m:si", NS):
             shared.append("".join(t.text or "" for t in si.iter(T_)))
+    return shared, z.read(_first_sheet_path(z))
 
-    sheet_bytes = z.read(_first_sheet_path(z))
+
+def _pad(rows: list[list[str]]) -> list[list[str]]:
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
+
+def _read_xlsx_rows_uncached(path: str) -> list[list[str]]:
+    shared, sheet_bytes = _load_shared_and_sheet(path)
     rows: list[list[str]] | None = None
     if len(sheet_bytes) >= _PARALLEL_MIN_BYTES:
         rows = _parse_sheet_parallel(sheet_bytes, shared)
     if rows is None:
         rows = _parse_row_elements(ET.fromstring(sheet_bytes), shared)
-    width = max((len(r) for r in rows), default=0)
-    return [r + [""] * (width - len(r)) for r in rows]
+    return _pad(rows)
 
 
 def read_xlsx(spark: SparkSession, path: str) -> DataFrame:
