@@ -110,6 +110,9 @@ _CHECK_PRIORITY = (
     "zipf_slope_top_terms",
     # (2) new r10 registrations (strict-verified at 3 SFs before
     # registration; inserted here as they land)
+    # the fixpoint k-core loop (ask #3) under the hard oracle: 7-round
+    # idempotent unroll proves convergence within budget
+    "kcore_fixpoint_audit",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -144,7 +147,6 @@ _CHECK_PRIORITY = (
     "bigram_pmi_collocations",
     "bpe_merge_candidates",
     "column_profile_orders",
-    "concurrent_sessions_peak",
 )
 
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from fitness_nutrition_data_pipeline_spark.operators.kcore import kcore_peel
 from fitness_nutrition_data_pipeline_spark.queries import register
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
@@ -348,3 +349,95 @@ def kcore_peel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def _kcore_fixpoint_oracle(k: int, unroll: int) -> str:
+    """Unrolled-to-idempotence oracle for the FIXPOINT peel: ``unroll``
+    rounds of (degree filter + two-sided semi-join), where unroll
+    exceeds the peeling depth at every test SF (measured 4-5 for k=2;
+    rounds past convergence are no-ops, so extra unrolls cannot change
+    the answer — they PROVE convergence happened within the budget).
+    peel_rounds counts the strict vertex-count drops between successive
+    edge sets, which equals the number of dropping rounds the Spark
+    loop executes."""
+    # AS MATERIALIZED: each round references the previous round three
+    # times (edges + both semi-join sides); inlined CTEs would expand
+    # the scan tree 3^unroll-fold (DuckDB literally runs out of file
+    # handles re-opening the parquet), materialization keeps it linear
+    ctes = [
+        "s0 AS MATERIALIZED (SELECT src, dst FROM pairs "
+        "WHERE (src + dst + src * dst) % 37 = 0)"
+    ]
+    for i in range(unroll):
+        ctes.append(
+            f"d{i} AS MATERIALIZED "
+            f"(SELECT src, count(*) AS d FROM s{i} GROUP BY src)"
+        )
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM d{i} WHERE d >= {k})"
+        )
+        ctes.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM s{i} e "
+            f"JOIN k{i} a ON a.src = e.src JOIN k{i} b ON b.src = e.dst)"
+        )
+    n = unroll
+    ctes.append(
+        f"d{n} AS MATERIALIZED "
+        f"(SELECT src, count(*) AS d FROM s{n} GROUP BY src)"
+    )
+    drops = " + ".join(
+        f"(CASE WHEN (SELECT count(DISTINCT src) FROM s{i}) > "
+        f"(SELECT count(DISTINCT src) FROM s{i + 1}) THEN 1 ELSE 0 END)"
+        for i in range(n)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {_EDGE_CTES},
+    {joined}
+    SELECT
+      CAST((SELECT count(DISTINCT src) FROM s{n}) AS BIGINT)
+        AS n_core_vertices,
+      CAST((SELECT count(*) FROM s{n}) AS BIGINT) AS n_core_edges,
+      CAST(coalesce((SELECT min(d) FROM d{n}), 0) AS BIGINT)
+        AS min_core_degree,
+      CAST(coalesce((SELECT max(d) FROM d{n}), 0) AS BIGINT)
+        AS max_core_degree,
+      CAST({drops} AS BIGINT) AS peel_rounds
+    """
+
+
+@register(
+    "kcore_fixpoint_audit",
+    _kcore_fixpoint_oracle(k=2, unroll=7),
+    sort=("peel_rounds",),
+    doc="The loop-until-converged k-core (operators/kcore.py::kcore_peel"
+    ", VERDICT r9 ask #3) under the hard oracle: the co-purchase graph "
+    "is sparsified by a SYMMETRIC deterministic filter ((src+dst+"
+    "src*dst) % 37 — both orientations of an undirected edge live or "
+    "die together, keeping out-degree == degree), then peeled to the "
+    "2-core FIXPOINT with durable round-state semantics. The oracle "
+    "unrolls 7 rounds — past the measured 4-5 round peeling depth at "
+    "every SF — and extra rounds are idempotent, so the hash match "
+    "proves BOTH the core (vertex/edge counts, degree envelope) and "
+    "that convergence happened within the unroll budget; peel_rounds "
+    "(strict vertex-count drops) pins the loop's round arithmetic. "
+    "Per round the distributed cost is one map-side-partial degree "
+    "aggregate, a two-long driver action, and two semi-joins — at "
+    "100 TB rounds scale with peeling depth (graph degeneracy), "
+    "never |V|.",
+)
+def kcore_fixpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    sparse = copurchase_edges(li).where(
+        (F.col("src") + F.col("dst") + F.col("src") * F.col("dst")) % 37 == 0
+    )
+    core, rounds = kcore_peel(sparse, 2)
+    deg = core.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_core_vertices"),
+        F.coalesce(F.sum("d"), F.lit(0)).cast("long").alias("n_core_edges"),
+        F.coalesce(F.min("d"), F.lit(0)).cast("long").alias("min_core_degree"),
+        F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_core_degree"),
+    ).withColumn("peel_rounds", F.lit(rounds).cast("long"))
