@@ -113,6 +113,16 @@ _CHECK_PRIORITY = (
     # the fixpoint k-core loop (ask #3) under the hard oracle: 7-round
     # idempotent unroll proves convergence within budget
     "kcore_fixpoint_audit",
+    # materialized-view rewrite consistency: monthly answer from the
+    # day-grain MV alone, hash-proven equal to base recompute
+    "mv_rewrite_audit",
+    # self-consistency vote + unbiased pass@k, exact integer ppm
+    "majority_vote_accuracy",
+    "passk_estimator",
+    # distributed skyline (banded prefix-max) vs O(n^2) dominance oracle
+    "pareto_frontier_parts",
+    # 5-rater Fleiss kappa in exact integer ppm
+    "fleiss_kappa_raters",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -142,11 +152,6 @@ _CHECK_PRIORITY = (
     "corpus_datacard",
     "cross_source_dup_leakage",
     "minhash_jaccard_calibration",
-    "mmr_diversified_topk",
-    "attribution_batch_replay",
-    "bigram_pmi_collocations",
-    "bpe_merge_candidates",
-    "column_profile_orders",
 )
 
 

@@ -429,3 +429,79 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_q", "f_q", "m_q")
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+      SELECT DISTINCT
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                 AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part WHERE p_partkey % 17 = 0
+    )
+    SELECT a.price_cents, a.p_size
+    FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.price_cents <= a.price_cents AND b.p_size >= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size > a.p_size)
+    )
+    ORDER BY price_cents
+    """,
+    sort=("price_cents",),
+    doc="Pareto frontier (skyline) over distinct (price, size) points — "
+    "minimize price, maximize size: the multi-objective shortlist "
+    "query (cheapest part at every size level). The ORACLE is the "
+    "O(n^2) dominance anti-join on a sampled subset; the Spark plan is "
+    "the DISTRIBUTED skyline: after (price asc, size desc) ordering, a "
+    "point is dominated iff some predecessor has size >= its own, so "
+    "the test is a running max — computed as a PARTITIONED prefix max "
+    "within $100 price bands plus a prefix max over the band-summary "
+    "relation (band cardinality = price range / band width, bounded "
+    "and broadcast-sized, so the only unpartitioned window runs on a "
+    "tiny relation — never the data). Two shuffles total (distinct, "
+    "band hash), each point touched once; the quadratic pair space is "
+    "never materialized. Prices go through DECIMAL(18,2) cents so the "
+    "frontier coordinates hash exactly.",
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") % 17 == 0)
+        .select(
+            (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("price_cents"),
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .distinct()
+    )
+    banded = pts.withColumn("band", F.expr("price_cents DIV 10000"))
+    # prefix max of size over strict predecessors WITHIN the band
+    w_in = (
+        W.partitionBy("band")
+        .orderBy(F.asc("price_cents"), F.desc("p_size"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = banded.withColumn("prev_in_band", F.max("p_size").over(w_in))
+    # prefix max over STRICTLY EARLIER bands: band-grain summary (tiny,
+    # bounded by price-domain/band-width) -> unpartitioned window is
+    # safe here because it runs on the summary, not the points
+    band_max = banded.groupBy("band").agg(F.max("p_size").alias("bmax"))
+    w_bands = W.orderBy("band").rowsBetween(W.unboundedPreceding, -1)
+    prior = band_max.withColumn(
+        "prev_bands", F.max("bmax").over(w_bands)
+    ).select("band", "prev_bands")
+    return (
+        local.join(F.broadcast(prior), "band")
+        .where(
+            F.col("p_size")
+            > F.greatest(
+                F.coalesce(F.col("prev_in_band"), F.lit(-1)),
+                F.coalesce(F.col("prev_bands"), F.lit(-1)),
+            )
+        )
+        .select("price_cents", "p_size")
+    )

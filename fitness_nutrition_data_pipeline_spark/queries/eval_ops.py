@@ -346,3 +346,245 @@ def bradley_terry_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "majority_vote_accuracy",
+    """
+    WITH samples AS (
+      SELECT l_orderkey AS task,
+             (l_partkey + l_linenumber) % 5 AS ans
+      FROM lineitem
+    ),
+    votes AS (
+      SELECT task, ans, count(*) AS c FROM samples GROUP BY task, ans
+    ),
+    major AS (
+      SELECT task, ans FROM (
+        SELECT task, ans,
+               row_number() OVER (PARTITION BY task ORDER BY c DESC, ans)
+                   AS rn
+        FROM votes
+      ) WHERE rn = 1
+    ),
+    tasks AS (SELECT task, count(*) AS n FROM samples GROUP BY task)
+    SELECT t.n AS n_samples,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(sum(CASE WHEN m.ans = t.task % 5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(sum(CASE WHEN m.ans = t.task % 5 THEN 1 ELSE 0 END)
+                * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+    FROM tasks t JOIN major m USING (task)
+    GROUP BY t.n
+    ORDER BY n_samples
+    """,
+    sort=("n_samples",),
+    doc="Self-consistency (majority-vote) accuracy — the sample-k-times-"
+    "and-vote eval loop (Wang et al., self-consistency decoding): each "
+    "task's samples vote, the plurality answer (smallest-answer "
+    "tie-break, pinned in both engines) is scored against gold, and "
+    "accuracy is reported per samples-per-task count in exact integer "
+    "ppm (floor division — no float crosses the hash). Tasks are "
+    "orders, samples their lineitems, answers/gold deterministic "
+    "residues, so both engines derive the identical eval set; the "
+    "operator under test is the vote: one (task, ans) aggregate, one "
+    "per-task argmax window, one join — all keyed on task, one shuffle "
+    "family. At 100 TB the vote table is tasks x answer-space, tiny "
+    "beside the sample stream it collapses.",
+)
+def majority_vote_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("task"),
+        ((F.col("l_partkey") + F.col("l_linenumber")) % 5).alias("ans"),
+    )
+    votes = li.groupBy("task", "ans").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("task").orderBy(F.desc("c"), "ans")
+    major = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("task", "ans")
+    )
+    tasks = li.groupBy("task").agg(F.count(F.lit(1)).alias("n"))
+    correct = F.sum(
+        F.when(F.col("ans") == F.col("task") % 5, 1).otherwise(0)
+    )
+    return (
+        tasks.join(major, "task")
+        .groupBy(F.col("n").alias("n_samples"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tasks"),
+            correct.cast("long").alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN ans = task % 5 THEN 1 ELSE 0 END) "
+                "* 1000000 DIV count(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+    )
+
+
+@register(
+    "passk_estimator",
+    """
+    WITH samples AS (
+      SELECT l_orderkey AS task,
+             CASE WHEN (l_partkey + l_linenumber) % 7 = l_orderkey % 7
+                  THEN 1 ELSE 0 END AS ok
+      FROM lineitem
+    ),
+    per_task AS (
+      SELECT task, count(*) AS n, sum(ok) AS c
+      FROM samples GROUP BY task
+      HAVING count(*) >= 3
+    ),
+    scored AS (
+      SELECT task, n, c,
+             1000000 * c // n AS p1_ppm,
+             (1000000 * (n*(n-1)*(n-2) - (n-c)*(n-c-1)*(n-c-2)))
+                 // (n*(n-1)*(n-2)) AS p3_ppm
+      FROM per_task
+    )
+    SELECT k, n_tasks, mean_pass_ppm FROM (
+      SELECT CAST(1 AS BIGINT) AS k,
+             CAST(count(*) AS BIGINT) AS n_tasks,
+             CAST(sum(p1_ppm) // count(*) AS BIGINT) AS mean_pass_ppm
+      FROM scored
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+             CAST(sum(p3_ppm) // count(*) AS BIGINT)
+      FROM scored
+    ) ORDER BY k
+    """,
+    sort=("k",),
+    doc="Unbiased pass@k (Chen et al., HumanEval): per task with n >= k "
+    "samples and c passing, pass@k = 1 - C(n-c,k)/C(n,k), computed as "
+    "the EXACT rational (n(n-1)(n-2) - m(m-1)(m-2)) / n(n-1)(n-2) for "
+    "k=3 (falling-factorial form — C(m,3)/C(n,3) with the /6 cancelled"
+    ") quantized to integer ppm by floor division, then averaged over "
+    "tasks in integer ppm — no float ever crosses the hash, and "
+    "C(m,3)=0 whenever fewer than 3 samples fail, exactly the "
+    "estimator's m<k convention. One aggregate to task grain, integer "
+    "arithmetic after; the sample stream is touched once. Tasks are "
+    "orders, samples lineitems, pass = deterministic residue match.",
+)
+def passk_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("task"),
+        F.when(
+            (F.col("l_partkey") + F.col("l_linenumber")) % 7
+            == F.col("l_orderkey") % 7,
+            1,
+        )
+        .otherwise(0)
+        .alias("ok"),
+    )
+    per_task = (
+        li.groupBy("task")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("ok").alias("c"))
+        .where(F.col("n") >= 3)
+    )
+    scored = per_task.select(
+        F.expr("1000000 * c DIV n").alias("p1_ppm"),
+        F.expr(
+            "(1000000 * (n*(n-1)*(n-2) - (n-c)*(n-c-1)*(n-c-2))) "
+            "DIV (n*(n-1)*(n-2))"
+        ).alias("p3_ppm"),
+    )
+    one = scored.agg(
+        F.lit(1).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.expr("CAST(sum(p1_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_pass_ppm"
+        ),
+    )
+    three = scored.agg(
+        F.lit(3).cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        F.expr("CAST(sum(p3_ppm) DIV count(*) AS BIGINT)").alias(
+            "mean_pass_ppm"
+        ),
+    )
+    return one.unionByName(three)
+
+
+@register(
+    "fleiss_kappa_raters",
+    """
+    WITH ratings AS (
+      SELECT doc_id, r,
+             CASE WHEN (doc_id * 7 + r * 11) % 10 < 7 THEN doc_id % 3
+                  ELSE (doc_id + r) % 3 END AS label
+      FROM documents
+      CROSS JOIN (VALUES (0), (1), (2), (3), (4)) AS raters(r)
+    ),
+    cell AS (
+      SELECT doc_id, label, count(*) AS nij
+      FROM ratings GROUP BY doc_id, label
+    ),
+    tot AS (
+      SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_items,
+             CAST(sum(nij * nij) AS BIGINT) AS sq
+      FROM cell
+    ),
+    cat AS (SELECT label, CAST(sum(nij) AS BIGINT) AS c FROM cell
+            GROUP BY label),
+    c2 AS (SELECT CAST(sum(c * c) AS BIGINT) AS c2 FROM cat)
+    SELECT n_items,
+           CAST(1000000 * (sq - 5 * n_items) // (20 * n_items) AS BIGINT)
+               AS pbar_ppm,
+           CAST(1000000 * c2 // (25 * n_items * n_items) AS BIGINT)
+               AS pe_ppm,
+           CAST(1000000 * (5 * (sq - 5 * n_items) * n_items - 4 * c2)
+                // (4 * (25 * n_items * n_items - c2)) AS BIGINT)
+               AS kappa_ppm
+    FROM tot, c2
+    """,
+    sort=("n_items",),
+    doc="Fleiss' kappa over a 5-rater x 3-category synthetic labeling "
+    "of the documents (raters agree with gold ~70% by a deterministic "
+    "residue rule, so kappa is positive by construction — integer "
+    "floor division diverges between engines below zero). All three "
+    "statistics are EXACT integer ppm: per-item agreement P_i has "
+    "fixed denominator n(n-1)=20, so P-bar = (sum nij^2 - N*n)/(20N) "
+    "and P_e = sum(c_j^2)/(Nn)^2 are rationals of exact integer "
+    "aggregates, and kappa reduces to X/(4Y) with X = 5N*S1 - 4*C2, "
+    "Y = 25N^2 - C2 (int64-safe to ~1e9 items; a 100 TB run swaps in "
+    "DECIMAL(38) accumulators at the same plan). One (item, label) "
+    "aggregate and one category rollup — the rating stream is touched "
+    "once; this is the inter-annotator-agreement gate a labeling "
+    "pipeline runs before trusting a rater pool.",
+)
+def fleiss_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    ratings = d.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(5)]))
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("doc_id") * 7 + F.col("r") * 11) % 10 < 7,
+            F.col("doc_id") % 3,
+        )
+        .otherwise((F.col("doc_id") + F.col("r")) % 3)
+        .alias("label"),
+    )
+    cell = ratings.groupBy("doc_id", "label").agg(
+        F.count(F.lit(1)).alias("nij")
+    )
+    tot = cell.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_items"),
+        F.sum(F.col("nij") * F.col("nij")).cast("long").alias("sq"),
+    )
+    c2 = (
+        cell.groupBy("label")
+        .agg(F.sum("nij").cast("long").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("c2"))
+    )
+    return tot.crossJoin(F.broadcast(c2)).selectExpr(
+        "n_items",
+        "CAST(1000000 * (sq - 5 * n_items) DIV (20 * n_items) AS BIGINT)"
+        " AS pbar_ppm",
+        "CAST(1000000 * c2 DIV (25 * n_items * n_items) AS BIGINT)"
+        " AS pe_ppm",
+        "CAST(1000000 * (5 * (sq - 5 * n_items) * n_items - 4 * c2)"
+        " DIV (4 * (25 * n_items * n_items - c2)) AS BIGINT)"
+        " AS kappa_ppm",
+    )

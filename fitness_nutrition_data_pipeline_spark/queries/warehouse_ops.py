@@ -1213,3 +1213,60 @@ def partition_restatement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return untouched.unionByName(restated).select(
         F.col("day").cast("string").alias("day"), "n_events", "value_ppm"
     )
+
+
+@register(
+    "mv_rewrite_audit",
+    """
+    SELECT CAST(CAST(date_trunc('month', CAST(ts AS DATE)) AS DATE)
+                AS VARCHAR) AS month,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(coalesce(value, 0) * 1000000) AS BIGINT))
+                AS BIGINT) AS value_ppm,
+           CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY month, event_type
+    """,
+    sort=("month", "event_type"),
+    doc="Materialized-view rewrite consistency: a day×event_type MV "
+    "(rollup-able measures only — count and exact-integer sum, never "
+    "avg or distinct) is WRITTEN to parquet, read back, and a monthly "
+    "query is answered FROM THE MV ALONE — no base-table scan in the "
+    "answering plan. The oracle recomputes the months from raw events, "
+    "so the hash proves the rewrite algebra: counts and sums compose "
+    "across the MV grain, n_days falls out as the MV row count per "
+    "group (proving the MV grain itself), and derived means belong at "
+    "read time as sum/count. At 100 TB this is the pattern that turns "
+    "a fact-scan dashboard query into an answer-sized MV scan; the "
+    "write is one shuffle at MV grain, paid once per refresh.",
+)
+def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 1000000)
+        .cast("long")
+        .alias("v_ppm"),
+    )
+    mv = ev.groupBy("day", "month", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v_ppm").cast("long").alias("v"),
+    )
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    path = f"/tmp/spark_graft_mv_{tag}/daily_events_mv"
+    mv.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.col("month").cast("string").alias("month"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum("v").cast("long").alias("value_ppm"),
+        F.count("day").cast("long").alias("n_days"),
+    )
