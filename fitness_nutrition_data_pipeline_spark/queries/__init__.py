@@ -123,6 +123,12 @@ _CHECK_PRIORITY = (
     "pareto_frontier_parts",
     # 5-rater Fleiss kappa in exact integer ppm
     "fleiss_kappa_raters",
+    # gaps-and-islands calendar streaks; TSDB time-in-state average;
+    # exact weighted median; t-closeness EMD (privacy family complete)
+    "activity_streaks",
+    "time_in_state_twa",
+    "weighted_median_price",
+    "t_closeness_audit",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -148,15 +154,12 @@ _CHECK_PRIORITY = (
     "composite_pk_check",
     "dedup_exact_summary",
     "inverted_index_postings",
-    "k_anonymity_audit",
-    "corpus_datacard",
-    "cross_source_dup_leakage",
-    "minhash_jaccard_calibration",
 )
 
 
 _QUERY_MODULES = (
     "analytics_ops",
+    "analytics_ops2",
     "behavior_ops",
     "corpus_ops",
     "corpus_ops2",
