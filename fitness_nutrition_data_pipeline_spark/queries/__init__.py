@@ -129,6 +129,9 @@ _CHECK_PRIORITY = (
     "time_in_state_twa",
     "weighted_median_price",
     "t_closeness_audit",
+    # native Avro container source (public spec, no spark-avro module):
+    # executor-side writer + binaryFile/mapInPandas reader roundtrip
+    "avro_roundtrip_scan",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -153,7 +156,6 @@ _CHECK_PRIORITY = (
     "date_dimension",
     "composite_pk_check",
     "dedup_exact_summary",
-    "inverted_index_postings",
 )
 
 

@@ -869,3 +869,58 @@ def variant_props_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("long").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "avro_roundtrip_scan",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(md5(text) >= 'a' AS INTEGER)) AS BIGINT)
+             AS text_checksum
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    sort=("lang", "source"),
+    doc="The NATIVE Avro connector (sources/avro.py — container format "
+    "implemented from the public Avro 1.11 spec, since this Spark "
+    "ships avro-core jars but not the spark-avro SQL module) under the "
+    "HARD oracle, completing the CSV/JSONL/ORC/Avro round-trip "
+    "quartet: documents are encoded executor-side one container file "
+    "per partition (zigzag varints over plain Row objects — nullable "
+    "longs never pass through a float-coercing frame), re-read via "
+    "binaryFile + Arrow-batched mapInPandas block decode with a "
+    "DECLARED schema, and aggregated; the oracle aggregates the "
+    "original parquet. The md5 text checksum proves utf-8 string "
+    "encoding round-trips byte-exactly through the binary format.",
+)
+def avro_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.sources.avro import (
+        read_avro,
+        write_avro,
+    )
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    path = f"/tmp/spark_graft_avro_{tag}/documents"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    write_avro(docs, path)
+    back = read_avro(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.md5("text") >= "a").cast("int"))
+        .cast("long")
+        .alias("text_checksum"),
+    )
