@@ -132,6 +132,8 @@ _CHECK_PRIORITY = (
     # native Avro container source (public spec, no spark-avro module):
     # executor-side writer + binaryFile/mapInPandas reader roundtrip
     "avro_roundtrip_scan",
+    # one-pass Poisson bootstrap CI: 32 replicas, integer order stats
+    "poisson_bootstrap_ci",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -155,7 +157,6 @@ _CHECK_PRIORITY = (
     "sessionize_native_window",
     "date_dimension",
     "composite_pk_check",
-    "dedup_exact_summary",
 )
 
 

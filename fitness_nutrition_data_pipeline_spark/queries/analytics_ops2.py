@@ -319,3 +319,126 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emd_ppm",
         )
     )
+
+
+# Poisson(1) inverse-CDF thresholds in ppm (e^-1 series, precomputed once
+# in Python and embedded as literals in BOTH engines — the NDCG-weights
+# precedent), capped at 6: P(X > 6) < 6e-5
+_POIS_CASE = (
+    "CASE WHEN {u} < 367879 THEN 0 WHEN {u} < 735759 THEN 1 "
+    "WHEN {u} < 919699 THEN 2 WHEN {u} < 981012 THEN 3 "
+    "WHEN {u} < 996340 THEN 4 WHEN {u} < 999406 THEN 5 ELSE 6 END"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    f"""
+    WITH reps AS (SELECT unnest(range(32)) AS b),
+    drawn AS (
+      SELECT e.event_type, r.b,
+             {_POIS_CASE.format(
+                 u="CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)"
+                   " || ':' || CAST(r.b AS VARCHAR)), 1, 6)) AS BIGINT)"
+                   " % 1000000")} AS m,
+             CAST(round(coalesce(e.value, 0) * 1000) AS BIGINT) AS v_milli
+      FROM events e CROSS JOIN reps r
+    ),
+    rep_means AS (
+      SELECT event_type, b,
+             sum(m * v_milli) // sum(m) AS wmean
+      FROM drawn GROUP BY event_type, b
+      HAVING sum(m) > 0
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(coalesce(value, 0) * 1000) AS BIGINT))
+                  // count(*) AS BIGINT) AS mean_milli
+      FROM events GROUP BY event_type
+    )
+    SELECT r.event_type,
+           CAST(count(*) AS BIGINT) AS n_replicas,
+           CAST(min(b2.mean_milli) AS BIGINT) AS mean_milli,
+           CAST(list(r.wmean ORDER BY r.wmean)[2] AS BIGINT) AS ci_lo_milli,
+           CAST(list(r.wmean ORDER BY r.wmean)[31] AS BIGINT) AS ci_hi_milli
+    FROM rep_means r JOIN base b2 USING (event_type)
+    GROUP BY r.event_type
+    ORDER BY r.event_type
+    """,
+    sort=("event_type",),
+    doc="Poisson bootstrap confidence interval (Chamandy et al., 'the "
+    "bootstrap at terabyte scale'): classic resampling needs a global "
+    "index per resample; the Poisson trick gives each row an "
+    "independent Poisson(1) multiplicity per replica, so 32 bootstrap "
+    "replicas are ONE pass over the data with a 32-way explode — "
+    "embarrassingly parallel, no coordination, the only correct "
+    "bootstrap at 100 TB. Multiplicities come from a deterministic "
+    "md5-uniform through the Poisson inverse CDF (ppm thresholds "
+    "precomputed in Python, embedded as literals in both engines); "
+    "replica means are exact integer milli-unit floor divisions; the "
+    "CI is the 2nd/31st order statistic of the 32 sorted replica "
+    "means — integers end to end, so the driver hash pins the entire "
+    "resampling pipeline, not a float approximation of it.",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.coalesce(F.col("value"), F.lit(0)) * 1000)
+        .cast("long")
+        .alias("v_milli"),
+    )
+    drawn = ev.withColumn(
+        "b", F.explode(F.sequence(F.lit(0), F.lit(31)))
+    ).withColumn(
+        "u",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000,
+    ).withColumn("m", F.expr(_POIS_CASE.format(u="u")))
+    rep_means = (
+        drawn.groupBy("event_type", "b")
+        .agg(
+            F.expr("sum(m * v_milli) DIV sum(m)").alias("wmean"),
+            F.sum("m").alias("tm"),
+        )
+        .where(F.col("tm") > 0)
+    )
+    base = ev.groupBy("event_type").agg(
+        F.expr("CAST(sum(v_milli) DIV count(*) AS BIGINT)").alias(
+            "mean_milli"
+        )
+    )
+    return (
+        rep_means.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_replicas"),
+            F.element_at(F.array_sort(F.collect_list("wmean")), 2)
+            .cast("long")
+            .alias("ci_lo_milli"),
+            F.element_at(F.array_sort(F.collect_list("wmean")), 31)
+            .cast("long")
+            .alias("ci_hi_milli"),
+        )
+        .join(F.broadcast(base), "event_type")
+        .select(
+            "event_type",
+            "n_replicas",
+            "mean_milli",
+            "ci_lo_milli",
+            "ci_hi_milli",
+        )
+    )
