@@ -731,3 +731,38 @@ def test_dynamic_partition_pruning_on_fact_scan(spark, sf_dir):
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf, "expected a partitioned scan"
     assert any("dynamicpruning" in ln for ln in pf), pf
+
+
+def test_mv_rewrite_answers_from_mv_only(spark, sf_dir):
+    """The monthly answer must scan ONLY the written MV parquet — a base
+    events.parquet scan in the answering plan means the 'rewrite' is
+    recomputing, and the 100 TB win is gone."""
+    plan = plan_of(spark, sf_dir, "mv_rewrite_audit", mode="formatted")
+    assert "spark_graft_mv_" in plan
+    assert "events.parquet" not in plan
+
+
+def test_pareto_frontier_plan_shape(spark, sf_dir):
+    """Distributed skyline: band-summary join broadcasts (the summary is
+    bounded), no cartesian product, and the only unpartitioned window
+    runs over the band-grain relation."""
+    plan = plan_of(spark, sf_dir, "pareto_frontier_parts", mode="formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_avro_roundtrip_plan_is_arrow_batched(spark, sf_dir):
+    """The Avro reader must be the binaryFile scan + ONE Arrow-batched
+    mapInPandas decode — never a row-at-a-time Python UDF."""
+    plan = plan_of(spark, sf_dir, "avro_roundtrip_scan", mode="simple")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_poisson_bootstrap_no_python_stage(spark, sf_dir):
+    """The 32-way replica explode and Poisson inverse-CDF must stay
+    JVM-side (generate + CASE chain) — whole-stage codegen, no Python."""
+    plan = plan_of(spark, sf_dir, "poisson_bootstrap_ci", mode="simple")
+    assert "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
