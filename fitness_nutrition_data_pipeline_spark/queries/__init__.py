@@ -134,6 +134,8 @@ _CHECK_PRIORITY = (
     "avro_roundtrip_scan",
     # one-pass Poisson bootstrap CI: 32 replicas, integer order stats
     "poisson_bootstrap_ci",
+    # theta-sketch intersection estimate (KMV set algebra)
+    "kmv_intersection_estimate",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -156,7 +158,6 @@ _CHECK_PRIORITY = (
     "winnowing_cross_matches",
     "sessionize_native_window",
     "date_dimension",
-    "composite_pk_check",
 )
 
 

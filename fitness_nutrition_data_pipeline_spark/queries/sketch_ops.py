@@ -583,3 +583,108 @@ def ams_f2_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rel_err"),
     )
+
+
+@register(
+    "kmv_intersection_estimate",
+    """
+    WITH pu AS (
+      SELECT DISTINCT user_id AS key FROM events WHERE event_type = 'purchase'
+    ),
+    cu AS (
+      SELECT DISTINCT user_id AS key FROM events WHERE event_type = 'click'
+    ),
+    ha AS (
+      SELECT key, (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6))
+                        AS BIGINT) + 0.5) / 16777216.0 AS u
+      FROM pu
+    ),
+    hb AS (
+      SELECT key, (CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 6))
+                        AS BIGINT) + 0.5) / 16777216.0 AS u
+      FROM cu
+    ),
+    ska AS (SELECT u FROM ha ORDER BY u LIMIT 64),
+    skb AS (SELECT u FROM hb ORDER BY u LIMIT 64),
+    theta AS (
+      SELECT least((SELECT max(u) FROM ska), (SELECT max(u) FROM skb)) AS th
+    ),
+    inter AS (
+      SELECT count(*) AS c
+      FROM ska JOIN skb USING (u) CROSS JOIN theta
+      WHERE ska.u < theta.th
+    ),
+    exact AS (
+      SELECT count(*) AS n FROM pu JOIN cu USING (key)
+    )
+    SELECT CAST(exact.n AS BIGINT) AS n_exact,
+           CAST(round(inter.c / theta.th) AS BIGINT) AS kmv_estimate,
+           CAST(CAST(round(abs(inter.c / theta.th - exact.n)
+                           / nullif(exact.n, 0), 4)
+                     AS DECIMAL(18,4)) AS DOUBLE) AS rel_err
+    FROM exact CROSS JOIN inter CROSS JOIN theta
+    """,
+    sort=("n_exact",),
+    doc="Theta-sketch set-operation framework (the Apache DataSketches "
+    "/ KMV intersection trick): two KMV sketches (k=64, deterministic "
+    "md5 uniforms) of the purchase-user and click-user sets intersect "
+    "by keeping the common hash values below theta = min of the two "
+    "sketches' k-th minima; |common < theta| / theta estimates the "
+    "intersection cardinality — the estimate a plain union-mergeable "
+    "distinct sketch cannot give. The oracle recomputes sketches, "
+    "theta, estimate AND the exact intersection, so the hash pins the "
+    "whole estimator; rel_err is decimal-canonicalized. At 100 TB each "
+    "sketch is a per-partition top-k heap merge (answer-sized), and "
+    "the set algebra runs on 64-row relations.",
+)
+def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+
+    def sketch(etype):
+        keys = (
+            ev.where(F.col("event_type") == etype)
+            .select(F.col("user_id").alias("key"))
+            .distinct()
+        )
+        u = (
+            F.conv(F.substring(F.md5(F.col("key").cast("string")), 1, 6), 16, 10)
+            .cast("long")
+            + F.lit(0.5)
+        ) / F.lit(16777216.0)
+        return keys.select(u.alias("u")).orderBy("u").limit(64)
+
+    ska = sketch("purchase").localCheckpoint()
+    skb = sketch("click").localCheckpoint()
+    theta = ska.agg(F.max("u").alias("tha")).crossJoin(
+        skb.agg(F.max("u").alias("thb"))
+    ).select(F.least("tha", "thb").alias("th"))
+    inter = (
+        ska.join(skb, "u")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("u") < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pu = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    ).distinct()
+    cu = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key")
+    ).distinct()
+    exact = pu.join(cu, "key").agg(F.count(F.lit(1)).alias("n"))
+    est = F.round(F.col("c") / F.col("th"))
+    return (
+        exact.crossJoin(F.broadcast(inter))
+        .crossJoin(F.broadcast(theta))
+        .select(
+            F.col("n").cast("long").alias("n_exact"),
+            est.cast("long").alias("kmv_estimate"),
+            F.round(
+                F.abs(F.col("c") / F.col("th") - F.col("n"))
+                / F.nullif(F.col("n"), F.lit(0)),
+                4,
+            )
+            .cast("decimal(18,4)")
+            .cast("double")
+            .alias("rel_err"),
+        )
+    )
