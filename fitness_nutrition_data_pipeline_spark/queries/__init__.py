@@ -136,6 +136,8 @@ _CHECK_PRIORITY = (
     "poisson_bootstrap_ci",
     # theta-sketch intersection estimate (KMV set algebra)
     "kmv_intersection_estimate",
+    # exact Shapley channel attribution over the ppm-quantized lattice
+    "shapley_attribution_exact",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -157,7 +159,6 @@ _CHECK_PRIORITY = (
     "heavy_hitters_verified",
     "winnowing_cross_matches",
     "sessionize_native_window",
-    "date_dimension",
 )
 
 

@@ -1339,3 +1339,128 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type")
     )
+
+
+@register(
+    "shapley_attribution_exact",
+    """
+    WITH um AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             + 8 * max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS m,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS conv
+      FROM events GROUP BY user_id
+    ),
+    masks AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(conv) AS BIGINT) AS cv
+      FROM um GROUP BY m
+    ),
+    lattice AS (SELECT unnest(range(16)) AS t),
+    v AS (
+      SELECT l.t,
+             CASE WHEN sum(k.cnt) IS NULL OR sum(k.cnt) = 0 THEN 0
+                  ELSE 1000000 * sum(k.cv) // sum(k.cnt) END AS v_ppm
+      FROM lattice l LEFT JOIN masks k ON (k.m & l.t) = k.m
+      GROUP BY l.t
+    ),
+    chan AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 2),
+                            ('signup', 4), ('error', 8)) AS c(name, bit)
+    ),
+    terms AS (
+      SELECT c.name,
+             (CASE bit_count(CAST(t0.t AS BIGINT))
+                WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END)
+             * (v1.v_ppm - t0.v_ppm) AS w_delta
+      FROM chan c
+      JOIN v t0 ON (t0.t & c.bit) = 0
+      JOIN v v1 ON v1.t = t0.t + c.bit
+    )
+    SELECT name AS channel,
+           CAST(CASE WHEN sum(w_delta) >= 0 THEN sum(w_delta) // 24
+                     ELSE -((-sum(w_delta)) // 24) END AS BIGINT)
+               AS shapley_ppm
+    FROM terms GROUP BY name
+    ORDER BY channel
+    """,
+    sort=("channel",),
+    doc="Exact Shapley-value channel attribution (the game-theoretic "
+    "credit split marketing/data-attribution uses): the coalition "
+    "value v(T) is the conversion rate of users whose touched-channel "
+    "set fits inside T (a 16-node subset lattice over 4 channels, "
+    "built from ONE user-grain aggregate + a 16x16 bit-containment "
+    "join), and each channel's Shapley value is the factorial-weighted "
+    "sum of its marginal contributions v(T+i) - v(T) over the 8 "
+    "coalitions excluding it. Determinism: v is quantized to integer "
+    "ppm by floor division FIRST, so the Shapley sum is pure integer "
+    "arithmetic with weight numerators {6,2,2,6}/24 — order-free, "
+    "exactly reproducible, within 1e-4 of the unquantized value (the "
+    "documented trade; symmetric truncation keeps both engines' "
+    "negative-division semantics aligned). At 100 TB only the first "
+    "aggregate touches data; the lattice algebra is 16 rows.",
+)
+def shapley_attribution_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    um = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2 * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4 * F.max(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+            + 8 * F.max(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        ).alias("m"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    masks = um.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("conv").cast("long").alias("cv"),
+    )
+    lattice = ev.sparkSession.range(16).select(F.col("id").alias("t"))
+    v = (
+        lattice.join(
+            F.broadcast(masks),
+            (F.col("m").bitwiseAND(F.col("t")) == F.col("m")),
+            "left",
+        )
+        .groupBy("t")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(cnt) IS NULL OR sum(cnt) = 0 THEN 0 "
+                "ELSE 1000000 * sum(cv) DIV sum(cnt) END"
+            ).alias("v_ppm")
+        )
+    )
+    chan = ev.sparkSession.createDataFrame(
+        [("view", 1), ("click", 2), ("signup", 4), ("error", 8)],
+        "name string, bit long",
+    )
+    t0 = v.select(F.col("t").alias("t0"), F.col("v_ppm").alias("v0"))
+    v1 = v.select(F.col("t").alias("t1"), F.col("v_ppm").alias("v1"))
+    terms = (
+        chan.join(
+            F.broadcast(t0), F.col("t0").bitwiseAND(F.col("bit")) == 0
+        )
+        .join(F.broadcast(v1), F.col("t1") == F.col("t0") + F.col("bit"))
+        .select(
+            "name",
+            (
+                F.expr(
+                    "CASE bit_count(t0) WHEN 0 THEN 6 WHEN 1 THEN 2 "
+                    "WHEN 2 THEN 2 ELSE 6 END"
+                )
+                * (F.col("v1") - F.col("v0"))
+            ).alias("w_delta"),
+        )
+    )
+    return terms.groupBy(F.col("name").alias("channel")).agg(
+        F.expr(
+            "CAST(CASE WHEN sum(w_delta) >= 0 THEN sum(w_delta) DIV 24 "
+            "ELSE -((-sum(w_delta)) DIV 24) END AS BIGINT)"
+        ).alias("shapley_ppm")
+    )

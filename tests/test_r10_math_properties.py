@@ -236,3 +236,51 @@ def test_twa_equals_step_integral(events):
     )
     assert got == integral // den
     assert min(v for _, v in evs[:-1]) <= got <= max(v for _, v in evs[:-1])
+
+
+# ---- shapley_attribution_exact: quantized lattice sum == definition
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(1, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_shapley_lattice_matches_definition(mask_rows):
+    # masks: (mask, cnt, conv<=cnt)
+    masks: dict[int, tuple[int, int]] = {}
+    for m, cnt, cv in mask_rows:
+        c0, v0 = masks.get(m, (0, 0))
+        masks[m] = (c0 + cnt, v0 + min(cv, cnt))
+
+    def v_ppm(t):
+        cnt = sum(c for m, (c, _) in masks.items() if m & t == m)
+        cv = sum(v for m, (_, v) in masks.items() if m & t == m)
+        return 0 if cnt == 0 else 1000000 * cv // cnt
+
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    got = {}
+    for name, bit in (("view", 1), ("click", 2), ("signup", 4), ("error", 8)):
+        s = sum(
+            w[bin(t0).count("1")] * (v_ppm(t0 + bit) - v_ppm(t0))
+            for t0 in range(16)
+            if t0 & bit == 0
+        )
+        got[name] = s // 24 if s >= 0 else -((-s) // 24)
+    # efficiency on the QUANTIZED game holds within the truncation bound:
+    # sum of per-channel values ~ v(full) - v(empty), each phi truncated
+    total = sum(got.values())
+    exact_gap = v_ppm(15) - v_ppm(0)
+    assert abs(total - exact_gap) <= 8  # 4 channels x truncation < 2 ppm
+    # and each quantized phi is within 1 ppm + quantization of the float
+    # Shapley of the quantized value function (same formula over floats)
+    for name, bit in (("view", 1), ("click", 2), ("signup", 4), ("error", 8)):
+        f = sum(
+            w[bin(t0).count("1")] / 24 * (v_ppm(t0 + bit) - v_ppm(t0))
+            for t0 in range(16)
+            if t0 & bit == 0
+        )
+        assert abs(got[name] - f) <= 1
