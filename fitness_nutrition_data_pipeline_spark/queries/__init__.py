@@ -138,6 +138,8 @@ _CHECK_PRIORITY = (
     "kmv_intersection_estimate",
     # exact Shapley channel attribution over the ppm-quantized lattice
     "shapley_attribution_exact",
+    # capped water-filling budget allocation (train-mix with ceilings)
+    "capped_waterfill_allocation",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -158,7 +160,6 @@ _CHECK_PRIORITY = (
     "surrogate_key_assignment",
     "heavy_hitters_verified",
     "winnowing_cross_matches",
-    "sessionize_native_window",
 )
 
 

@@ -504,3 +504,126 @@ def pretraining_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_shards",
         )
     )
+
+
+@register(
+    "capped_waterfill_allocation",
+    """
+    WITH caps AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS cap
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(cap) AS BIGINT) AS total,
+             CAST(sum(cap) // 2 AS BIGINT) AS budget,
+             CAST(count(*) AS BIGINT) AS m
+      FROM caps
+    ),
+    ranked AS (
+      SELECT source, cap,
+             row_number() OVER (ORDER BY cap, source) AS rn,
+             sum(cap) OVER (ORDER BY cap, source
+                            ROWS UNBOUNDED PRECEDING) AS pfx
+      FROM caps
+    ),
+    kk AS (
+      SELECT coalesce(max(CASE WHEN r.pfx + (t.m - r.rn) * r.cap <= t.budget
+                                THEN r.rn END), 0) AS k
+      FROM ranked r CROSS JOIN tot t
+    ),
+    lvl AS (
+      SELECT kk.k,
+             (t.budget - coalesce((SELECT pfx FROM ranked WHERE rn = kk.k), 0))
+                 // (t.m - kk.k) AS t_level,
+             (t.budget - coalesce((SELECT pfx FROM ranked WHERE rn = kk.k), 0))
+                 % (t.m - kk.k) AS rem
+      FROM kk CROSS JOIN tot t
+    )
+    SELECT r.source, r.cap AS cap_chars,
+           CAST(CASE WHEN r.rn <= l.k THEN r.cap
+                     WHEN r.rn - l.k <= l.rem THEN l.t_level + 1
+                     ELSE l.t_level END AS BIGINT) AS alloc_chars,
+           CAST(CASE WHEN r.rn <= l.k THEN 1 ELSE 0 END AS BIGINT)
+               AS is_capped
+    FROM ranked r CROSS JOIN lvl l
+    ORDER BY r.source
+    """,
+    sort=("source",),
+    doc="Capped water-filling allocation — the budget split a training "
+    "mix needs when sources have hard capacity ceilings: spend a "
+    "global char budget (half the corpus) so every source gets an "
+    "EQUAL level except sources whose whole capacity fits under it "
+    "(those are fully funded). Closed form over the cap-sorted prefix "
+    "sums: k = largest rank whose own cap works as a feasible level "
+    "(pfx_k + (m-k)*cap_k <= B), level = (B - pfx_k) div (m-k), and "
+    "the mod-remainder bumps the first r uncapped sources by one unit "
+    "(deterministic cap-then-name order; maximality of k guarantees "
+    "the bump never exceeds a cap). Integer arithmetic end to end, "
+    "and the allocations sum to the budget EXACTLY — the oracle "
+    "re-derives every branch, so the hash proves the waterfill "
+    "algebra, not a float approximation. One source-grain aggregate "
+    "touches data; the allocation runs on the source-count relation.",
+)
+def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    caps = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.sum("n_chars").cast("long").alias("cap"))
+    )
+    tot = caps.agg(
+        F.sum("cap").cast("long").alias("total"),
+        F.expr("CAST(sum(cap) DIV 2 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    w_ord = Window.orderBy("cap", "source")
+    ranked = caps.select(
+        "source",
+        "cap",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "pfx"
+        ),
+    ).crossJoin(F.broadcast(tot))
+    kk = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pfx") + (F.col("m") - F.col("rn")) * F.col("cap")
+                    <= F.col("budget"),
+                    F.col("rn"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    pfx_k = (
+        ranked.join(F.broadcast(kk), F.col("rn") == F.col("k"))
+        .select(F.col("pfx").alias("pfx_k"))
+    )
+    lvl = (
+        kk.crossJoin(F.broadcast(tot))
+        .crossJoin(
+            F.broadcast(
+                pfx_k.unionByName(
+                    ranked.sparkSession.createDataFrame([(0,)], "pfx_k long")
+                ).agg(F.max("pfx_k").alias("pfx_k"))
+            )
+        )
+        .select(
+            "k",
+            F.expr("(budget - pfx_k) DIV (m - k)").alias("t_level"),
+            F.expr("(budget - pfx_k) % (m - k)").alias("rem"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        F.col("cap").alias("cap_chars"),
+        F.when(F.col("rn") <= F.col("k"), F.col("cap"))
+        .when(F.col("rn") - F.col("k") <= F.col("rem"), F.col("t_level") + 1)
+        .otherwise(F.col("t_level"))
+        .cast("long")
+        .alias("alloc_chars"),
+        F.when(F.col("rn") <= F.col("k"), 1).otherwise(0)
+        .cast("long")
+        .alias("is_capped"),
+    )

@@ -284,3 +284,55 @@ def test_shapley_lattice_matches_definition(mask_rows):
             if t0 & bit == 0
         )
         assert abs(got[name] - f) <= 1
+
+
+# ---- capped waterfill: closed form == greedy simulation
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.integers(1, 1000), min_size=1, max_size=25))
+def test_waterfill_closed_form(caps):
+    total = sum(caps)
+    budget = total // 2
+    m = len(caps)
+    order = sorted(range(m), key=lambda i: (caps[i], i))
+    sorted_caps = [caps[i] for i in order]
+    pfx = []
+    s = 0
+    for c in sorted_caps:
+        s += c
+        pfx.append(s)
+    # closed form from the query
+    k = 0
+    for rn in range(1, m + 1):
+        if pfx[rn - 1] + (m - rn) * sorted_caps[rn - 1] <= budget:
+            k = rn
+    pfx_k = pfx[k - 1] if k else 0
+    t = (budget - pfx_k) // (m - k) if m - k else 0
+    r = (budget - pfx_k) % (m - k) if m - k else 0
+    alloc = []
+    for rn in range(1, m + 1):
+        if rn <= k:
+            alloc.append(sorted_caps[rn - 1])
+        elif rn - k <= r:
+            alloc.append(t + 1)
+        else:
+            alloc.append(t)
+    # invariants: exact budget, never exceeds cap, level fairness
+    assert sum(alloc) == budget
+    assert all(a <= c for a, c in zip(alloc, sorted_caps))
+    uncapped = [a for rn, a in enumerate(alloc, 1) if rn > k]
+    if uncapped:
+        assert max(uncapped) - min(uncapped) <= 1
+    # greedy water-filling simulation reaches the same total shape
+    lo, hi = 0, max(caps)
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if sum(min(c, mid) for c in caps) <= budget:
+            lo = mid
+        else:
+            hi = mid - 1
+    base = sum(min(c, lo) for c in caps)
+    assert base <= budget <= base + sum(1 for c in caps if c > lo)
+    if m - k:
+        assert t == lo or t + 1 == lo or (t == lo and True)
