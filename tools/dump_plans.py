@@ -105,6 +105,21 @@ SHOWCASE = [
     ("late_dim_backfill_audit", "two-phase late-dim resolution: pinned delta-sized pending set, backfill join never touches resolved facts"),
     ("partition_restatement_audit", "day-grain restatement: broadcast affected-day set, anti-join keeps untouched aggregates, recompute reads affected days only"),
     ("kcore_peel_audit", "bounded k-core peel: pinned edge list, per round one degree agg + two left-semi joins against survivors"),
+    # r10 additions
+    ("kcore_fixpoint_audit", "converged k-core: loop-until-no-drop with parquet round-state, one two-long action per round; 7-round idempotent oracle unroll"),
+    ("mv_rewrite_audit", "MV rewrite: monthly answer scans ONLY the written day-grain MV — no base-table scan in the answering plan"),
+    ("pareto_frontier_parts", "distributed skyline: in-band prefix-max window + broadcast band-summary prefix — the quadratic pair space never materializes"),
+    ("majority_vote_accuracy", "self-consistency vote: one (task,ans) agg, per-task argmax window, everything keyed on task"),
+    ("poisson_bootstrap_ci", "one-pass bootstrap: 32-way explode, Poisson inverse-CDF as a codegen CASE chain, replica means by integer division"),
+    ("avro_roundtrip_scan", "native Avro: binaryFile listing + ONE Arrow-batched MapInPandas block decode; writer emits one container file per partition"),
+    ("time_in_state_twa", "TSDB time-in-state: lead window partitioned by user, duration-weighted integer mean at type grain"),
+    ("weighted_median_price", "exact weighted median: window runs over the COLLAPSED (group, price) grain, threshold test avoids division"),
+    ("t_closeness_audit", "privacy EMD: (segment x band) grid with broadcast global distribution, cumulative gaps in exact integers"),
+    ("activity_streaks", "gaps-and-islands: epoch-day minus row_number anchor, one user shuffle, streak stats partition-local"),
+    ("shapley_attribution_exact", "Shapley credit: one user-grain aggregate, 16-node bit-containment lattice, factorial weights as a CASE chain"),
+    ("capped_waterfill_allocation", "waterfill: source-grain fold, cap-sorted prefix sums, closed-form level + deterministic remainder bumps"),
+    ("kmv_intersection_estimate", "theta-sketch intersection: two 64-row KMV sketches, theta = min of kth minima, set algebra on answer-sized relations"),
+    ("fleiss_kappa_raters", "inter-annotator agreement: rating stream folds to (item,label) cells; kappa is integer algebra on two scalar aggregates"),
 ]
 
 
