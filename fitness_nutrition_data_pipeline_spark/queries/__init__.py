@@ -140,6 +140,8 @@ _CHECK_PRIORITY = (
     "shapley_attribution_exact",
     # capped water-filling budget allocation (train-mix with ceilings)
     "capped_waterfill_allocation",
+    # variable-depth hierarchy rollup vs a RECURSIVE CTE oracle
+    "tree_subtree_cost_rollup",
     # (3) r5-stale refreshes fill the remaining slots: the bench
     # headliners whose wall-clock regressed with untouched code
     # (minhash_lsh_buckets +26% over two rounds — prove the semantics
@@ -159,7 +161,6 @@ _CHECK_PRIORITY = (
     "tpch_q21_waiting_suppliers",
     "surrogate_key_assignment",
     "heavy_hitters_verified",
-    "winnowing_cross_matches",
 )
 
 

@@ -441,3 +441,71 @@ def kcore_fixpoint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.min("d"), F.lit(0)).cast("long").alias("min_core_degree"),
         F.coalesce(F.max("d"), F.lit(0)).cast("long").alias("max_core_degree"),
     ).withColumn("peel_rounds", F.lit(rounds).cast("long"))
+
+
+@register(
+    "tree_subtree_cost_rollup",
+    """
+    WITH RECURSIVE anc(node, a) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT node, a // 7 FROM anc WHERE a >= 7
+    ),
+    cost AS (
+      SELECT p_partkey AS node,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM part
+    )
+    SELECT a AS node,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(cost.c) AS BIGINT) AS subtree_cost_cents
+    FROM anc JOIN cost USING (node)
+    WHERE a < 50
+    GROUP BY a
+    ORDER BY node
+    """,
+    sort=("node",),
+    doc="Hierarchy (BOM-style) subtree rollup to VARIABLE depth: parts "
+    "form a 7-ary forest (parent = key div 7), and each shallow node's "
+    "subtree cost/count aggregates over ALL its descendants. The "
+    "oracle is a genuine RECURSIVE CTE — the first in the registry — "
+    "while the Spark side runs the loop-until-frontier-empty ancestor "
+    "expansion (one join-free div per level, pinned per round, depth "
+    "= log7(max key) — 4-5 levels here, discovered at runtime, not "
+    "hard-coded), then one keyed aggregate over the ancestor-pair "
+    "relation. The ancestor table is |V| x depth — linear in the "
+    "data times tree height, never the transitive-closure square; "
+    "costs go through DECIMAL cents. The kcore_fixpoint_audit "
+    "companion for DAG-shaped (rather than degree-shaped) iteration.",
+)
+def tree_subtree_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    level = part.select("node", F.col("node").alias("a")).localCheckpoint()
+    levels = [level]
+    while True:
+        nxt = (
+            level.where(F.col("a") >= 7)
+            .select("node", F.expr("a DIV 7").alias("a"))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        level = nxt
+    anc = levels[0]
+    for more in levels[1:]:
+        anc = anc.unionByName(more)
+    return (
+        anc.join(part, "node")
+        .where(F.col("a") < 50)
+        .groupBy(F.col("a").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_desc"),
+            F.sum("c").cast("long").alias("subtree_cost_cents"),
+        )
+    )
