@@ -211,20 +211,49 @@ def mirror_to_jdbc(
 
 def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str]):
     """Driver-side JDBC connection (for the DDL the Spark writer cannot
-    express: renames, existence checks). Uses the same driver class the
-    writer uses."""
+    express: renames, existence checks). Uses the same driver class AND
+    the same credentials the writer uses — user/password/etc. from the
+    properties dict are forwarded via java.util.Properties, so the swap
+    works against authenticated targets (the reference mirrors to
+    credentialed MySQL, config.py:7-12), not only credential-less
+    embedded DBs like the Derby test harness."""
     jvm = spark._jvm
     if "driver" in properties:
         jvm.java.lang.Class.forName(properties["driver"])
-    return jvm.java.sql.DriverManager.getConnection(url)
+    props = jvm.java.util.Properties()
+    for k, v in properties.items():
+        if k != "driver":
+            props.setProperty(k, str(v))
+    return jvm.java.sql.DriverManager.getConnection(url, props)
 
 
 def _jdbc_table_exists(conn, table: str) -> bool:
-    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
-    try:
-        return bool(rs.next())
-    finally:
-        rs.close()
+    """Existence check that respects the engine's identifier folding.
+
+    Unquoted identifiers are stored upper-cased on Derby/Oracle,
+    lower-cased on Postgres, and as-written on MySQL-on-Linux —
+    DatabaseMetaData.stores{Upper,Lower}CaseIdentifiers() says which.
+    Probe the folded casing first, then the other two as a fallback for
+    engines that report neither (mixed-case / case-sensitive stores)."""
+    md = conn.getMetaData()
+    if md.storesUpperCaseIdentifiers():
+        casings = (table.upper(), table, table.lower())
+    elif md.storesLowerCaseIdentifiers():
+        casings = (table.lower(), table, table.upper())
+    else:
+        casings = (table, table.lower(), table.upper())
+    seen = set()
+    for cased in casings:
+        if cased in seen:
+            continue
+        seen.add(cased)
+        rs = md.getTables(None, None, cased, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
 
 
 def _jdbc_exec(conn, sql: str) -> None:
@@ -251,11 +280,21 @@ def mirror_to_jdbc_idempotent(
     idempotent or repairable, the streaming/ivm.py swap protocol
     re-expressed in DDL; a crash in any window either rolls back (the
     retry rewrites staging) or rolls forward (the retry's overwrite of
-    staging is the only repeated work). The swap is not atomic for
-    CONCURRENT readers (two renames) — the contract is retry-safety of
-    the nightly mirror, not online schema migration.
+    staging is the only repeated work).
+
+    Dialect note (the ``RENAME TABLE`` syntax is MySQL/Derby): on
+    ``jdbc:mysql:`` URLs the swap is emitted as ONE multi-table
+    ``RENAME TABLE live TO old, stg TO live`` statement — atomic in
+    MySQL, so concurrent readers never observe a missing live table.
+    Derby (the test harness) lacks multi-table rename and keeps the
+    two-step form, which is retry-safe (the contract) but not atomic
+    for concurrent readers — nightly-mirror semantics there, not
+    online schema migration. Other dialects (Postgres spells it
+    ``ALTER TABLE RENAME``) are out of scope and rejected loudly by
+    their own engines rather than silently mangled here.
     """
     spark = next(iter(warehouse.values())).sparkSession
+    atomic = _is_mysql_url(url)
     conn = _jdbc_connection(spark, url, properties)
     try:
         for name in LOAD_ORDER:
@@ -278,13 +317,29 @@ def mirror_to_jdbc_idempotent(
                 .save()
             )
             # (3) swap
-            if _jdbc_table_exists(conn, live):
-                _jdbc_exec(conn, f"RENAME TABLE {live} TO {old}")
-            _jdbc_exec(conn, f"RENAME TABLE {stg} TO {live}")
+            for stmt in _swap_statements(live, stg, old, _jdbc_table_exists(conn, live), atomic):
+                _jdbc_exec(conn, stmt)
             if _jdbc_table_exists(conn, old):
                 _jdbc_exec(conn, f"DROP TABLE {old}")
     finally:
         conn.close()
+
+
+def _is_mysql_url(url: str) -> bool:
+    return url.lower().startswith(("jdbc:mysql:", "jdbc:mariadb:"))
+
+
+def _swap_statements(
+    live: str, stg: str, old: str, live_exists: bool, atomic: bool
+) -> list[str]:
+    """DDL for the staging→live swap. MySQL/MariaDB get the atomic
+    single-statement multi-table rename (readers never see a missing
+    ``live``); engines without it (Derby) get the two-step form."""
+    if not live_exists:
+        return [f"RENAME TABLE {stg} TO {live}"]
+    if atomic:
+        return [f"RENAME TABLE {live} TO {old}, {stg} TO {live}"]
+    return [f"RENAME TABLE {live} TO {old}", f"RENAME TABLE {stg} TO {live}"]
 
 
 def upsert_partitions(

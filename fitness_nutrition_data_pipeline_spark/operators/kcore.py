@@ -29,11 +29,16 @@ driver traffic is two longs — never vertex or edge rows.
 
 from __future__ import annotations
 
-import os
-import shutil
+import posixpath
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _join(state_dir: str, tag: str) -> str:
+    # posixpath so scheme'd URIs (s3a://…, hdfs://…) join correctly on
+    # any driver OS; Hadoop Path treats plain paths as file: locals.
+    return posixpath.join(state_dir, tag)
 
 
 def _pin(df: DataFrame, state_dir: str | None, tag: str) -> DataFrame:
@@ -42,16 +47,27 @@ def _pin(df: DataFrame, state_dir: str | None, tag: str) -> DataFrame:
     otherwise (tests / bounded graphs)."""
     if state_dir is None:
         return df.localCheckpoint()
-    path = os.path.join(state_dir, tag)
+    path = _join(state_dir, tag)
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 
-def _drop_stale(state_dir: str | None, tags: list[str]) -> None:
+def _drop_stale(
+    spark: SparkSession, state_dir: str | None, tags: list[str]
+) -> None:
+    """Delete superseded round-state through the Hadoop FileSystem API —
+    the SAME resolution the Spark writer used to create it, so scheme'd
+    URIs (s3a://, hdfs://) are cleaned for real instead of a driver-local
+    shutil no-op (ADVICE r10: rmtree on a remote state_dir silently
+    leaks every round's parquet)."""
     if state_dir is None:
         return
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for t in tags:
-        shutil.rmtree(os.path.join(state_dir, t), ignore_errors=True)
+        p = jvm.org.apache.hadoop.fs.Path(_join(state_dir, t))
+        fs = p.getFileSystem(hconf)
+        fs.delete(p, True)
 
 
 def kcore_peel(
@@ -79,6 +95,7 @@ def kcore_peel(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    spark = edges.sparkSession
     cur = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     cur = _pin(cur, state_dir, "edges_r0")
     rounds = 0
@@ -92,8 +109,13 @@ def kcore_peel(
             F.count(F.when(F.col("_d") >= k, 1)).alias("n_keep"),
         ).first()
         if stat["n_keep"] == stat["n"]:
-            # no vertex drops — fixpoint (also the empty-graph case)
-            _drop_stale(state_dir, [f"deg_r{rounds}"])
+            # no vertex drops — fixpoint (also the empty-graph case).
+            # This round's degree table AND the n-1 round's state are
+            # both superseded; only edges_r{rounds} (backing the
+            # returned DataFrame) must survive (ADVICE r10: the break
+            # path used to leak prev_tags).
+            _drop_stale(spark, state_dir, [f"deg_r{rounds}", *prev_tags])
+            prev_tags = []
             break
         keep = deg.where(F.col("_d") >= k).select("src")
         cur = cur.join(keep, "src", "left_semi").join(
@@ -102,10 +124,12 @@ def kcore_peel(
         rounds += 1
         cur = _pin(cur, state_dir, f"edges_r{rounds}")
         # round n is durable -> everything before round n-1 is garbage
-        _drop_stale(state_dir, prev_tags)
+        _drop_stale(spark, state_dir, prev_tags)
         prev_tags = [f"edges_r{rounds - 1}", f"deg_r{rounds - 1}"]
         if stat["n_keep"] == 0:
             break
+    # max_rounds exhaustion / empty-core break: the n-1 round is garbage
+    _drop_stale(spark, state_dir, prev_tags)
     return cur.select("src", "dst"), rounds
 
 
@@ -125,14 +149,22 @@ def core_numbers(
     work is sum over levels of that level's (shrinking) edge mass, not
     k_max full passes over the input.
     """
+    spark = edges.sparkSession
     sym = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     out = sym.select(F.col("src").alias("vertex")).distinct().withColumn(
         "core", F.lit(0)
     )
     cur = sym
+    last_k = 0
     for k in range(1, k_max + 1):
-        sub = os.path.join(state_dir, f"k{k}") if state_dir else None
+        sub = _join(state_dir, f"k{k}") if state_dir else None
         cur, _ = kcore_peel(cur, k, state_dir=sub)
+        # kcore_peel's first _pin re-materialized cur under k{k}, so the
+        # previous level's directory is now garbage (ADVICE r10: the
+        # per-level k{j} / core_r{j} state used to accumulate for the
+        # whole run)
+        if k > 1:
+            _drop_stale(spark, state_dir, [f"k{k - 1}"])
         members = cur.select(F.col("src").alias("vertex")).distinct()
         out = (
             out.join(members.withColumn("_in", F.lit(k)), "vertex", "left")
@@ -142,6 +174,12 @@ def core_numbers(
             )
         )
         out = _pin(out, state_dir, f"core_r{k}")
+        if last_k:
+            _drop_stale(spark, state_dir, [f"core_r{last_k}"])
+        last_k = k
         if cur.isEmpty():
             break
+    # only core_r{last_k} (backing the returned DataFrame) and the final
+    # level's k{last_k}/edges_r* remain; both back live DataFrames and
+    # are the caller's to clean once consumed
     return out

@@ -17,12 +17,17 @@ Supported surface: ``null`` codec; record schemas over long / double /
 string / boolean / bytes and nullable unions ``["null", T]`` (ints
 widen to long, floats to double — Spark types them that way anyway).
 
-Scale: the reader parallelizes per FILE and the writer emits one file
-per partition, so read parallelism mirrors write parallelism. The
-standard 100 TB upgrade is a block-splitting reader (Avro's 16-byte
-sync marker exists precisely so a reader can start at any block
-boundary); per-partition files bounded by the writer's partitioning
-make file-grain parallelism equivalent in practice here.
+Scale: ``read_avro`` parallelizes per FILE and the writer emits one
+file per partition, so read parallelism mirrors write parallelism.
+``read_avro_splits`` is the 100 TB ingest path for files we did NOT
+write: it splits one large container file into per-block-range tasks
+using Avro's 16-byte sync marker (which exists precisely so a reader
+can start at any block boundary — the Hadoop input-split contract: a
+task owns the blocks that START inside its byte range).
+
+The writer targets a filesystem shared between driver and executors
+(plain ``open()`` executor-side); it REFUSES non-local masters rather
+than silently producing a partial directory (ADVICE r10).
 """
 
 from __future__ import annotations
@@ -262,7 +267,21 @@ def write_avro(df: DataFrame, path: str) -> int:
     Rows travel as plain Row objects (mapPartitions, not pandas): the
     per-partition imperative IO is exactly the legitimate RDD use, and
     object rows keep int64 exact where a pandas frame would coerce
-    nullable longs to float64."""
+    nullable longs to float64.
+
+    Executors write with plain ``open()``, which is only correct when
+    they share the driver's filesystem — true for ``local[*]`` (this
+    container) and shared-NFS clusters. On any other master the write
+    would SILENTLY land on executor-local disks the subsequent
+    ``read_avro`` listing never sees, so refuse loudly instead."""
+    master = df.sparkSession.sparkContext.master
+    if not master.startswith("local"):
+        raise RuntimeError(
+            f"write_avro requires a driver-shared filesystem (master "
+            f"{master!r}); on a cluster, write through a Hadoop-FS-backed "
+            f"sink (parquet/ORC) or run the encode via foreachPartition "
+            f"against a shared store"
+        )
     schema = avro_schema_of(df.schema)
     schema_json = json.dumps(schema)
     fts = [(f["name"], f["type"][1]) for f in schema["fields"]]
@@ -304,3 +323,172 @@ def read_avro(spark: SparkSession, path: str, ddl: str) -> DataFrame:
 
     files = spark.read.format("binaryFile").load(os.path.join(path, "*.avro"))
     return files.select("content").mapInPandas(decode, expected)
+
+
+# ------------------------------------------------- block-splitting reader
+
+def _read_header_bytes(head: bytes) -> tuple[dict, int, bytes]:
+    """(metadata map, data-start offset, sync marker) from the leading
+    bytes of a container file."""
+    view = memoryview(head)
+    if bytes(view[:4]) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta, pos = _skip_meta_map(view, 4)
+    sync = bytes(view[pos : pos + 16])
+    if len(sync) != 16:
+        raise ValueError("truncated Avro header")
+    return meta, pos + 16, sync
+
+
+def plan_avro_splits(
+    path: str, split_bytes: int = 32 << 20
+) -> tuple[list[tuple[str, int, int, bytes]], list[tuple[str, str, bool]]]:
+    """Driver-side split plan for one file or a directory of ``*.avro``:
+    returns (splits, field_types) where each split is
+    ``(file, start, end, sync)``. A split owns exactly the blocks whose
+    start offset p satisfies ``start <= p < end`` — the Hadoop
+    input-split ownership rule, so contiguous ranges cover every block
+    once. Only each file's HEADER is read here (one small driver read
+    per file); block scanning happens executor-side."""
+    import glob
+
+    files = (
+        sorted(glob.glob(os.path.join(path, "*.avro")))
+        if os.path.isdir(path)
+        else [path]
+    )
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    splits: list[tuple[str, int, int, bytes]] = []
+    fts0: list[tuple[str, str, bool]] | None = None
+    for fname in files:
+        size = os.path.getsize(fname)
+        with open(fname, "rb") as fh:
+            head = fh.read(min(size, 4 << 20))
+        meta, data_start, sync = _read_header_bytes(head)
+        if meta.get("avro.codec", b"null") != b"null":
+            raise ValueError("unsupported avro codec (null only)")
+        fts = _field_types_from_schema(json.loads(meta["avro.schema"]))
+        if fts0 is None:
+            fts0 = fts
+        elif fts != fts0:
+            raise ValueError(
+                f"avro schema mismatch across files: {fname} has {fts}, "
+                f"expected {fts0}"
+            )
+        s = data_start
+        while s < size:
+            e = min(size, s + split_bytes)
+            splits.append((fname, s, e, sync))
+            s = e
+        if data_start >= size:  # header-only (zero-row) file
+            continue
+    assert fts0 is not None
+    return splits, fts0
+
+
+def _decode_split(fname: str, start: int, end: int, sync: bytes,
+                  fts: list[tuple[str, str, bool]]) -> list[list]:
+    """Column-major rows of the blocks owned by one byte-range split.
+
+    Scans for the 16-byte sync marker from ``start`` (a block starts
+    immediately after each sync; the header's trailing sync makes the
+    first data block uniform with the rest), then decodes consecutive
+    blocks while their start offset stays inside the range — the last
+    owned block may RUN PAST ``end``; mmap random access pages in only
+    the bytes actually touched. A data coincidence matching the sync
+    pattern fails block validation and scanning resumes one byte on."""
+    import mmap
+
+    cols: list[list] = [[] for _ in fts]
+    with open(fname, "rb") as fh:
+        with mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ) as mm:
+            n = len(mm)
+            view = memoryview(mm)
+            try:
+                return _scan_blocks(mm, view, n, start, end, sync, fts, cols)
+            finally:
+                # an exported view blocks mmap.close()
+                view.release()
+
+
+def _scan_blocks(mm, view, n, start, end, sync, fts, cols):
+            search = max(0, start - 16)
+            while True:
+                idx = mm.find(sync, search, min(n, end))
+                if idx < 0 or idx + 16 >= end:
+                    return cols  # no block starts inside this range
+                pos = idx + 16
+                if pos < start:
+                    search = idx + 1
+                    continue
+                # try to decode consecutive blocks from this candidate
+                try:
+                    got: list[list] = [[] for _ in fts]
+                    first = True
+                    while pos < end and pos < n:
+                        count, p2 = read_long(view, pos)
+                        size, p2 = read_long(view, p2)
+                        blk_end = p2 + size
+                        if count <= 0 or size < 0 or blk_end + 16 > n:
+                            raise ValueError("implausible block header")
+                        for _ in range(count):
+                            for i, (_, t, nullable) in enumerate(fts):
+                                if nullable:
+                                    branch, p2 = read_long(view, p2)
+                                    if branch == 0:
+                                        got[i].append(None)
+                                        continue
+                                v, p2 = _decode_value(view, p2, t)
+                                got[i].append(v)
+                        if p2 != blk_end:
+                            raise ValueError("block size mismatch")
+                        if bytes(view[blk_end : blk_end + 16]) != sync:
+                            raise ValueError("sync mismatch after block")
+                        first = False
+                        pos = blk_end + 16
+                    return got
+                except (ValueError, IndexError, struct.error):
+                    if not first:
+                        raise  # real corruption past a verified block
+                    search = idx + 1  # false-positive sync in data
+
+
+def read_avro_splits(
+    spark: SparkSession, path: str, ddl: str, *, split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Block-splitting Avro read: the 100 TB path for LARGE container
+    files (``read_avro`` is one task per file). The driver reads only
+    headers and plans byte-range splits; each task mmap-scans its range
+    for the sync marker and decodes the blocks that start inside it.
+    Parallelism is ``ceil(file_bytes / split_bytes)`` per file instead
+    of 1."""
+    expected = T._parse_datatype_string(ddl)
+    names = [f.name for f in expected.fields]
+    splits, fts = plan_avro_splits(path, split_bytes)
+    if [n for n, _, _ in fts] != names:
+        raise ValueError(
+            f"avro schema mismatch: files have {[n for n, _, _ in fts]}, "
+            f"reader declared {names}"
+        )
+
+    split_df = spark.createDataFrame(
+        splits, "file string, start long, end long, sync binary"
+    ).repartition(max(1, len(splits)))
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for file, s, e, sync in zip(
+                pdf["file"], pdf["start"], pdf["end"], pdf["sync"]
+            ):
+                cols = _decode_split(file, int(s), int(e), bytes(sync), fts)
+                yield pd.DataFrame(
+                    {
+                        nm: pd.Series(c, dtype=object)
+                        for (nm, _, _), c in zip(fts, cols)
+                    }
+                )
+
+    return split_df.mapInPandas(decode, expected)

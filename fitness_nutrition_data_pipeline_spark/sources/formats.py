@@ -64,9 +64,12 @@ def avro_available(spark: SparkSession) -> bool:
         return False
 
 
-def write_avro(df: DataFrame, path: str) -> None:
-    """Avro sink; raises a clear error when the optional package is
-    absent (gated — never a silent fallback)."""
+def write_avro_sparkpkg(df: DataFrame, path: str) -> None:
+    """Avro sink through the OPTIONAL spark-avro SQL module; raises a
+    clear error when the package is absent (gated — never a silent
+    fallback). The always-available native-spec writer lives in
+    sources/avro.py::write_avro — distinct name so the two can never be
+    import-confused (ADVICE r10)."""
     if not avro_available(df.sparkSession):
         raise ModuleNotFoundError(
             "spark-avro is not on the classpath; add "

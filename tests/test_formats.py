@@ -11,7 +11,7 @@ from fitness_nutrition_data_pipeline_spark.sources.formats import (
     avro_available,
     read_jsonl,
     read_orc,
-    write_avro,
+    write_avro_sparkpkg,
     write_jsonl,
     write_orc,
 )
@@ -68,10 +68,10 @@ def test_avro_gate_is_honest(spark, sf_dir, tmp_path_factory):
     docs = load_table(spark, sf_dir, "documents").limit(1)
     if avro_available(spark):
         d = str(tmp_path_factory.mktemp("avro"))
-        write_avro(docs, os.path.join(d, "docs"))
+        write_avro_sparkpkg(docs, os.path.join(d, "docs"))
         assert spark.read.format("avro").load(os.path.join(d, "docs")).count() == 1
     else:
         import pytest
 
         with pytest.raises(ModuleNotFoundError):
-            write_avro(docs, str(tmp_path_factory.mktemp("avro")) + "/x")
+            write_avro_sparkpkg(docs, str(tmp_path_factory.mktemp("avro")) + "/x")

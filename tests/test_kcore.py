@@ -122,3 +122,28 @@ def test_core_numbers(spark, tmp_path_factory):
         for r in core_numbers(_sym(spark, _TRIANGLE_TAIL), 3).collect()
     }
     assert out == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_round_state_cleanup(spark, tmp_path):
+    """ADVICE r10: stale round-state must not accumulate. After a
+    converged peel only the final round's edge state remains; after
+    core_numbers only the final level's state (both back the returned
+    DataFrames). Cleanup goes through the Hadoop FS API, the same
+    resolution the writer used."""
+    import os
+
+    sd = str(tmp_path / "peel_state")
+    core, rounds = kcore_peel(_sym(spark, _TRIANGLE_TAIL), 2, state_dir=sd)
+    assert rounds == 4
+    assert _vertices(core) == {1, 2, 3}
+    leftover = sorted(os.listdir(sd))
+    assert leftover == [f"edges_r{rounds}"], leftover
+
+    sd2 = str(tmp_path / "core_state")
+    out = core_numbers(_sym(spark, _TRIANGLE_TAIL), 3, state_dir=sd2)
+    got = {r["vertex"]: r["core"] for r in out.collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 4: 1, 5: 1, 6: 1, 7: 1}
+    # k=3 peels to empty -> loop breaks at level 3; only level-3 state
+    # plus the final core_r3 pin may remain
+    leftover2 = sorted(os.listdir(sd2))
+    assert leftover2 == ["core_r3", "k3"], leftover2

@@ -114,3 +114,44 @@ def test_jdbc_idempotent_mirror_repairs_crashed_swap(
         "dbtable", "fact_workoutsession"
     ).options(**props).load()
     assert back.count() == 3
+
+
+def test_swap_statement_dialects():
+    """ADVICE r10 / VERDICT ask #7: mysql: URLs must emit the atomic
+    single-statement multi-table rename; Derby keeps the two-step."""
+    from fitness_nutrition_data_pipeline_spark.load import _is_mysql_url, _swap_statements
+
+    assert _is_mysql_url("jdbc:mysql://db:3306/warehouse")
+    assert _is_mysql_url("JDBC:MariaDB://db/w")
+    assert not _is_mysql_url("jdbc:derby:/tmp/dwdb;create=true")
+
+    atomic = _swap_statements("t", "t_stg", "t_old", live_exists=True, atomic=True)
+    assert atomic == ["RENAME TABLE t TO t_old, t_stg TO t"]
+    two_step = _swap_statements("t", "t_stg", "t_old", live_exists=True, atomic=False)
+    assert two_step == ["RENAME TABLE t TO t_old", "RENAME TABLE t_stg TO t"]
+    # first-ever load: no live table, one rename either way
+    assert _swap_statements("t", "t_stg", "t_old", live_exists=False, atomic=True) == [
+        "RENAME TABLE t_stg TO t"
+    ]
+
+
+def test_jdbc_connection_forwards_credentials(spark, tmp_path):
+    """ADVICE r10 (medium): the driver-side connection must carry
+    user/password from the properties dict (getConnection(url, props),
+    not getConnection(url)). Observable in Derby without auth setup:
+    the connection's current schema defaults to the connecting USER —
+    APP when no user is forwarded, ETL when user=etl reaches the
+    driver."""
+    from fitness_nutrition_data_pipeline_spark.load import _jdbc_connection
+
+    db = f"{tmp_path}/authdb"
+    props = {
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        "user": "etl",
+        "password": "secret",
+    }
+    conn = _jdbc_connection(spark, f"jdbc:derby:{db};create=true", props)
+    try:
+        assert conn.getSchema() == "ETL"
+    finally:
+        conn.close()
