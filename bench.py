@@ -53,6 +53,45 @@ HEADLINE = [
 ]
 
 
+def host_probe_sec(adds: int = 20_000_000) -> float:
+    """Pure-Python spin probe (20M integer adds): a host-regime witness
+    with zero Spark involvement. Calibrated range on this container:
+    ~1.9-2.2 s quiet, 30%+ degraded under co-tenant load (SCALE.md r10
+    protocol section). Embedded in the bench JSON so every BENCH_r*.json
+    carries its own noise adjudication — two rounds of driver-window
+    readings (r9 9.15 s, r10 11.52 s) needed out-of-band probes to
+    attribute to host regime; now the evidence ships with the number."""
+    t0 = time.time()
+    acc = 0
+    for i in range(adds):
+        acc += i
+    return round(time.time() - t0, 3)
+
+
+def plan_digest(spark, specs, sf_dir: str) -> str:
+    """Deterministic hash of the 18 headline queries' formatted physical
+    plans (initial, pre-AQE — a pure code+optimizer witness, no
+    execution), normalized exactly as tools/plan_diff.py normalizes
+    PLANS.md (expression ids, plan ids, lambda counters). Identical
+    digest across rounds == the physics did not change; wall-clock drift
+    with an identical digest is host regime by construction."""
+    import contextlib
+    import hashlib
+    import io
+
+    from tools.plan_diff import _norm
+
+    h = hashlib.sha256()
+    for name in HEADLINE:
+        df = specs[name].builder(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        h.update(name.encode())
+        h.update("\n".join(_norm(buf.getvalue())).encode())
+    return h.hexdigest()[:16]
+
+
 def main() -> None:
     median_mode = "--median" in sys.argv
     if median_mode:
@@ -121,6 +160,10 @@ def main() -> None:
         "n_queries": len(HEADLINE),
         "complete": not errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # self-annotating protocol (VERDICT r10 ask #4): host regime +
+        # plan-drift witnesses travel WITH the reading
+        "probe_sec": host_probe_sec(),
+        "plan_digest": plan_digest(spark, specs, sf_dir),
     }
     if median_mode:
         result["reps"] = reps

@@ -432,6 +432,128 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rfm_segmentation_histogram",
+    """
+    WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS d0 FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             CAST(min(anchor.d0 - CAST(o_orderdate AS DATE)) AS BIGINT)
+               AS recency_days,
+             CAST(count(*) AS BIGINT) AS frequency,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders CROSS JOIN anchor
+      GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust),
+    rq AS (
+      SELECT v, CAST((5 * cw + n - 1) // n AS INT) AS q
+      FROM (SELECT v, sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS cw
+            FROM (SELECT recency_days AS v, count(*) AS c FROM per_cust GROUP BY 1))
+      CROSS JOIN tot
+    ),
+    fq AS (
+      SELECT v, CAST((5 * cw + n - 1) // n AS INT) AS q
+      FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+            FROM (SELECT frequency AS v, count(*) AS c FROM per_cust GROUP BY 1))
+      CROSS JOIN tot
+    ),
+    mq AS (
+      SELECT v, CAST((5 * cw + n - 1) // n AS INT) AS q
+      FROM (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+            FROM (SELECT monetary_cents // 10000 AS v, count(*) AS c
+                  FROM per_cust GROUP BY 1))
+      CROSS JOIN tot
+    )
+    SELECT r.q AS r_q, f.q AS f_q, m.q AS m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(p.monetary_cents) AS BIGINT) AS segment_cents
+    FROM per_cust p
+    JOIN rq r ON p.recency_days = r.v
+    JOIN fq f ON p.frequency = f.v
+    JOIN mq m ON p.monetary_cents // 10000 = m.v
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    sort=("r_q", "f_q", "m_q"),
+    doc="RFM segmentation WITHOUT the three global customer-grain ntile "
+    "windows — the executable form of rfm_segmentation's documented "
+    "100 TB substitution (VERDICT r10 ask #3a). Quintiles come from the "
+    "equi-depth CDF over each metric's COLLAPSED value grain: distinct "
+    "recency days (bounded by the date range), distinct frequencies "
+    "(small ints), and $100 monetary bins (bounded by the spend range) "
+    "— q(v) = ceil(5*cum(v)/n) in pure integer math, so ties share a "
+    "quintile (the value-quintile semantic; ntile's arbitrary tie-split "
+    "is what forces a total order). The only unpartitioned windows run "
+    "on those bounded value-grain relations, which then broadcast-join "
+    "back to customer grain: one customer-grain shuffle total, no "
+    "global sort anywhere. Exact integer end to end — hash-oracled, "
+    "not rows-only.",
+)
+def rfm_segmentation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("d0"))
+    per_cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("d0"), F.to_date("o_orderdate")))
+            .cast("long")
+            .alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    per_cust = per_cust.withColumn(
+        "m_bin", F.expr("monetary_cents div 10000")
+    )
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n"))
+
+    def value_quintiles(vals: DataFrame, desc: bool) -> DataFrame:
+        """(v, q): equi-depth quintile of each distinct metric value via
+        the prefix-sum CDF over the collapsed value grain."""
+        order = F.col("v").desc() if desc else F.col("v").asc()
+        cum = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")).withColumn(
+            "cw",
+            F.sum("c").over(
+                W.orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+            ),
+        )
+        return cum.crossJoin(F.broadcast(tot)).select(
+            "v",
+            F.expr("(5 * cw + n - 1) div n").cast("int").alias("q"),
+        )
+
+    rq = value_quintiles(per_cust.select(F.col("recency_days").alias("v")), desc=True)
+    fq = value_quintiles(per_cust.select(F.col("frequency").alias("v")), desc=False)
+    mq = value_quintiles(per_cust.select(F.col("m_bin").alias("v")), desc=False)
+    return (
+        per_cust.join(
+            F.broadcast(rq.withColumnRenamed("q", "r_q")),
+            per_cust.recency_days == rq.v,
+        )
+        .drop("v")
+        .join(
+            F.broadcast(fq.withColumnRenamed("q", "f_q")),
+            per_cust.frequency == fq.v,
+        )
+        .drop("v")
+        .join(
+            F.broadcast(mq.withColumnRenamed("q", "m_q")),
+            per_cust.m_bin == mq.v,
+        )
+        .drop("v")
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
+    )
+
+
+@register(
     "pareto_frontier_parts",
     """
     WITH pts AS (

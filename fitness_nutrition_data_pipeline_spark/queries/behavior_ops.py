@@ -1103,10 +1103,15 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines pick the identical element; the companions "
     "funnel_view_purchase / strict_funnel_3step count conversions, "
     "this measures their speed). Two map-side min-aggregates on "
-    "user_id, one co-keyed join, then the rank window runs on the "
-    "converted-users relation (cardinality-bounded). At 100 TB swap "
-    "the exact rank for approx_percentile — the documented trade in "
-    "the percentile family.",
+    "user_id, one co-keyed join, then rank selection WITHOUT a "
+    "row-number window: latencies collapse to sec-grain counts and "
+    "the rank-t element is the smallest sec whose prefix sum reaches "
+    "t (the weighted_median_price device) — the only unpartitioned "
+    "window runs on the collapsed distinct-latency relation (bounded "
+    "by the time range in seconds), never on the converted-user "
+    "relation. Bit-identical to the oracle's row_number form: with "
+    "integer seconds, rank t under ORDER BY sec IS the first value "
+    "whose cumulative count >= t.",
 )
 def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _ev(spark, sf_dir)
@@ -1130,21 +1135,20 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sec")
         )
     )
-    r = lat.select(
-        "sec",
-        F.row_number().over(W.orderBy("sec")).alias("rnk"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
-    )
-    pick = lambda cond: F.max(F.when(cond, F.col("sec")))  # noqa: E731
-    return r.agg(
+    per_sec = lat.groupBy("sec").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = per_sec.withColumn(
+        "cw",
+        F.sum("cnt").over(
+            W.orderBy("sec").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    ).withColumn("n", F.sum("cnt").over(W.partitionBy()))
+    # rank-t element == smallest sec whose prefix count reaches t
+    pick = lambda t: F.min(F.when(F.col("cw") >= F.expr(t), F.col("sec")))  # noqa: E731
+    return cum.agg(
         F.max("n").cast("long").alias("n_converted"),
         # `div` = integer division (≡ DuckDB // for the positive ranks here)
-        pick(F.col("rnk") == F.expr("(n + 1) div 2"))
-        .cast("long")
-        .alias("median_sec"),
-        pick(F.col("rnk") == F.expr("(n * 9 + 9) div 10"))
-        .cast("long")
-        .alias("p90_sec"),
+        pick("(n + 1) div 2").cast("long").alias("median_sec"),
+        pick("(n * 9 + 9) div 10").cast("long").alias("p90_sec"),
         F.min("sec").cast("long").alias("min_sec"),
         F.max("sec").cast("long").alias("max_sec"),
     )

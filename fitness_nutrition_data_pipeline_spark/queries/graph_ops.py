@@ -485,6 +485,12 @@ def tree_subtree_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("c"),
     )
+    return _subtree_rollup_loop(part)
+
+
+def _subtree_rollup_loop(part: DataFrame) -> DataFrame:
+    """Driver-loop ancestor expansion (shared by the registered query and
+    the native-recursion parity test)."""
     level = part.select("node", F.col("node").alias("a")).localCheckpoint()
     levels = [level]
     while True:
@@ -508,4 +514,66 @@ def tree_subtree_cost_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_desc"),
             F.sum("c").cast("long").alias("subtree_cost_cents"),
         )
+    )
+
+
+@register(
+    "tree_subtree_cost_rollup_native",
+    """
+    WITH RECURSIVE anc(node, a) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION ALL
+      SELECT node, a // 7 FROM anc WHERE a >= 7
+    ),
+    cost AS (
+      SELECT p_partkey AS node,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM part
+    )
+    SELECT a AS node,
+           CAST(count(*) AS BIGINT) AS n_desc,
+           CAST(sum(cost.c) AS BIGINT) AS subtree_cost_cents
+    FROM anc JOIN cost USING (node)
+    WHERE a < 50
+    GROUP BY a
+    ORDER BY node
+    """,
+    sort=("node",),
+    doc="ENGINE-NATIVE recursion (VERDICT r10 ask #2): the same "
+    "variable-depth subtree rollup as tree_subtree_cost_rollup, but the "
+    "recursion runs INSIDE Spark SQL via WITH RECURSIVE (SPARK-24497, "
+    "shipped in 4.x) instead of a driver loop — recursion as a single "
+    "declarative plan (UnionLoop), no per-level localCheckpoint round "
+    "trips. Both forms hash-match the same DuckDB RECURSIVE CTE oracle; "
+    "tests/test_graph_ops.py pins loop==native equality. When to prefer "
+    "which: the native form wins for moderate-depth hierarchies (one "
+    "job, the optimizer sees the whole plan, per-level scheduling "
+    "latency is engine-internal); the driver loop remains the 100 TB "
+    "shape when per-round state must be durable parquet (executor-loss "
+    "recovery, operators/kcore.py) or the loop body needs non-SQL steps. "
+    "Reference analogue: validation.sql-class warehouse hierarchy "
+    "queries (category -> subcategory rollups).",
+)
+def tree_subtree_cost_rollup_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE anc(node, a) AS (
+          SELECT node, node FROM {part}
+          UNION ALL
+          SELECT node, a DIV 7 FROM anc WHERE a >= 7
+        )
+        SELECT a AS node,
+               CAST(count(*) AS BIGINT) AS n_desc,
+               CAST(sum(c.c) AS BIGINT) AS subtree_cost_cents
+        FROM anc JOIN {part} c USING (node)
+        WHERE a < 50
+        GROUP BY a
+        """,
+        part=part,
     )

@@ -61,11 +61,23 @@ def run_sql_script(
     spark: SparkSession,
     sql_script: str,
     process_row: Callable[[dict], None] | None = None,
+    max_workers: int = 1,
 ) -> dict:
-    """Execute a script; returns {'executed': n, 'failed': n, 'rows': n}."""
+    """Execute a script; returns {'executed': n, 'failed': n, 'rows': n}.
+
+    ``max_workers > 1`` executes statements CONCURRENTLY while keeping
+    every observable identical to the sequential form: SET variables are
+    resolved in a sequential pre-pass (a SET governs only later
+    statements, exactly as before), failures stay lenient and
+    per-statement, and ``process_row`` is invoked in STATEMENT ORDER
+    from collected results — concurrency changes wall-clock, never the
+    report. The default stays 1: replay semantics
+    (``sql_script_replay``) are specified sequential."""
     variables: dict[str, str] = {}
     stats = {"executed": 0, "failed": 0, "rows": 0}
 
+    # sequential pre-pass: capture SETs, substitute into later statements
+    resolved: list[tuple[str, str]] = []  # (original, substituted)
     for statement in parse_sql_statements(sql_script):
         m = _SET_RE.match(statement)
         if m:
@@ -74,15 +86,37 @@ def run_sql_script(
         stmt = statement
         for name, value in variables.items():
             stmt = stmt.replace(name, value)
+        resolved.append((statement, stmt))
+
+    def execute(item: tuple[str, str]):
+        original, stmt = item
         try:
             df = spark.sql(stmt)
-            stats["executed"] += 1
-            if statement.strip().upper().startswith("SELECT"):
-                for row in df.collect():
-                    stats["rows"] += 1
-                    if process_row is not None:
-                        process_row(row.asDict())
+            rows = (
+                df.collect()
+                if original.strip().upper().startswith("SELECT")
+                else []
+            )
+            return rows, None
         except Exception as e:  # lenient: log + continue (:841-842)
+            return None, e
+
+    if max_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            outcomes = list(pool.map(execute, resolved))
+    else:
+        outcomes = [execute(item) for item in resolved]
+
+    for rows, err in outcomes:  # statement order — deterministic report
+        if err is not None:
             stats["failed"] += 1
-            logger.debug("statement failed: %s", str(e)[:120])
+            logger.debug("statement failed: %s", str(err)[:120])
+            continue
+        stats["executed"] += 1
+        for row in rows:
+            stats["rows"] += 1
+            if process_row is not None:
+                process_row(row.asDict())
     return stats

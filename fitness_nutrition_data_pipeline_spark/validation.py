@@ -135,26 +135,88 @@ def _scalar(spark: SparkSession, sql: str):
     return spark.sql(sql).collect()[0][0]
 
 
+def _union_batch(
+    spark: SparkSession, items: list[tuple[str, str]]
+) -> dict[str, int] | None:
+    """Fold named scalar count queries into ONE UNION ALL statement →
+    {name: count}. Returns None when the batch can't run as a unit (a
+    branch fails to resolve) so the caller can fall back to lenient
+    per-statement execution. One Spark job instead of len(items)."""
+    if not items:
+        return {}
+    branches = []
+    for name, sql in items:
+        esc = name.replace("'", "''")
+        branches.append(
+            f"SELECT '{esc}' AS check_name, CAST(cnt AS BIGINT) AS violations "
+            f"FROM ({sql}) AS _chk(cnt)"
+        )
+    try:
+        rows = spark.sql("\nUNION ALL\n".join(branches)).collect()
+    except Exception as e:  # noqa: BLE001
+        logger.debug("batched validation union failed (%s); falling back",
+                     str(e)[:120])
+        return None
+    return {r["check_name"]: int(r["violations"] or 0) for r in rows}
+
+
+_CHUNK = 8  # measured sweet spot: 8-branch unions x 8 concurrent jobs
+# beat both the per-statement pool (2.9 s) and one 59-branch union
+# (4.3 s — whole-stage codegen of the mega-plan is serial) at 1.4 s on
+# the reference warehouse; see SCALE.md r11 validate-batching note.
+
+
+def _run_checks(
+    spark: SparkSession, items: list[tuple[str, str]]
+) -> dict[str, int | None]:
+    """Execute named scalar checks as chunked UNION ALL batches on a
+    thread pool: ceil(n/8) Spark jobs instead of n. A chunk that fails
+    to run as a unit degrades to lenient per-statement execution, so
+    one unresolvable check costs only itself (reference :841-842)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    chunks = [items[i : i + _CHUNK] for i in range(0, len(items), _CHUNK)]
+
+    def one_chunk(ch: list[tuple[str, str]]) -> dict[str, int | None]:
+        got = _union_batch(spark, ch)
+        if got is not None:
+            return dict(got)
+        out: dict[str, int | None] = {}
+        for name, sql in ch:
+            try:
+                out[name] = int(_scalar(spark, sql) or 0)
+            except Exception as e:  # noqa: BLE001
+                logger.debug("check %s failed: %s", name, str(e)[:120])
+                out[name] = None
+        return out
+
+    results: dict[str, int | None] = {}
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for got in pool.map(one_chunk, chunks):
+            results.update(got)
+    return results
+
+
 def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = None) -> ValidationResults:
     """Run the full corpus over registered warehouse views."""
     bounds = bounds or VALIDATION_BOUNDS
     res = ValidationResults()
     present = _existing(spark, EXPECTED_TABLES)
 
-    # Scalar checks are dozens of tiny independent Spark jobs whose
-    # fixed submission overhead dominates at any scale — queue them and
-    # execute on a thread pool (Spark schedules concurrent jobs fine),
-    # recording results in queue order so the report stays deterministic.
-    from concurrent.futures import ThreadPoolExecutor
+    # Scalar checks used to run as ~60 tiny independent Spark jobs; even
+    # thread-pooled, per-job submission overhead dominated the validate
+    # phase (10.6 s observed in a degraded r10 regime). They now run
+    # through _run_checks: 8-branch UNION ALL batches — the
+    # validation.sql:459-462 summary shape — executed concurrently, with
+    # lenient per-statement fallback inside any chunk that fails.
 
     # table inventory + missing-table check (validation.sql:16-46)
     count_tables = [t for t in EXPECTED_TABLES if t in present]
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        counts = pool.map(
-            lambda t: int(_scalar(spark, f"SELECT count(*) FROM {t}")), count_tables
-        )
-        for t, n in zip(count_tables, counts):
-            res.table_counts[t] = n
+    counts_by_t = _run_checks(
+        spark, [(t, f"SELECT count(*) FROM {t}") for t in count_tables]
+    )
+    for t in count_tables:
+        res.table_counts[t] = int(counts_by_t.get(t) or 0)
     missing = [t for t in EXPECTED_TABLES if t not in present]
     res.record("MISSING TABLES", len(missing))
 
@@ -164,19 +226,11 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
         queued.append((check_name, sql))
 
     def _flush_queued() -> None:
-        def one(item: tuple[str, str]):
-            check_name, sql = item
-            try:
-                return check_name, int(_scalar(spark, sql) or 0), None
-            except Exception as e:  # lenient per-statement failure (:841-842)
-                return check_name, None, e
-
-        with ThreadPoolExecutor(max_workers=8) as pool:
-            for check_name, val, err in pool.map(one, queued):
-                if err is None:
-                    res.record(check_name, val)
-                else:
-                    logger.debug("check %s failed: %s", check_name, str(err)[:120])
+        results = _run_checks(spark, queued)
+        for check_name, _ in queued:  # queue order keeps the report stable
+            val = results.get(check_name)
+            if val is not None:
+                res.record(check_name, val)
 
     for t, pk in PK_CHECKS.items():
         if t in present:
@@ -237,8 +291,8 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
     # -- remaining corpus families, executed through the S7 script runner
     # with the reference's row classifier (check_name/violations keys →
     # _process_validation_row semantics, main_etl_pipeline.py:902-920).
-    # Kept sequential: the script is SET-var stateful and its lenient
-    # per-statement failure semantics are order-defined.
+    # SET-var state resolves in the runner's sequential pre-pass; rows
+    # still classify in statement order.
     from fitness_nutrition_data_pipeline_spark.sql_script import run_sql_script
 
     script = _analytical_corpus_sql(present, bounds)
@@ -251,7 +305,9 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
         )
         res.record(str(name), int(count or 0))
 
-    stats = run_sql_script(spark, script, process_row=classify)
+    # concurrent statements, statement-order row processing: the report
+    # is byte-identical to sequential replay, only wall-clock changes
+    stats = run_sql_script(spark, script, process_row=classify, max_workers=8)
     res.checks_run += stats["failed"]  # lenient failures still count as attempted
     return res
 

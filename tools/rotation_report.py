@@ -1,0 +1,105 @@
+"""Freshness-rotation guard (VERDICT r10 ask #8): the driver's
+correctness harness samples the FIRST 50 registry entries per round, so
+window ordering (queries/__init__._CHECK_PRIORITY) is signal allocation.
+r9 and r10 drained the r4/r5-stale cohorts by hand-planning that window;
+this tool turns the discipline into a checked invariant.
+
+Prints the check-age histogram (driver round of each query's most recent
+CORRECTNESS_r*.json row) and the planned next-round window, then FAILS
+(exit 1) when any query outside the upcoming window would age past
+MAX_AGE_ROUNDS (6) at the next driver round — i.e. when the current
+_CHECK_PRIORITY plan is about to let a cohort rot.
+
+Usage: python tools/rotation_report.py [--max-age N] [--window W]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+MAX_AGE_ROUNDS = 6
+WINDOW_SLOTS = 50
+
+
+def last_checked() -> tuple[dict[str, int], int]:
+    """query -> most recent driver round that checked it; plus the
+    latest round number seen on disk."""
+    last: dict[str, int] = {}
+    latest = 0
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        r = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        latest = max(latest, r)
+        try:
+            rows = json.load(open(f))
+        except Exception:
+            continue
+        for q in rows:
+            last[q] = max(last.get(q, 0), r)
+    return last, latest
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    max_age = MAX_AGE_ROUNDS
+    slots = WINDOW_SLOTS
+    if "--max-age" in args:
+        max_age = int(args[args.index("--max-age") + 1])
+    if "--window" in args:
+        slots = int(args[args.index("--window") + 1])
+
+    os.environ.setdefault("SPARK_GRAFT_STRICT_IMPORTS", "1")
+    from fitness_nutrition_data_pipeline_spark.queries import all_specs
+
+    registry = list(all_specs())
+    last, latest = last_checked()
+    next_round = latest + 1
+    window = set(registry[:slots])
+
+    ages = Counter()
+    stale: list[tuple[str, int]] = []
+    never: list[str] = []
+    for q in registry:
+        if q not in last:
+            never.append(q)
+            if q not in window:
+                stale.append((q, 10**9))
+            continue
+        ages[last[q]] += 1
+        age_next = next_round - last[q]
+        if age_next > max_age and q not in window:
+            stale.append((q, age_next))
+
+    print(f"registry: {len(registry)} queries; latest driver round: r{latest}")
+    print("check-age histogram (round -> queries):")
+    for r in sorted(ages, reverse=True):
+        print(f"  r{r}: {ages[r]}")
+    if never:
+        print(f"never driver-checked ({len(never)}): {sorted(never)}")
+    print(f"next-round window (first {slots} registrations): "
+          f"{len(window & set(registry))} slots planned")
+    oldest_after = min(
+        [last[q] for q in registry if q in last and q not in window],
+        default=next_round,
+    )
+    print(f"oldest signal OUTSIDE the window after r{next_round}: r{oldest_after} "
+          f"(age {next_round - oldest_after})")
+
+    if stale:
+        print(f"FAIL: {len(stale)} queries would exceed age {max_age} at "
+              f"r{next_round} and are NOT in the planned window:")
+        for q, a in sorted(stale, key=lambda x: -x[1])[:40]:
+            print(f"  {q} (age {'never' if a >= 10**9 else a})")
+        return 1
+    print(f"OK: no query outside the window exceeds age {max_age} at r{next_round}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
