@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.scratch import scratch_path
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -411,14 +412,11 @@ def zorder_write_band_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fitness_nutrition_data_pipeline_spark.load import write_zordered
     from fitness_nutrition_data_pipeline_spark.operators.layout import quantize
 
-    # per-application scratch: two concurrent processes (e.g. a local
-    # verify beside an audit) previously shared this path and clobbered
-    # each other's files mid-read; the appId keeps reruns within one
-    # session stable while isolating processes
-    tag = hashlib.md5(
-        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
-    ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_zorder_{tag}/orders"
+    # per-application scratch via the managed root (process isolation +
+    # atexit cleanup); the per-SF tag keeps reruns within one session
+    # stable across sf dirs
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = scratch_path(spark, tag, "zorder_orders")
     base = _t(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("ck"),
         F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))

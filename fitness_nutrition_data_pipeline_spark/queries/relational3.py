@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.scratch import scratch_path
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
 
@@ -711,7 +712,7 @@ def csv_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_csv_{tag}/customer"
+    path = scratch_path(spark, tag, "csv_customer")
     cust = _t(spark, sf_dir, "customer")
     cust.write.mode("overwrite").option("header", "true").csv(path)
     back = (
@@ -764,7 +765,7 @@ def jsonl_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_jsonl_{tag}/documents"
+    path = scratch_path(spark, tag, "jsonl_documents")
     docs = _t(spark, sf_dir, "documents")
     write_jsonl(docs, path)
     back = read_jsonl(
@@ -805,7 +806,7 @@ def orc_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fitness_nutrition_data_pipeline_spark.sources.formats import read_orc, write_orc
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/tmp/spark_graft_orc_{tag}/orders"
+    path = scratch_path(spark, tag, "orc_orders")
     write_orc(_t(spark, sf_dir, "orders"), path)
     back = read_orc(spark, path)
     return back.groupBy("o_orderpriority").agg(
@@ -907,7 +908,7 @@ def avro_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_avro_{tag}/documents"
+    path = scratch_path(spark, tag, "avro_documents")
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )

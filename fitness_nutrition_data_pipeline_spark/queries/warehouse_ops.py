@@ -31,6 +31,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.scratch import scratch_path
 from fitness_nutrition_data_pipeline_spark.queries.sampling import hash_bucket
 from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
 
@@ -762,7 +763,7 @@ def partitioned_write_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_part_{tag}/events_by_day"
+    path = scratch_path(spark, tag, "events_by_day")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     back = spark.read.parquet(path).where(
         (F.col("day") >= F.lit("2024-01-08").cast("date"))
@@ -894,7 +895,7 @@ def storage_layout_inventory_audit(spark: SparkSession, sf_dir: str) -> DataFram
         "o_custkey",
         8,
     )
-    path = f"/tmp/spark_graft_sli_{tag}/events_by_day"
+    path = scratch_path(spark, tag, "sli_events_by_day")
     (
         load_table(spark, sf_dir, "events")
         .withColumn("day", F.to_date("ts"))
@@ -974,7 +975,7 @@ def dynamic_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_part_{tag}/events_by_day_dpp"
+    path = scratch_path(spark, tag, "events_by_day_dpp")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     spine = spark.sql(
         "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-03-31')) AS day"
@@ -1050,7 +1051,7 @@ def schema_evolution_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_part_{tag}/orders_evolved"
+    path = scratch_path(spark, tag, "orders_evolved")
     # generation 1: the column does not exist yet
     o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "cents"
@@ -1260,7 +1261,7 @@ def mv_rewrite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
-    path = f"/tmp/spark_graft_mv_{tag}/daily_events_mv"
+    path = scratch_path(spark, tag, "daily_events_mv")
     mv.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.groupBy(

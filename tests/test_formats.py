@@ -75,3 +75,16 @@ def test_avro_gate_is_honest(spark, sf_dir, tmp_path_factory):
 
         with pytest.raises(ModuleNotFoundError):
             write_avro_sparkpkg(docs, str(tmp_path_factory.mktemp("avro")) + "/x")
+
+
+def test_scratch_path_managed(spark, monkeypatch, tmp_path):
+    """ADVICE r10: query scratch must live under ONE per-application
+    root (atexit-cleaned), never ad-hoc /tmp trees that accumulate."""
+    import fitness_nutrition_data_pipeline_spark.scratch as S
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH", str(tmp_path))
+    p = S.scratch_path(spark, "tag", "csv_customer")
+    app = spark.sparkContext.applicationId
+    root = os.path.join(str(tmp_path), f"spark_graft_scratch_{app}")
+    assert p == os.path.join(root, "tag", "csv_customer")
+    assert root in S._CLEANUP_REGISTERED  # atexit rmtree registered
