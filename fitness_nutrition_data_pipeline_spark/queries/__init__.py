@@ -76,97 +76,85 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-10 window, per VERDICT r9 ask #1:
-# lead with ALL 21 remaining r4-stale queries (the oldest driver signal
-# registry-wide; r9 refreshed the other 16 and went 50/50 green), then
-# this round's new registrations, then r5-stale refreshes to fill the
-# window — clearing the r4 cohort entirely makes the oldest signal
-# registry-wide r5, the target the r8 verdict set.
+# ordering is signal allocation. Round-11 window, per VERDICT r10 ask #1:
+# lead with ALL 31 r5-stale queries (the oldest driver signal registry-
+# wide after r10 cleared the r4 cohort), then this round's 11 new
+# registrations, then refreshes for the queries whose shared machinery
+# changed THIS round (the funnel prefix-sum rewrite, the parallel script
+# runner, the managed scratch root), then r6-stale fills. Planned
+# against tools/rotation_report.py (ask #8): after this window the
+# oldest signal registry-wide becomes r6.
 _CHECK_PRIORITY = (
-    # --- round-10 window (driver checks the FIRST 50) ---
-    # (1) the full r4-stale cohort: 21 queries whose green signal
-    # predates five rounds of shared-infra churn (incl. the DECIMAL
-    # lane fix); all HEAD-green in the r9 closing 3-SF sweeps
-    "user_value_trend",
-    "sequence_packing_windows",
-    "column_fill_rates",
-    "fixed_size_stratum_sample",
-    "ann_recall_contract",
-    "embedding_dedup_clusters",
-    "embedding_lsh_buckets",
-    "embedding_quantization_params",
-    "bm25_query_scores",
-    "boilerplate_chunks",
-    "cdc_chunk_dedup",
-    "cluster_survivor_selection",
-    "contamination_check",
-    "hapax_ratio_by_source",
-    "lang_confusion_matrix",
-    "pca_power_iteration",
-    "pii_scan_redact",
-    "repetition_profile",
-    "type_token_ratio",
-    "unigram_logprob_docs",
-    "zipf_slope_top_terms",
-    # (2) new r10 registrations (strict-verified at 3 SFs before
-    # registration; inserted here as they land)
-    # the fixpoint k-core loop (ask #3) under the hard oracle: 7-round
-    # idempotent unroll proves convergence within budget
-    "kcore_fixpoint_audit",
-    # materialized-view rewrite consistency: monthly answer from the
-    # day-grain MV alone, hash-proven equal to base recompute
-    "mv_rewrite_audit",
-    # self-consistency vote + unbiased pass@k, exact integer ppm
-    "majority_vote_accuracy",
-    "passk_estimator",
-    # distributed skyline (banded prefix-max) vs O(n^2) dominance oracle
-    "pareto_frontier_parts",
-    # 5-rater Fleiss kappa in exact integer ppm
-    "fleiss_kappa_raters",
-    # gaps-and-islands calendar streaks; TSDB time-in-state average;
-    # exact weighted median; t-closeness EMD (privacy family complete)
-    "activity_streaks",
-    "time_in_state_twa",
-    "weighted_median_price",
-    "t_closeness_audit",
-    # native Avro container source (public spec, no spark-avro module):
-    # executor-side writer + binaryFile/mapInPandas reader roundtrip
-    "avro_roundtrip_scan",
-    # one-pass Poisson bootstrap CI: 32 replicas, integer order stats
-    "poisson_bootstrap_ci",
-    # theta-sketch intersection estimate (KMV set algebra)
-    "kmv_intersection_estimate",
-    # exact Shapley channel attribution over the ppm-quantized lattice
-    "shapley_attribution_exact",
-    # capped water-filling budget allocation (train-mix with ceilings)
-    "capped_waterfill_allocation",
-    # variable-depth hierarchy rollup vs a RECURSIVE CTE oracle
-    "tree_subtree_cost_rollup",
-    # (3) r5-stale refreshes fill the remaining slots: the bench
-    # headliners whose wall-clock regressed with untouched code
-    # (minhash_lsh_buckets +26% over two rounds — prove the semantics
-    # while the plan-diff proves the physics), the newly-oracled
-    # multimodal_format_profile, the DECIMAL money lane, and the six
-    # r5-stale TPC-H analogues
-    "minhash_lsh_buckets",
-    "star_join_topk",
-    "entity_resolution_profiles",
-    "multimodal_format_profile",
-    "decimal_money_totals",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "surrogate_key_assignment",
-    "heavy_hitters_verified",
+    # --- round-11 window (driver checks the FIRST 50) ---
+    # (1) the full r5-stale cohort: 31 queries whose green signal
+    # predates the r6-r10 shared-infra churn; all HEAD-green in the
+    # r10 closing 3-SF sweeps
+    "attribution_batch_replay",
+    "bigram_pmi_collocations",
+    "bpe_merge_candidates",
+    "column_profile_orders",
+    "composite_pk_check",
+    "concurrent_sessions_peak",
+    "corpus_datacard",
+    "cross_source_dup_leakage",
+    "date_dimension",
+    "dau_wau_stickiness",
+    "dedup_cluster_size_histogram",
+    "dedup_exact_summary",
+    "embedding_coverage_check",
+    "embedding_dim_variance",
+    "event_transition_matrix",
+    "event_type_cooccurrence",
+    "ewma_daily_value",
+    "hopping_window_rollup",
+    "inverted_index_postings",
+    "join_key_skew_profile",
+    "k_anonymity_audit",
+    "lang_id_kappa",
+    "minhash_jaccard_calibration",
+    "mmr_diversified_topk",
+    "prefix_dup_groups",
+    "selfjoin_blowup_estimate",
+    "sessionize_native_window",
+    "source_length_drift",
+    "strict_funnel_3step",
+    "weekday_seasonality",
+    "winnowing_cross_matches",
+    # (2) the 11 r11 registrations (strict-verified at 3 SFs before
+    # registration)
+    # engine-native WITH RECURSIVE vs the driver-loop form (ask #2)
+    "tree_subtree_cost_rollup_native",
+    # the executable global-window substitution (ask #3a)
+    "rfm_segmentation_histogram",
+    # r11 analytics wave (queries/analytics_ops3.py)
+    "interval_union_coverage",
+    "two_source_reconciliation",
+    "functional_dependency_audit",
+    "mutual_information_features",
+    "acf_daily_revenue",
+    "sliding_distinct_users_7d",
+    "watermark_late_drop_replay",
+    "regression_slope_by_group",
+    "weekday_bitmask_histogram",
+    # (3) queries whose code or shared machinery changed THIS round:
+    # the sec-grain prefix-sum rewrite (ask #3b), the concurrent
+    # script runner, two managed-scratch users that were also r6-stale
+    "funnel_time_to_convert",
+    "sql_script_replay",
+    "csv_roundtrip_scan",
+    "zorder_locality_stats",
+    # (4) r6-stale fills (validation-corpus core)
+    "orphan_fk_check",
+    "pk_uniqueness_check",
+    "table_counts_union",
+    "scan_filter_project",
 )
 
 
 _QUERY_MODULES = (
     "analytics_ops",
     "analytics_ops2",
+    "analytics_ops3",
     "behavior_ops",
     "corpus_ops",
     "corpus_ops2",

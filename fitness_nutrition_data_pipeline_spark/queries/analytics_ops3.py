@@ -1,0 +1,664 @@
+"""Round-11 analytics wave: interval algebra, reconciliation, dependency
+profiling, information theory, time-series diagnostics, sliding
+distinct, watermark replay, regression, and bitwise aggregation — query
+families the registry had not yet exercised, each under the hard
+value-hash oracle.
+
+Float discipline (house rules): every many-row fold is an exact integer
+sum (epoch micros, cents, counts); doubles appear only in FINAL
+fixed-shape expressions over those exact sums (a fixed operation tree of
+correctly-rounded IEEE ops is engine-deterministic — what is NOT
+deterministic is float accumulation over shuffled rows, which never
+happens here), rounded to 6 digits like the entropy/zipf precedents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.queries import register
+from fitness_nutrition_data_pipeline_spark.sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_DWELL_US = 600_000_000  # 10-minute dwell interval per event
+
+
+@register(
+    "interval_union_coverage",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) + {_DWELL_US} AS e_us
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, s_us, e_us,
+             max(e_us) OVER (PARTITION BY user_id ORDER BY s_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_e
+      FROM iv
+    ),
+    per_user AS (
+      SELECT user_id,
+             sum(greatest(e_us - greatest(s_us, coalesce(prev_e, s_us)), 0))
+               AS covered_us
+      FROM seg GROUP BY user_id
+    )
+    SELECT CAST(user_id % 8 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(covered_us) AS BIGINT) AS total_covered_us,
+           CAST(max(covered_us) AS BIGINT) AS max_covered_us
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+    sort=("bucket",),
+    doc="Interval-union coverage (sweep-line): each event opens a "
+    "10-minute dwell interval; per user, the UNION length of their "
+    "overlapping intervals — the classic 'total active time' measure "
+    "that naive sum-of-durations double-counts. One pass: a running "
+    "max of interval ends over the per-user time order turns union "
+    "length into sum(end - max(start, prev_max_end))+ — no interval "
+    "self-join, no explosion to second grain. All windows are "
+    "PARTITIONED by user; epoch-microsecond integers end to end. At "
+    "100 TB this is one shuffle to user grain; the per-user sort is "
+    "within-partition.",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(_DWELL_US)).alias("e_us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seg = iv.withColumn("prev_e", F.max("e_us").over(w))
+    per_user = seg.groupBy("user_id").agg(
+        F.sum(
+            F.greatest(
+                F.col("e_us")
+                - F.greatest(F.col("s_us"), F.coalesce("prev_e", "s_us")),
+                F.lit(0),
+            )
+        ).alias("covered_us")
+    )
+    return (
+        per_user.groupBy((F.col("user_id") % 8).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("covered_us").cast("long").alias("total_covered_us"),
+            F.max("covered_us").cast("long").alias("max_covered_us"),
+        )
+    )
+
+
+@register(
+    "two_source_reconciliation",
+    """
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    b AS (
+      SELECT o_orderkey AS k,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 31 = 0 THEN 7 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 89 <> 0
+    ),
+    j AS (
+      SELECT coalesce(a.k, b.k) AS k, a.cents AS ca, b.cents AS cb
+      FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT CASE WHEN ca IS NULL THEN 'b_only'
+                WHEN cb IS NULL THEN 'a_only'
+                WHEN ca = cb THEN 'match'
+                ELSE 'mismatch' END AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+                         THEN abs(ca - cb) ELSE 0 END) AS BIGINT)
+             AS abs_diff_cents
+    FROM j GROUP BY 1 ORDER BY 1
+    """,
+    sort=("status",),
+    doc="Two-source reconciliation — the migration/mirror sign-off "
+    "query: FULL OUTER join two snapshots of the same entity set on "
+    "the business key and classify every key as match / value-mismatch "
+    "/ left-only / right-only, with the total absolute money drift in "
+    "exact cents. Sources are deterministic derivations of orders "
+    "(drop every 97th key from A, every 89th from B, perturb every "
+    "31st value in B by 7 cents) so the expected cell counts are "
+    "data-defined. One co-keyed shuffle; the classification is a "
+    "projection. The reference's table-vs-table count checks "
+    "(validation.sql:16-46) generalized to row-grain value parity.",
+)
+def two_source_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    a = o.where(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), cents.alias("ca")
+    )
+    b = o.where(F.col("o_orderkey") % 89 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 31 == 0, F.lit(7)).otherwise(0)
+        ).alias("cb"),
+    )
+    j = a.join(b, "k", "full_outer")
+    status = (
+        F.when(F.col("ca").isNull(), "b_only")
+        .when(F.col("cb").isNull(), "a_only")
+        .when(F.col("ca") == F.col("cb"), "match")
+        .otherwise("mismatch")
+    )
+    return j.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                F.col("ca").isNotNull() & F.col("cb").isNotNull(),
+                F.abs(F.col("ca") - F.col("cb")),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("abs_diff_cents"),
+    )
+
+
+_FDS = (
+    ("customer.c_name->c_custkey", "customer", "c_name", "c_custkey"),
+    ("events.user_id->event_type", "events", "user_id", "event_type"),
+    ("lineitem.l_orderkey->l_shipdate", "lineitem", "l_orderkey", "l_shipdate"),
+    ("orders.o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+)
+
+
+@register(
+    "functional_dependency_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS fd,
+           CAST(count(*) AS BIGINT) AS n_lhs,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS violation_ppm
+    FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd
+          FROM {tbl} GROUP BY {lhs})
+    """
+        for name, tbl, lhs, rhs in _FDS
+    )
+    + "\nORDER BY fd",
+    sort=("fd",),
+    doc="Functional-dependency audit — schema-discovery profiling: for "
+    "each candidate FD lhs->rhs, the number of lhs groups whose rhs is "
+    "not unique (FD violations), in exact ppm. c_name->c_custkey holds "
+    "(names are synthesized from keys); the other three are genuinely "
+    "violated, so the query proves both directions. Per FD: one "
+    "map-side-partial distinct-count aggregate at lhs grain folded to "
+    "a single row; the four FDs union. The PK/composite-PK checks "
+    "(validation.sql) generalized to arbitrary column determinism.",
+)
+def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for name, tbl, lhs, rhs in _FDS:
+        g = (
+            _t(spark, sf_dir, tbl)
+            .groupBy(lhs)
+            .agg(F.countDistinct(rhs).alias("nd"))
+        )
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        outs.append(
+            g.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs"),
+                viol.cast("long").alias("n_violating"),
+                F.expr(
+                    "CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000"
+                    " div count(*) AS BIGINT)"
+                ).alias("violation_ppm"),
+            )
+        )
+    out = outs[0]
+    for more in outs[1:]:
+        out = out.unionByName(more)
+    return out
+
+
+@register(
+    "mutual_information_features",
+    """
+    WITH joint AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat, count(*) AS c
+      FROM customer GROUP BY 1, 2
+    ),
+    mx AS (SELECT seg, sum(c) AS cx FROM joint GROUP BY seg),
+    my AS (SELECT nat, sum(c) AS cy FROM joint GROUP BY nat),
+    tot AS (SELECT sum(c) AS n FROM joint)
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           round(CAST(sum((CAST(c AS DOUBLE) / n) *
+                 ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))
+               AS DOUBLE), 6) AS mi_nats
+    FROM joint
+    JOIN mx USING (seg) JOIN my USING (nat) CROSS JOIN tot
+    """,
+    sort=("n_cells",),
+    doc="Mutual information between two categorical features "
+    "(mktsegment x nationkey) — the feature-redundancy / "
+    "association-strength measure feature selection runs before "
+    "training. Data folds ONCE to the joint-count grid (|segments| x "
+    "|nations| <= 125 cells); marginals and MI fold over the grid, "
+    "never the data. Counts are exact integers; the log expression is "
+    "a fixed operation tree over them (entropy-family discipline), "
+    "rounded to 6. One customer-grain shuffle; grid joins broadcast.",
+)
+def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    joint = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    mx = joint.groupBy("seg").agg(F.sum("c").alias("cx"))
+    my = joint.groupBy("nat").agg(F.sum("c").alias("cy"))
+    tot = joint.agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ratio = (F.col("c").cast("double") * F.col("n")) / (
+        F.col("cx").cast("double") * F.col("cy")
+    )
+    return (
+        joint.join(F.broadcast(mx), "seg")
+        .join(F.broadcast(my), "nat")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(F.sum(p * F.log(ratio)), 6).alias("mi_nats"),
+        )
+    )
+
+
+@register(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ),
+    series AS (
+      SELECT CAST(spine.d - bounds.d0 AS BIGINT) AS t,
+             coalesce(daily.x, 0) AS x
+      FROM spine CROSS JOIN bounds LEFT JOIN daily ON daily.d = spine.d
+    ),
+    base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM series
+    ),
+    lagk AS (
+      SELECT k.k,
+             CAST(sum(cur.x * prv.x) AS BIGINT) AS sxy,
+             CAST(sum(cur.x) AS BIGINT) AS sa,
+             CAST(sum(prv.x) AS BIGINT) AS sb
+      FROM (SELECT unnest(generate_series(1, 7)) AS k) k
+      JOIN series cur ON cur.t >= k.k
+      JOIN series prv ON prv.t = cur.t - k.k
+      GROUP BY k.k
+    )
+    SELECT CAST(lagk.k AS BIGINT) AS lag,
+           CAST(base.n AS BIGINT) AS n_days,
+           round(CAST(
+             (CAST(base.n AS DOUBLE) * CAST(base.n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(base.n AS DOUBLE) * CAST(base.s AS DOUBLE)
+                * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+              + (CAST(base.n AS DOUBLE) - CAST(lagk.k AS DOUBLE))
+                * CAST(base.s AS DOUBLE) * CAST(base.s AS DOUBLE))
+             / (CAST(base.n AS DOUBLE)
+                * (CAST(base.n AS DOUBLE) * CAST(base.sxx AS DOUBLE)
+                   - CAST(base.s AS DOUBLE) * CAST(base.s AS DOUBLE)))
+           AS DOUBLE), 6) AS acf
+    FROM lagk CROSS JOIN base
+    ORDER BY lag
+    """,
+    sort=("lag",),
+    doc="Autocorrelation of the daily-revenue series at lags 1..7 — the "
+    "seasonality diagnostic behind weekday_seasonality and "
+    "seasonal_naive_backtest, computed EXACTLY: the series is the "
+    "zero-filled date spine in whole dollars (integer); sums (S, "
+    "S_xx, S_xy per lag, partial sums A/B) are exact integer folds, "
+    "and ACF(k) = (n^2*Sxy - n*S*(A+B) + (n-k)*S^2) / (n*(n*Sxx - "
+    "S^2)) — the mean never materializes as a rational, the whole "
+    "ratio is ONE fixed double expression over exact integers (engine-"
+    "deterministic), rounded to 6. The lag join runs on the DAY-grain "
+    "relation (bounded by the date range) cross a 7-row lag spine — "
+    "never on orders; orders fold once to day grain with map-side "
+    "partials.",
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    bounds = daily.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d"), "d0"
+    )
+    series = (
+        spine.join(daily, "d", "left")
+        .select(
+            F.datediff("d", "d0").cast("long").alias("t"),
+            F.coalesce("x", F.lit(0)).alias("x"),
+        )
+    ).localCheckpoint()  # day-grain, bounded; reused by base + 7 lag joins
+    base = series.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    cur = series.alias("cur")
+    prv = series.alias("prv")
+    lagk = (
+        F.broadcast(ks)
+        .join(cur, F.col("cur.t") >= F.col("k"))
+        .join(
+            prv,
+            F.col("prv.t") == F.col("cur.t") - F.col("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("cur.x") * F.col("prv.x")).cast("long").alias("sxy"),
+            F.sum(F.col("cur.x")).cast("long").alias("sa"),
+            F.sum(F.col("prv.x")).cast("long").alias("sb"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        lagk.crossJoin(F.broadcast(base))
+        .select(
+            F.col("k").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(
+                (
+                    d("n") * d("n") * d("sxy")
+                    - d("n") * d("s") * (d("sa") + d("sb"))
+                    + (d("n") - d("k")) * d("s") * d("s")
+                )
+                / (d("n") * (d("n") * d("sxx") - d("s") * d("s"))),
+                6,
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
+    "sliding_distinct_users_7d",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT min(d) AS d0, max(d) AS d1 FROM ud),
+    expand AS (
+      SELECT DISTINCT ud.user_id, ud.d + CAST(o.o AS INTEGER) AS wend
+      FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS o) o
+    )
+    SELECT CAST(expand.wend AS DATE) AS window_end,
+           CAST(count(*) AS BIGINT) AS n_active_7d
+    FROM expand CROSS JOIN bounds
+    WHERE expand.wend BETWEEN bounds.d0 AND bounds.d1
+    GROUP BY 1 ORDER BY 1
+    """,
+    sort=("window_end",),
+    doc="Sliding-window distinct users (7-day active): for every day, "
+    "the number of distinct users seen in the trailing week — the "
+    "windowed-COUNT-DISTINCT that a range-frame window CANNOT compute "
+    "distributively (distinct does not decompose over frames). The "
+    "scalable identity: collapse to user-day grain, replicate each "
+    "user-day to the <=7 window-ends it can serve, dedupe (user, "
+    "window_end), count per window_end — |user-days| x 7 work, all "
+    "keyed shuffles, no per-window re-scan. The dau_wau_stickiness "
+    "companion at day grain.",
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ud = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    bounds = ud.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    offs = spark.range(0, 7).select(F.col("id").cast("int").alias("o"))
+    expand = (
+        ud.crossJoin(F.broadcast(offs))
+        .select("user_id", F.date_add("d", F.col("o")).alias("wend"))
+        .distinct()
+    )
+    return (
+        expand.crossJoin(F.broadcast(bounds))
+        .where(F.col("wend").between(F.col("d0"), F.col("d1")))
+        .groupBy(F.col("wend").alias("window_end"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_7d"))
+    )
+
+
+_WM_DELAY_US = 600_000_000  # 10-minute watermark delay
+_WM_BATCH = 1000  # arrival micro-batch size (event_id order = arrival order)
+
+
+@register(
+    "watermark_late_drop_replay",
+    f"""
+    WITH arr AS (
+      SELECT event_id // {_WM_BATCH} AS batch, epoch_us(ts) AS t_us
+      FROM events
+    ),
+    bmax AS (SELECT batch, max(t_us) AS mx FROM arr GROUP BY batch),
+    bwm AS (
+      SELECT batch,
+             max(mx) OVER (ORDER BY batch
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_mx
+      FROM bmax
+    ),
+    tagged AS (
+      SELECT arr.t_us, bwm.prev_mx,
+             CASE WHEN bwm.prev_mx IS NOT NULL
+                       AND arr.t_us < bwm.prev_mx - {_WM_DELAY_US}
+                  THEN 1 ELSE 0 END AS dropped,
+             CASE WHEN bwm.prev_mx IS NOT NULL
+                       AND arr.t_us < bwm.prev_mx
+                       AND arr.t_us >= bwm.prev_mx - {_WM_DELAY_US}
+                  THEN 1 ELSE 0 END AS late_ok
+      FROM arr JOIN bwm USING (batch)
+    )
+    SELECT t_us // 3600000000 AS hour_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(dropped) AS BIGINT) AS n_dropped,
+           CAST(sum(late_ok) AS BIGINT) AS n_late_accepted
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+    sort=("hour_idx",),
+    doc="Watermark accounting replayed in batch — Structured Streaming "
+    "semantics made auditable: arrival order is event_id, micro-"
+    "batches are 1000-arrival groups, and the watermark an event faces "
+    "is max(event-time) over all PRIOR batches minus a 10-minute "
+    "delay, exactly the batch-boundary watermark update of the "
+    "streaming engine (in-batch disorder never drops, matching Spark). "
+    "Events are tagged dropped / late-but-accepted and folded to "
+    "hourly event-time windows. The arrival prefix-max runs on the "
+    "BATCH-grain relation (|events|/1000, bounded), which then "
+    "broadcast-joins back — no global per-row window. Companion "
+    "evidence for the streaming/ extension's late-data handling "
+    "(SURVEY §2.8), under the exact integer oracle.",
+)
+def watermark_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = _t(spark, sf_dir, "events").select(
+        F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    bmax = arr.groupBy("batch").agg(F.max("t_us").alias("mx"))
+    bwm = bmax.select(
+        "batch",
+        F.max("mx")
+        .over(W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_mx"),
+    )
+    tagged = arr.join(F.broadcast(bwm), "batch").select(
+        "t_us",
+        F.when(
+            F.col("prev_mx").isNotNull()
+            & (F.col("t_us") < F.col("prev_mx") - F.lit(_WM_DELAY_US)),
+            1,
+        )
+        .otherwise(0)
+        .alias("dropped"),
+        F.when(
+            F.col("prev_mx").isNotNull()
+            & (F.col("t_us") < F.col("prev_mx"))
+            & (F.col("t_us") >= F.col("prev_mx") - F.lit(_WM_DELAY_US)),
+            1,
+        )
+        .otherwise(0)
+        .alias("late_ok"),
+    )
+    return tagged.groupBy(
+        F.expr("t_us div 3600000000").alias("hour_idx")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dropped").cast("long").alias("n_dropped"),
+        F.sum("late_ok").cast("long").alias("n_late_accepted"),
+    )
+
+
+@register(
+    "regression_slope_by_group",
+    """
+    WITH pts AS (
+      SELECT c.c_mktsegment AS seg,
+             CAST(CAST(o.o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT)
+               AS x,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    s AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY seg
+    )
+    SELECT seg, n AS n_orders,
+           round(CAST(
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           AS DOUBLE), 6) AS slope_cents_per_day
+    FROM s ORDER BY seg
+    """,
+    sort=("seg",),
+    doc="Per-segment OLS trend (order value vs. order date): slope from "
+    "the closed-form sufficient statistics (n, Sx, Sy, Sxy, Sxx) — "
+    "regression as ONE keyed aggregate with map-side partials, the "
+    "aggregate-only ML family beside stats_correlation (which shares "
+    "the device for r). Sums are exact integer folds (epoch days x "
+    "cents); the slope is a single fixed double expression over them, "
+    "rounded to 6. Broadcast-joins customer for the segment; no "
+    "per-group iteration, no matrix library.",
+)
+def regression_slope_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pts = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("y"),
+    )
+    s = pts.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    d = lambda c_: F.col(c_).cast("double")  # noqa: E731
+    return s.select(
+        "seg",
+        F.col("n").alias("n_orders"),
+        F.round(
+            (d("n") * d("sxy") - d("sx") * d("sy"))
+            / (d("n") * d("sxx") - d("sx") * d("sx")),
+            6,
+        ).alias("slope_cents_per_day"),
+    )
+
+
+@register(
+    "weekday_bitmask_histogram",
+    """
+    WITH masks AS (
+      SELECT user_id,
+             bit_or(CAST(1 AS BIGINT) << (isodow(CAST(ts AS DATE)) - 1))
+               AS mask
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(mask AS BIGINT) AS mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_active_weekdays,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM masks GROUP BY mask ORDER BY mask
+    """,
+    sort=("mask",),
+    doc="Weekday-activity bitmask histogram: each user's active "
+    "weekdays fold into a 7-bit mask via bit_or(1 << weekday) — the "
+    "bitwise aggregate family (roaring-bitmap-style presence encoding "
+    "at its smallest), then the mask distribution with popcounts. "
+    "Weekday convention pinned cross-engine: Spark weekday() (0=Mon) "
+    "== DuckDB isodow-1. Two keyed aggregates, both with map-side "
+    "partials; the histogram has <=128 rows by construction. The "
+    "compact-presence-set primitive behind audience-overlap and "
+    "retention queries at 100 TB.",
+)
+def weekday_bitmask_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    masks = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), weekday(CAST(ts AS DATE)))")
+            ).alias("mask")
+        )
+    )
+    return (
+        masks.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            "mask",
+            F.bit_count("mask").cast("long").alias("n_active_weekdays"),
+            "n_users",
+        )
+    )

@@ -738,7 +738,8 @@ def test_mv_rewrite_answers_from_mv_only(spark, sf_dir):
     events.parquet scan in the answering plan means the 'rewrite' is
     recomputing, and the 100 TB win is gone."""
     plan = plan_of(spark, sf_dir, "mv_rewrite_audit", mode="formatted")
-    assert "spark_graft_mv_" in plan
+    # the MV now lives under the managed per-app scratch root
+    assert "daily_events_mv" in plan
     assert "events.parquet" not in plan
 
 
