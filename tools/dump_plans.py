@@ -120,6 +120,17 @@ SHOWCASE = [
     ("capped_waterfill_allocation", "waterfill: source-grain fold, cap-sorted prefix sums, closed-form level + deterministic remainder bumps"),
     ("kmv_intersection_estimate", "theta-sketch intersection: two 64-row KMV sketches, theta = min of kth minima, set algebra on answer-sized relations"),
     ("fleiss_kappa_raters", "inter-annotator agreement: rating stream folds to (item,label) cells; kappa is integer algebra on two scalar aggregates"),
+    # r11 additions
+    ("tree_subtree_cost_rollup_native", "engine-native WITH RECURSIVE: the recursion is ONE declarative UnionLoop plan — no per-level driver round trips"),
+    ("rfm_segmentation_histogram", "ntile-free RFM: equi-depth CDF windows over collapsed value grains, quintile maps broadcast back to customer grain"),
+    ("funnel_time_to_convert", "rank selection without row_number: sec-grain prefix sums; no window over the converted-user relation"),
+    ("interval_union_coverage", "sweep-line union length: user-PARTITIONED running max of interval ends, no interval self-join"),
+    ("acf_daily_revenue", "exact ACF: orders fold once to day grain; lag joins run on the bounded spine x 7 lags; one fixed double expression at the end"),
+    ("sliding_distinct_users_7d", "windowed COUNT DISTINCT: user-day x 7 window-end replication + dedupe — keyed shuffles, no per-window rescans"),
+    ("watermark_late_drop_replay", "watermark replay: prefix-max on the BATCH-grain relation broadcast back onto events; hourly fold with map-side partials"),
+    ("regression_slope_by_group", "OLS as one keyed aggregate: five integer sufficient statistics, slope a single projection"),
+    ("weekday_bitmask_histogram", "bitwise presence: bit_or(1<<weekday) per user, then a <=128-row mask histogram"),
+    ("two_source_reconciliation", "full-outer reconciliation: one co-keyed shuffle, classification is a projection"),
 ]
 
 
