@@ -136,18 +136,20 @@ _CHECK_PRIORITY = (
     "watermark_late_drop_replay",
     "regression_slope_by_group",
     "weekday_bitmask_histogram",
+    # wave 2: block-split Avro under the oracle (ask #5 follow-through),
+    # seasonal spikes, distinct-under-grouping-sets, survival hazard,
+    # asymmetric containment
+    "avro_split_scan",
+    "weekday_adjusted_spikes",
+    "grouping_sets_distinct_users",
+    "churn_hazard_curve",
+    "shingle_containment_pairs",
     # (3) queries whose code or shared machinery changed THIS round:
     # the sec-grain prefix-sum rewrite (ask #3b), the concurrent
-    # script runner, two managed-scratch users that were also r6-stale
+    # script runner, one managed-scratch representative (also r6-stale)
     "funnel_time_to_convert",
     "sql_script_replay",
     "csv_roundtrip_scan",
-    "zorder_locality_stats",
-    # (4) r6-stale fills (validation-corpus core)
-    "orphan_fk_check",
-    "pk_uniqueness_check",
-    "table_counts_union",
-    "scan_filter_project",
 )
 
 

@@ -662,3 +662,254 @@ def weekday_bitmask_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "weekday_adjusted_spikes",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(sum(CAST(round(coalesce(value, 0) * 1000) AS BIGINT))
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT event_type, isodow(d) - 1 AS w, d, x FROM daily
+    ),
+    wstat AS (
+      SELECT event_type, w, CAST(count(*) AS BIGINT) AS nw,
+             CAST(sum(x) AS BIGINT) AS sw
+      FROM wk GROUP BY 1, 2
+    )
+    SELECT wk.event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN wk.x * wstat.nw > 2 * wstat.sw
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes_2x,
+           CAST(max(CASE WHEN wstat.sw > 0
+                    THEN wk.x * 1000000 * wstat.nw // wstat.sw END)
+             AS BIGINT) AS max_ratio_ppm
+    FROM wk JOIN wstat ON wk.event_type = wstat.event_type
+                      AND wk.w = wstat.w
+    GROUP BY wk.event_type ORDER BY wk.event_type
+    """,
+    sort=("event_type",),
+    doc="Seasonally-adjusted spike detection: a day is a spike when its "
+    "value exceeds TWICE its weekday's mean for that event type — the "
+    "weekday_seasonality x daily_anomaly composition that catches "
+    "'high for a Sunday' where a raw threshold can't. The weekday mean "
+    "never materializes as a rational: the test is the cross-"
+    "multiplied integer comparison x*nw > 2*sw, and the reported peak "
+    "ratio is integer-ppm division — exact end to end. Events fold "
+    "once to (type, day) grain; weekday stats are a 7x|types| "
+    "broadcast relation.",
+)
+def weekday_adjusted_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("value"), F.lit(0.0)) * 1000)
+                .cast("long")
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    wk = daily.withColumn("w", F.weekday("d"))
+    wstat = wk.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("nw"),
+        F.sum("x").cast("long").alias("sw"),
+    )
+    return (
+        wk.join(F.broadcast(wstat), ["event_type", "w"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(F.col("x") * F.col("nw") > 2 * F.col("sw"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_spikes_2x"),
+            F.max(
+                F.when(
+                    F.col("sw") > 0,
+                    F.expr("x * 1000000 * nw div sw"),
+                )
+            )
+            .cast("long")
+            .alias("max_ratio_ppm"),
+        )
+    )
+
+
+@register(
+    "grouping_sets_distinct_users",
+    """
+    SELECT CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid,
+           coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(d AS VARCHAR), '<all>') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (SELECT event_type, CAST(ts AS DATE) AS d, user_id FROM events)
+    GROUP BY GROUPING SETS ((event_type), (d), ())
+    ORDER BY gid, event_type, day
+    """,
+    sort=("gid", "event_type", "day"),
+    doc="COUNT DISTINCT under GROUPING SETS — the multi-grain audience "
+    "rollup (per type, per day, grand total) in ONE statement. "
+    "Distinct-under-Expand is a genuinely different physical shape "
+    "from grouping_sets_revenue's sums: the Expand replicates rows "
+    "per grouping set, then the distinct aggregate dedupes (set, "
+    "keys, user) before counting — two aggregate levels the optimizer "
+    "plans as partial-distinct + final. grouping() disambiguates "
+    "'<all>' labels from literal values; keys are coalesced so no "
+    "NULL ordering crosses engines.",
+)
+def grouping_sets_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d"), "user_id"
+    )
+    return spark.sql(
+        """
+        SELECT CAST(grouping(event_type) * 2 + grouping(d) AS BIGINT) AS gid,
+               coalesce(event_type, '<all>') AS event_type,
+               coalesce(CAST(d AS STRING), '<all>') AS day,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM {ev}
+        GROUP BY GROUPING SETS ((event_type), (d), ())
+        """,
+        ev=ev,
+    )
+
+
+@register(
+    "churn_hazard_curve",
+    """
+    WITH tenure AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+               AS t
+      FROM events GROUP BY user_id
+    ),
+    deaths AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS n_churned FROM tenure GROUP BY t
+    ),
+    curve AS (
+      SELECT t, n_churned,
+             sum(n_churned) OVER (ORDER BY t DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS n_at_risk
+      FROM deaths
+    )
+    SELECT t AS tenure_day, n_churned,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_churned * 1000000 // n_at_risk AS BIGINT) AS hazard_ppm
+    FROM curve ORDER BY tenure_day
+    """,
+    sort=("tenure_day",),
+    doc="Discrete-time survival (Kaplan-Meier hazard): per user, tenure "
+    "= days between first and last activity; hazard at day t = users "
+    "whose observed lifetime ended at t over users who survived AT "
+    "LEAST t — the churn-risk curve behind retention forecasting. "
+    "Users fold once to tenure grain; the at-risk suffix sum runs over "
+    "the COLLAPSED tenure histogram (bounded by the observation "
+    "window in days), so no window touches user-grain data. Exact "
+    "integer ppm.",
+)
+def churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tenure = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+            .cast("long")
+            .alias("t")
+        )
+    )
+    deaths = tenure.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_churned")
+    )
+    curve = deaths.withColumn(
+        "n_at_risk",
+        F.sum("n_churned").over(
+            W.orderBy(F.desc("t")).rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return curve.select(
+        F.col("t").alias("tenure_day"),
+        "n_churned",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        F.expr("n_churned * 1000000 div n_at_risk")
+        .cast("long")
+        .alias("hazard_ppm"),
+    )
+
+
+@register(
+    "shingle_containment_pairs",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split_regex(lower(text), '\s+'))),
+               i -> string_split_regex(lower(text), '\s+')[i] || ' ' ||
+                    string_split_regex(lower(text), '\s+')[i+1])) AS shingles
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             AS n_common,
+           CAST(CASE WHEN len(a.shingles) > 0
+                THEN len(list_intersect(a.shingles, b.shingles)) * 1000000
+                     // len(a.shingles) END AS BIGINT) AS contain_a_ppm,
+           CAST(CASE WHEN len(b.shingles) > 0
+                THEN len(list_intersect(a.shingles, b.shingles)) * 1000000
+                     // len(b.shingles) END AS BIGINT) AS contain_b_ppm
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    WHERE len(list_intersect(a.shingles, b.shingles)) >= 1
+    ORDER BY doc_id_a
+    """,
+    sort=("doc_id_a",),
+    doc="ASYMMETRIC containment on candidate pairs — the near-dup "
+    "measure Jaccard misses: a short doc fully quoted inside a long "
+    "one has low Jaccard (union is large) but containment(A in B) ~ "
+    "1. Reports |A∩B|/|A| and |A∩B|/|B| in exact integer ppm per "
+    "adjacent-id candidate pair (at scale candidates come from LSH "
+    "buckets, as with ngram_jaccard_pairs). Same array-carrying join "
+    "shape as the Jaccard verify: N doc rows cross the shuffle with "
+    "their distinct-shingle arrays, intersection is per-row.",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fitness_nutrition_data_pipeline_spark.operators.dedup import word_shingles
+
+    sh = _t(spark, sf_dir, "documents").select(
+        "doc_id", word_shingles("text", 2).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_id_b") == F.col("doc_id_a") + 1)
+    common = F.array_size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("n_common", common.cast("long"))
+        .where(F.col("n_common") >= 1)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "n_common",
+            F.when(
+                F.array_size("sh_a") > 0,
+                F.expr("n_common * 1000000 div array_size(sh_a)"),
+            )
+            .cast("long")
+            .alias("contain_a_ppm"),
+            F.when(
+                F.array_size("sh_b") > 0,
+                F.expr("n_common * 1000000 div array_size(sh_b)"),
+            )
+            .cast("long")
+            .alias("contain_b_ppm"),
+        )
+    )

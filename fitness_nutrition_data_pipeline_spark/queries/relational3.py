@@ -925,3 +925,53 @@ def avro_roundtrip_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("text_checksum"),
     )
+
+
+@register(
+    "avro_split_scan",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    sort=("lang",),
+    doc="The BLOCK-SPLITTING Avro reader (sources/avro.py::"
+    "read_avro_splits, VERDICT r10 ask #5) under the hard oracle: "
+    "documents are encoded into ONE multi-block container file "
+    "(256-row blocks), which the reader splits into 64 KiB byte-range "
+    "tasks via the 16-byte sync marker — the Hadoop input-split "
+    "ownership rule (a task owns blocks that START in its range), so "
+    "one large file reads with many tasks where avro_roundtrip_scan's "
+    "per-file path would use one. The aggregate over the re-read rows "
+    "hash-matches the original parquet, proving every block is decoded "
+    "exactly once across split boundaries.",
+)
+def avro_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from fitness_nutrition_data_pipeline_spark.sources.avro import (
+        read_avro_splits,
+        write_avro,
+    )
+
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:8]
+    path = scratch_path(spark, tag, "avro_split_documents")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).coalesce(1)
+    write_avro(docs, path, rows_per_block=256)
+    back = read_avro_splits(
+        spark, path, "doc_id long, lang string, n_chars long",
+        split_bytes=64 << 10,
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

@@ -260,7 +260,7 @@ def decode_file(data: bytes) -> tuple[list[str], list[list]]:
 
 # ------------------------------------------------------------- Spark-level
 
-def write_avro(df: DataFrame, path: str) -> int:
+def write_avro(df: DataFrame, path: str, rows_per_block: int = 4096) -> int:
     """Write ``df`` as a directory of Avro container files, one per
     partition, encoded executor-side. Returns the number of files.
 
@@ -288,7 +288,10 @@ def write_avro(df: DataFrame, path: str) -> int:
     os.makedirs(path, exist_ok=True)
 
     def write_partition(idx: int, rows):
-        data = encode_file((tuple(r) for r in rows), fts, schema_json)
+        data = encode_file(
+            (tuple(r) for r in rows), fts, schema_json,
+            rows_per_block=rows_per_block,
+        )
         fname = os.path.join(path, f"part-{idx:05d}.avro")
         with open(fname, "wb") as f:
             f.write(data)

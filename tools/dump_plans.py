@@ -131,6 +131,9 @@ SHOWCASE = [
     ("regression_slope_by_group", "OLS as one keyed aggregate: five integer sufficient statistics, slope a single projection"),
     ("weekday_bitmask_histogram", "bitwise presence: bit_or(1<<weekday) per user, then a <=128-row mask histogram"),
     ("two_source_reconciliation", "full-outer reconciliation: one co-keyed shuffle, classification is a projection"),
+    ("avro_split_scan", "block-split Avro: byte-range split relation -> ONE Arrow-batched MapInPandas decode; parallelism = file bytes / split bytes"),
+    ("grouping_sets_distinct_users", "COUNT DISTINCT under Expand: per-set replication, partial-distinct + final aggregate levels"),
+    ("churn_hazard_curve", "survival hazard: user fold -> tenure histogram; the suffix-sum window runs on the bounded histogram"),
 ]
 
 
