@@ -468,6 +468,40 @@ _WM_DELAY_US = 600_000_000  # 10-minute watermark delay
 _WM_BATCH = 1000  # arrival micro-batch size (event_id order = arrival order)
 
 
+def watermark_tags(arr: DataFrame, delay_us: int = _WM_DELAY_US) -> DataFrame:
+    """Tag each row of an arrival relation (``batch``, ``t_us``, + any
+    carry-through columns) with the batch-boundary watermark outcome:
+    ``dropped`` (event time below the watermark its batch faces — the
+    engine's row-level late filter, as in streaming dropDuplicates) and
+    ``late_ok`` (out-of-order but inside the allowed lateness). The
+    watermark a batch faces is max(t_us) over all PRIOR batches minus
+    ``delay_us`` — Spark updates the watermark at micro-batch
+    boundaries, never mid-batch, so in-batch disorder cannot drop.
+    tests/test_streaming.py proves parity against the actual engine."""
+    bmax = arr.groupBy("batch").agg(F.max("t_us").alias("mx"))
+    bwm = bmax.select(
+        "batch",
+        F.max("mx")
+        .over(W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1))
+        .alias("prev_mx"),
+    )
+    return arr.join(F.broadcast(bwm), "batch").withColumns(
+        {
+            "dropped": F.when(
+                F.col("prev_mx").isNotNull()
+                & (F.col("t_us") < F.col("prev_mx") - F.lit(delay_us)),
+                1,
+            ).otherwise(0),
+            "late_ok": F.when(
+                F.col("prev_mx").isNotNull()
+                & (F.col("t_us") < F.col("prev_mx"))
+                & (F.col("t_us") >= F.col("prev_mx") - F.lit(delay_us)),
+                1,
+            ).otherwise(0),
+        }
+    ).drop("prev_mx")
+
+
 @register(
     "watermark_late_drop_replay",
     f"""
@@ -519,31 +553,7 @@ def watermark_late_drop_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"event_id div {_WM_BATCH}").alias("batch"),
         F.unix_micros("ts").alias("t_us"),
     )
-    bmax = arr.groupBy("batch").agg(F.max("t_us").alias("mx"))
-    bwm = bmax.select(
-        "batch",
-        F.max("mx")
-        .over(W.orderBy("batch").rowsBetween(W.unboundedPreceding, -1))
-        .alias("prev_mx"),
-    )
-    tagged = arr.join(F.broadcast(bwm), "batch").select(
-        "t_us",
-        F.when(
-            F.col("prev_mx").isNotNull()
-            & (F.col("t_us") < F.col("prev_mx") - F.lit(_WM_DELAY_US)),
-            1,
-        )
-        .otherwise(0)
-        .alias("dropped"),
-        F.when(
-            F.col("prev_mx").isNotNull()
-            & (F.col("t_us") < F.col("prev_mx"))
-            & (F.col("t_us") >= F.col("prev_mx") - F.lit(_WM_DELAY_US)),
-            1,
-        )
-        .otherwise(0)
-        .alias("late_ok"),
-    )
+    tagged = watermark_tags(arr)
     return tagged.groupBy(
         F.expr("t_us div 3600000000").alias("hour_idx")
     ).agg(
