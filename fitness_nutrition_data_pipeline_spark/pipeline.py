@@ -88,12 +88,12 @@ class FitnessWarehousePipeline:
         primes = [
             pool.submit(df.count) for df in (self.staging, self.mapping)
         ]
-        if os.environ.get("SPARK_GRAFT_SEQ_PRIME"):
-            # measurement toggle: barrier here reproduces the r10
-            # sequential-prime shape for A/B protocol runs
-            for fut in primes:
-                fut.result()
         try:
+            if os.environ.get("SPARK_GRAFT_SEQ_PRIME"):
+                # measurement toggle: barrier here reproduces the r10
+                # sequential-prime shape for A/B protocol runs
+                for fut in primes:
+                    fut.result()
             dims = build_dimensions(
                 self.spark, self.staging, self.sources.get("nutrition"), self.cfg
             )
@@ -122,9 +122,17 @@ class FitnessWarehousePipeline:
                 self.spark, self.sources, self.staging, self.mapping, dims, self.cfg
             )
         finally:
-            for fut in primes:
-                fut.result()  # surface prime errors; load() needs warm caches
-            pool.shutdown()
+            import sys
+
+            try:
+                if sys.exc_info()[0] is None:
+                    # surface prime errors — load() needs warm caches —
+                    # but never mask an in-flight builder exception with
+                    # a secondary prime failure
+                    for fut in primes:
+                        fut.result()
+            finally:
+                pool.shutdown(wait=True)
         self.warehouse = {**dims, **bridges, **facts}
         return self.warehouse
 

@@ -695,7 +695,7 @@ def weekday_bitmask_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(CASE WHEN wk.x * wstat.nw > 2 * wstat.sw
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spikes_2x,
-           CAST(max(CASE WHEN wstat.sw > 0
+           CAST(max(CASE WHEN wstat.sw > 0 AND wk.x >= 0
                     THEN wk.x * 1000000 * wstat.nw // wstat.sw END)
              AS BIGINT) AS max_ratio_ppm
     FROM wk JOIN wstat ON wk.event_type = wstat.event_type
@@ -742,9 +742,13 @@ def weekday_adjusted_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("long")
             .alias("n_spikes_2x"),
+            # ratio only for sw > 0 AND x >= 0: Spark `div` truncates
+            # toward zero while DuckDB `//` floors, so a negative day
+            # sum (value is unconstrained DOUBLE) would hash-diverge;
+            # a negative day is also never a spike ratio worth reporting
             F.max(
                 F.when(
-                    F.col("sw") > 0,
+                    (F.col("sw") > 0) & (F.col("x") >= 0),
                     F.expr("x * 1000000 * nw div sw"),
                 )
             )

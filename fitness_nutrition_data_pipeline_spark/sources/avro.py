@@ -221,19 +221,29 @@ def _field_types_from_schema(schema: dict) -> list[tuple[str, str]]:
     return out
 
 
-def decode_file(data: bytes) -> tuple[list[str], list[list]]:
-    """(column names, column-major values) of one Avro container file."""
-    view = memoryview(data)
+def _read_header_bytes(head: bytes) -> tuple[dict, int, bytes]:
+    """(metadata map, data-start offset, sync marker) from the leading
+    bytes of a container file — the single header-parsing contract,
+    shared by the whole-file and block-splitting readers."""
+    view = memoryview(head)
     if bytes(view[:4]) != _MAGIC:
         raise ValueError("not an Avro object container file")
     meta, pos = _skip_meta_map(view, 4)
     codec = meta.get("avro.codec", b"null")
     if codec != b"null":
         raise ValueError(f"unsupported avro codec {codec!r} (null only)")
+    sync = bytes(view[pos : pos + 16])
+    if len(sync) != 16:
+        raise ValueError("truncated Avro header")
+    return meta, pos + 16, sync
+
+
+def decode_file(data: bytes) -> tuple[list[str], list[list]]:
+    """(column names, column-major values) of one Avro container file."""
+    meta, pos, sync = _read_header_bytes(data)
+    view = memoryview(data)
     schema = json.loads(meta["avro.schema"])
     fts = _field_types_from_schema(schema)
-    sync = bytes(view[pos : pos + 16])
-    pos += 16
     names = [n for n, _, _ in fts]
     cols: list[list] = [[] for _ in fts]
     total = len(data)
@@ -330,19 +340,6 @@ def read_avro(spark: SparkSession, path: str, ddl: str) -> DataFrame:
 
 # ------------------------------------------------- block-splitting reader
 
-def _read_header_bytes(head: bytes) -> tuple[dict, int, bytes]:
-    """(metadata map, data-start offset, sync marker) from the leading
-    bytes of a container file."""
-    view = memoryview(head)
-    if bytes(view[:4]) != _MAGIC:
-        raise ValueError("not an Avro object container file")
-    meta, pos = _skip_meta_map(view, 4)
-    sync = bytes(view[pos : pos + 16])
-    if len(sync) != 16:
-        raise ValueError("truncated Avro header")
-    return meta, pos + 16, sync
-
-
 def plan_avro_splits(
     path: str, split_bytes: int = 32 << 20
 ) -> tuple[list[tuple[str, int, int, bytes]], list[tuple[str, str, bool]]]:
@@ -366,11 +363,21 @@ def plan_avro_splits(
     fts0: list[tuple[str, str, bool]] | None = None
     for fname in files:
         size = os.path.getsize(fname)
-        with open(fname, "rb") as fh:
-            head = fh.read(min(size, 4 << 20))
-        meta, data_start, sync = _read_header_bytes(head)
-        if meta.get("avro.codec", b"null") != b"null":
-            raise ValueError("unsupported avro codec (null only)")
+        # headers are typically a few hundred bytes (schema JSON + codec);
+        # start with one small read and grow only if the metadata map
+        # actually runs past it — N sequential 4 MiB driver reads for an
+        # N-file directory would be real I/O before any executor work
+        chunk = 64 << 10
+        while True:
+            with open(fname, "rb") as fh:
+                head = fh.read(min(size, chunk))
+            try:
+                meta, data_start, sync = _read_header_bytes(head)
+                break
+            except (IndexError, ValueError):
+                if chunk >= size:
+                    raise
+                chunk *= 8
         fts = _field_types_from_schema(json.loads(meta["avro.schema"]))
         if fts0 is None:
             fts0 = fts
@@ -384,8 +391,6 @@ def plan_avro_splits(
             e = min(size, s + split_bytes)
             splits.append((fname, s, e, sync))
             s = e
-        if data_start >= size:  # header-only (zero-row) file
-            continue
     assert fts0 is not None
     return splits, fts0
 

@@ -71,8 +71,12 @@ def run_sql_script(
     statements, exactly as before), failures stay lenient and
     per-statement, and ``process_row`` is invoked in STATEMENT ORDER
     from collected results — concurrency changes wall-clock, never the
-    report. The default stays 1: replay semantics
-    (``sql_script_replay``) are specified sequential."""
+    report. That equivalence only holds for scripts with no
+    inter-statement dependencies, so concurrency is GATED: if any
+    statement is not a SELECT (DDL/DML can create state a later
+    statement reads), the script silently runs sequentially. The
+    default stays 1: replay semantics (``sql_script_replay``) are
+    specified sequential."""
     variables: dict[str, str] = {}
     stats = {"executed": 0, "failed": 0, "rows": 0}
 
@@ -101,7 +105,10 @@ def run_sql_script(
         except Exception as e:  # lenient: log + continue (:841-842)
             return None, e
 
-    if max_workers > 1:
+    all_selects = all(
+        orig.strip().upper().startswith("SELECT") for orig, _ in resolved
+    )
+    if max_workers > 1 and all_selects:
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=max_workers) as pool:

@@ -216,7 +216,14 @@ def validate_warehouse(spark: SparkSession, bounds: dict[str, float] | None = No
         spark, [(t, f"SELECT count(*) FROM {t}") for t in count_tables]
     )
     for t in count_tables:
-        res.table_counts[t] = int(counts_by_t.get(t) or 0)
+        val = counts_by_t.get(t)
+        if val is None:
+            # a count that cannot even run must never be reported as a
+            # healthy-looking 0-row table: leave table_counts without
+            # the entry and record a scored warning instead
+            res.record(f"COUNT FAILED {t}", 1)
+        else:
+            res.table_counts[t] = int(val)
     missing = [t for t in EXPECTED_TABLES if t not in present]
     res.record("MISSING TABLES", len(missing))
 
