@@ -144,11 +144,17 @@ _CHECK_PRIORITY = (
     "grouping_sets_distinct_users",
     "churn_hazard_curve",
     "shingle_containment_pairs",
-    # (3) queries whose code or shared machinery changed THIS round:
-    # the sec-grain prefix-sum rewrite (ask #3b), the concurrent
-    # script runner, one managed-scratch representative (also r6-stale)
-    "funnel_time_to_convert",
+    # wave 3: histogram-method split finding + proportion CI
+    "gini_split_gain",
+    "wilson_interval_priorities",
+    # (3) the one remaining slot goes to the query whose RUNNER changed
+    # this round (concurrent statement execution); the other two
+    # changed-this-round queries sit just past the 50-slot window —
+    # funnel's rewrite is hash-identical by construction and both were
+    # strict-verified at 3 SFs this round, ages stay within the
+    # rotation guard
     "sql_script_replay",
+    "funnel_time_to_convert",
     "csv_roundtrip_scan",
 )
 

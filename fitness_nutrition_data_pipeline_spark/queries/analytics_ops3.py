@@ -927,3 +927,161 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contain_b_ppm"),
         )
     )
+
+
+@register(
+    "gini_split_gain",
+    """
+    WITH pts AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) // 10000 AS b,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    grain AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS p
+      FROM pts GROUP BY b
+    ),
+    pre AS (
+      SELECT b,
+             sum(n) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS ln,
+             sum(p) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS lp,
+             sum(n) OVER () AS t, sum(p) OVER () AS tp
+      FROM grain
+    ),
+    gains AS (
+      SELECT b AS threshold_bucket,
+             CAST(ln AS BIGINT) AS n_left,
+             CAST(t - ln AS BIGINT) AS n_right,
+             round(CAST(
+               (1.0 - (CAST(tp AS DOUBLE) * tp + CAST(t - tp AS DOUBLE) * (t - tp))
+                      / (CAST(t AS DOUBLE) * t))
+               - (CAST(ln AS DOUBLE) / t)
+                 * (1.0 - (CAST(lp AS DOUBLE) * lp
+                           + CAST(ln - lp AS DOUBLE) * (ln - lp))
+                          / (CAST(ln AS DOUBLE) * ln))
+               - (CAST(t - ln AS DOUBLE) / t)
+                 * (1.0 - (CAST(tp - lp AS DOUBLE) * (tp - lp)
+                           + CAST((t - ln) - (tp - lp) AS DOUBLE)
+                             * ((t - ln) - (tp - lp)))
+                          / (CAST(t - ln AS DOUBLE) * (t - ln)))
+             AS DOUBLE), 6) AS gini_gain
+      FROM pre WHERE ln > 0 AND t - ln > 0
+    )
+    SELECT * FROM gains ORDER BY gini_gain DESC, threshold_bucket LIMIT 5
+    """,
+    sort=("threshold_bucket",),
+    doc="Decision-tree split finding as AGGREGATION — the distributed "
+    "tree-building primitive (the XGBoost/LightGBM histogram method): "
+    "candidate thresholds are the $10k price buckets, and each "
+    "threshold's Gini gain comes from PREFIX SUMS of (count, positives) "
+    "over the collapsed bucket grain — never a per-threshold rescan of "
+    "the data; orders fold once with map-side partials, the windows run "
+    "on the bounded bucket relation. Gini terms are one fixed double "
+    "expression over exact integer counts (engine-deterministic), "
+    "rounded to 6; top-5 splits by gain with a pinned tie order. Label "
+    "= order finalized ('F').",
+)
+def gini_split_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _t(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice) AS BIGINT) div 10000").alias("b"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    grain = pts.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    wcum = W.orderBy("b").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    pre = grain.select(
+        "b",
+        F.sum("n").over(wcum).alias("ln"),
+        F.sum("p").over(wcum).alias("lp"),
+        F.sum("n").over(wall).alias("t"),
+        F.sum("p").over(wall).alias("tp"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rn = F.col("t") - F.col("ln")
+    rp = F.col("tp") - F.col("lp")
+    drn, drp = rn.cast("double"), rp.cast("double")
+    parent = 1.0 - (d("tp") * F.col("tp") + (d("t") - d("tp")) * (F.col("t") - F.col("tp"))) / (d("t") * F.col("t"))
+    left = (d("ln") / F.col("t")) * (
+        1.0 - (d("lp") * F.col("lp") + (d("ln") - d("lp")) * (F.col("ln") - F.col("lp"))) / (d("ln") * F.col("ln"))
+    )
+    right = (drn / F.col("t")) * (
+        1.0 - (drp * rp + (drn - drp) * (rn - rp)) / (drn * rn)
+    )
+    gains = (
+        pre.where((F.col("ln") > 0) & (rn > 0))
+        .select(
+            F.col("b").alias("threshold_bucket"),
+            F.col("ln").cast("long").alias("n_left"),
+            rn.cast("long").alias("n_right"),
+            F.round(parent - left - right, 6).alias("gini_gain"),
+        )
+    )
+    return gains.orderBy(F.desc("gini_gain"), "threshold_bucket").limit(5)
+
+
+@register(
+    "wilson_interval_priorities",
+    """
+    WITH s AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS pos
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, n, pos,
+           round(CAST(
+             (CAST(pos AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545
+                / (2.0 * n)
+              - 1.9599639845400545
+                * sqrt((CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n) / n
+                       + 1.9599639845400545 * 1.9599639845400545
+                         / (4.0 * CAST(n AS DOUBLE) * n)))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / n)
+           AS DOUBLE), 6) AS wilson_lo,
+           round(CAST(
+             (CAST(pos AS DOUBLE) / n + 1.9599639845400545 * 1.9599639845400545
+                / (2.0 * n)
+              + 1.9599639845400545
+                * sqrt((CAST(pos AS DOUBLE) / n) * (1.0 - CAST(pos AS DOUBLE) / n) / n
+                       + 1.9599639845400545 * 1.9599639845400545
+                         / (4.0 * CAST(n AS DOUBLE) * n)))
+             / (1.0 + 1.9599639845400545 * 1.9599639845400545 / n)
+           AS DOUBLE), 6) AS wilson_hi
+    FROM s ORDER BY priority
+    """,
+    sort=("priority",),
+    doc="Wilson 95% score interval for the finalized-order rate per "
+    "priority class — the proportion CI that stays inside [0,1] at "
+    "small n where the normal approximation fails; the ranking "
+    "statistic behind 'sort by lower confidence bound' (Reddit-style "
+    "scoring, A/B guardrails). One keyed aggregate to (n, pos); the "
+    "interval is a fixed double expression over the two exact integers "
+    "(sqrt is IEEE correctly-rounded, so both engines agree bit-for-"
+    "bit), z pinned as the literal 1.9599639845400545. Rounded to 6.",
+)
+def wilson_interval_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "orders").groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("pos"),
+    )
+    z = 1.9599639845400545
+    p = F.col("pos").cast("double") / F.col("n")
+    nn = F.col("n").cast("double")
+    half = z * F.sqrt(p * (1.0 - p) / F.col("n") + z * z / (4.0 * nn * F.col("n")))
+    center = p + z * z / (2.0 * F.col("n"))
+    denom = 1.0 + z * z / F.col("n")
+    return s.select(
+        "priority",
+        "n",
+        "pos",
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
