@@ -234,8 +234,25 @@ def _jdbc_table_exists(conn, table: str) -> bool:
     lower-cased on Postgres, and as-written on MySQL-on-Linux —
     DatabaseMetaData.stores{Upper,Lower}CaseIdentifiers() says which.
     Probe the folded casing first, then the other two as a fallback for
-    engines that report neither (mixed-case / case-sensitive stores)."""
+    engines that report neither (mixed-case / case-sensitive stores).
+
+    getTables takes a PATTERN, where '_' matches any one char — so
+    ``fact_workoutsession`` could false-positive against another table
+    and send the swap's RENAME at a live table that doesn't exist
+    (ADVICE r11). Escape '_' and '%' with the driver's declared escape
+    string before probing."""
     md = conn.getMetaData()
+    esc = md.getSearchStringEscape() or ""
+
+    def _pat(name: str) -> str:
+        if not esc:
+            return name
+        return (
+            name.replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+        )
+
     if md.storesUpperCaseIdentifiers():
         casings = (table.upper(), table, table.lower())
     elif md.storesLowerCaseIdentifiers():
@@ -247,7 +264,7 @@ def _jdbc_table_exists(conn, table: str) -> bool:
         if cased in seen:
             continue
         seen.add(cased)
-        rs = md.getTables(None, None, cased, None)
+        rs = md.getTables(None, None, _pat(cased), None)
         try:
             if rs.next():
                 return True

@@ -29,6 +29,7 @@ driver traffic is two longs — never vertex or edge rows.
 
 from __future__ import annotations
 
+import logging
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,9 +66,18 @@ def _drop_stale(
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     for t in tags:
-        p = jvm.org.apache.hadoop.fs.Path(_join(state_dir, t))
-        fs = p.getFileSystem(hconf)
-        fs.delete(p, True)
+        # Cleanup is advisory: the returned DataFrame's state must never
+        # be cost by a transient delete failure (flaky S3, perms) —
+        # log the leaked path and keep peeling (ADVICE r11).
+        try:
+            p = jvm.org.apache.hadoop.fs.Path(_join(state_dir, t))
+            fs = p.getFileSystem(hconf)
+            fs.delete(p, True)
+        except Exception as e:  # noqa: BLE001
+            logging.getLogger(__name__).warning(
+                "k-core state cleanup failed for %s (leaking superseded "
+                "round state; result unaffected): %s", _join(state_dir, t), e
+            )
 
 
 def kcore_peel(

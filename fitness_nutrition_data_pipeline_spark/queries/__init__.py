@@ -76,86 +76,77 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-11 window, per VERDICT r10 ask #1:
-# lead with ALL 31 r5-stale queries (the oldest driver signal registry-
-# wide after r10 cleared the r4 cohort), then this round's 11 new
-# registrations, then refreshes for the queries whose shared machinery
-# changed THIS round (the funnel prefix-sum rewrite, the parallel script
-# runner, the managed scratch root), then r6-stale fills. Planned
-# against tools/rotation_report.py (ask #8): after this window the
-# oldest signal registry-wide becomes r6.
+# ordering is signal allocation. Round-12 window, per VERDICT r11 asks
+# #1-#3: lead with ALL 46 r6-stale queries (the oldest cohort registry-
+# wide; the rotation guard says they fail the age-6 invariant at r13 if
+# not re-signalled now), then the 2 queries whose implementation changed
+# after their last driver signal (funnel_time_to_convert's prefix-sum
+# rewrite landed r11 over an r7 signal; rfm_segmentation carries an r9
+# signal), then the round's ≤2 new registrations — net registry growth
+# frozen at +2 this round per the capacity decision (VERDICT r11 ask #2;
+# rationale recorded in SCALE.md r12). Planned against
+# tools/rotation_report.py: after this window the oldest signal
+# registry-wide becomes r7.
 _CHECK_PRIORITY = (
-    # --- round-11 window (driver checks the FIRST 50) ---
-    # (1) the full r5-stale cohort: 31 queries whose green signal
-    # predates the r6-r10 shared-infra churn; all HEAD-green in the
-    # r10 closing 3-SF sweeps
-    "attribution_batch_replay",
-    "bigram_pmi_collocations",
-    "bpe_merge_candidates",
-    "column_profile_orders",
-    "composite_pk_check",
-    "concurrent_sessions_peak",
-    "corpus_datacard",
-    "cross_source_dup_leakage",
-    "date_dimension",
-    "dau_wau_stickiness",
-    "dedup_cluster_size_histogram",
-    "dedup_exact_summary",
-    "embedding_coverage_check",
-    "embedding_dim_variance",
-    "event_transition_matrix",
-    "event_type_cooccurrence",
-    "ewma_daily_value",
-    "hopping_window_rollup",
-    "inverted_index_postings",
-    "join_key_skew_profile",
-    "k_anonymity_audit",
-    "lang_id_kappa",
-    "minhash_jaccard_calibration",
-    "mmr_diversified_topk",
-    "prefix_dup_groups",
-    "selfjoin_blowup_estimate",
-    "sessionize_native_window",
-    "source_length_drift",
-    "strict_funnel_3step",
-    "weekday_seasonality",
-    "winnowing_cross_matches",
-    # (2) the 11 r11 registrations (strict-verified at 3 SFs before
-    # registration)
-    # engine-native WITH RECURSIVE vs the driver-loop form (ask #2)
-    "tree_subtree_cost_rollup_native",
-    # the executable global-window substitution (ask #3a)
-    "rfm_segmentation_histogram",
-    # r11 analytics wave (queries/analytics_ops3.py)
-    "interval_union_coverage",
-    "two_source_reconciliation",
-    "functional_dependency_audit",
-    "mutual_information_features",
-    "acf_daily_revenue",
-    "sliding_distinct_users_7d",
-    "watermark_late_drop_replay",
-    "regression_slope_by_group",
-    "weekday_bitmask_histogram",
-    # wave 2: block-split Avro under the oracle (ask #5 follow-through),
-    # seasonal spikes, distinct-under-grouping-sets, survival hazard,
-    # asymmetric containment
-    "avro_split_scan",
-    "weekday_adjusted_spikes",
-    "grouping_sets_distinct_users",
-    "churn_hazard_curve",
-    "shingle_containment_pairs",
-    # wave 3: histogram-method split finding + proportion CI
-    "gini_split_gain",
-    "wilson_interval_priorities",
-    # (3) the one remaining slot goes to the query whose RUNNER changed
-    # this round (concurrent statement execution); the other two
-    # changed-this-round queries sit just past the 50-slot window —
-    # funnel's rewrite is hash-identical by construction and both were
-    # strict-verified at 3 SFs this round, ages stay within the
-    # rotation guard
-    "sql_script_replay",
-    "funnel_time_to_convert",
+    # --- round-12 window (driver checks the FIRST 50) ---
+    # (1) the full r6-stale cohort: 46 queries whose green signal
+    # predates five rounds of shared-infra churn; all HEAD-green in the
+    # r11 closing strict sweeps
+    "cep_batch_replay",
     "csv_roundtrip_scan",
+    "dedup_clusters_exact",
+    "deletion_propagation_audit",
+    "distribution_stats",
+    "domain_inventory_concat",
+    "embedding_ann_ivf_probe",
+    "embedding_centroid_assign",
+    "embedding_knn_bruteforce",
+    "embedding_near_dup_pairs",
+    "fact_dim_key_resolution",
+    "fk_coverage_pct",
+    "grouping_sets_revenue",
+    "heavy_hitters_batch_replay",
+    "histogram_equi_width_prices",
+    "incremental_agg_merge",
+    "ingestion_lag_audit",
+    "interval_range_join",
+    "keyword_categorization",
+    "ks_binned_click_view",
+    "l_diversity_audit",
+    "metric_unpivot",
+    "minhash_dedup_flags",
+    "near_dup_pipeline",
+    "ngram_jaccard_pairs",
+    "orphan_fk_check",
+    "percentile_stats",
+    "pit_join_scd2",
+    "pivot_status_counts",
+    "pk_uniqueness_check",
+    "price_histogram",
+    "psi_value_drift",
+    "ratelimit_batch_replay",
+    "recent_window_topk",
+    "rollup_qty",
+    "scan_filter_project",
+    "semi_join_active_customers",
+    "set_ops_customers",
+    "simhash_hamming_pairs",
+    "simhash_signatures",
+    "split_contamination_matrix",
+    "table_counts_union",
+    "token_length_percentiles",
+    "topn_per_group",
+    "unigram_lm_crossentropy",
+    "zorder_locality_stats",
+    # (2) the 2 rewritten-but-stale queries (VERDICT r11 ask #3): the
+    # driver must bless the code that actually ships
+    "funnel_time_to_convert",
+    "rfm_segmentation",
+    # (3) the 2 r12 registrations (capacity freeze: never-checked queries
+    # outside the window would trip the rotation guard, so net growth is
+    # bounded by the window slack — exactly 2 this round)
+    "stratified_train_eval_split",
+    "quantile_sketch_merge",
 )
 
 

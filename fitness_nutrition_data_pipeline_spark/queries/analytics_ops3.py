@@ -246,7 +246,8 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(max(n) AS BIGINT) AS n_customers,
            CAST(count(*) AS BIGINT) AS n_cells,
            round(CAST(sum((CAST(c AS DOUBLE) / n) *
-                 ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy)))
+                 ln((CAST(c AS DOUBLE) * n) / (CAST(cx AS DOUBLE) * cy))
+                 ORDER BY seg, nat)
                AS DOUBLE), 6) AS mi_nats
     FROM joint
     JOIN mx USING (seg) JOIN my USING (nat) CROSS JOIN tot
@@ -258,8 +259,13 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "training. Data folds ONCE to the joint-count grid (|segments| x "
     "|nations| <= 125 cells); marginals and MI fold over the grid, "
     "never the data. Counts are exact integers; the log expression is "
-    "a fixed operation tree over them (entropy-family discipline), "
-    "rounded to 6. One customer-grain shuffle; grid joins broadcast.",
+    "a fixed operation tree over them, and the float FOLD over the "
+    "grid is ORDER-PINNED on both engines (Spark: single sorted "
+    "partition before the agg; DuckDB: sum(... ORDER BY seg, nat)) so "
+    "summation-order permutation can never move a value across the "
+    "6-digit rounding boundary — the module discipline holds. One "
+    "customer-grain shuffle; grid joins broadcast; the pinned fold "
+    "runs on the <=125-cell grid, bounded by construction.",
 )
 def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     joint = (
@@ -281,6 +287,8 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         joint.join(F.broadcast(mx), "seg")
         .join(F.broadcast(my), "nat")
         .crossJoin(F.broadcast(tot))
+        .repartition(1)
+        .sortWithinPartitions("seg", "nat")
         .agg(
             F.max("n").cast("long").alias("n_customers"),
             F.count(F.lit(1)).cast("long").alias("n_cells"),

@@ -425,3 +425,61 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sample_rank", F.row_number().over(W.orderBy("es_key", "doc_id"))
     )
     return ranked.select("sample_rank", "doc_id", "lang", "n_chars")
+
+
+@register(
+    "stratified_train_eval_split",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                 AS rn,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN rn <= (n_lang + 9) // 10 THEN 'eval' ELSE 'train' END
+               AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST((min(n_lang) + 9) // 10 AS BIGINT) AS eval_quota
+    FROM ranked
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+    sort=("lang", "split"),
+    doc="Proportional exact-QUOTA eval split: each stratum contributes "
+    "exactly ceil(10%) of its documents to eval, chosen as the lowest "
+    "content-hash ranks — the held-out-set construction where a RATE "
+    "split (train_val_test_split) only hits 10% in expectation and a "
+    "fixed-SIZE sample (fixed_size_stratum_sample) ignores stratum "
+    "scale. ceil is exact integer math ((n+9) div 10), never a float "
+    "fraction. One shuffle by stratum serves both windows (rank + "
+    "count); at 100 TB a dominant stratum makes that partition hot — "
+    "the documented scale path is a two-pass quota (per-stratum counts "
+    "broadcast, then a hash-threshold refined per stratum) which this "
+    "operator's hash-rank semantics admit without changing the answer.",
+)
+def stratified_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _docs(spark, sf_dir)
+    win = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(win.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(win).alias("n_lang"),
+    )
+    quota = F.expr("(n_lang + 9) div 10")
+    split = (
+        F.when(F.col("rn") <= quota, "eval").otherwise("train").alias("split")
+    )
+    return ranked.groupBy("lang", split).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("CAST((min(n_lang) + 9) div 10 AS BIGINT)").alias("eval_quota"),
+    )

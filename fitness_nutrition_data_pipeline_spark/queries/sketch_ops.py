@@ -688,3 +688,83 @@ def kmv_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_err"),
         )
     )
+
+
+@register(
+    "quantile_sketch_merge",
+    """
+    WITH partials AS (
+      SELECT o_orderpriority AS src,
+             CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bin, CAST(sum(cnt) AS BIGINT) AS cnt FROM partials GROUP BY bin
+    ),
+    cdf AS (
+      SELECT bin, cnt,
+             CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER () AS BIGINT) AS total
+      FROM merged
+    ),
+    qs AS (SELECT * FROM (VALUES (50), (90), (99)) AS t(q_pct))
+    SELECT q_pct,
+           CAST(min(CASE WHEN cum * 100 >= q_pct * total THEN bin END)
+                AS BIGINT) AS q_bin,
+           CAST(min(CASE WHEN cum * 100 >= q_pct * total THEN bin END) * 1000
+                AS BIGINT) AS q_lo_price,
+           CAST(max(total) AS BIGINT) AS n_total,
+           count(*) AS n_bins
+    FROM qs CROSS JOIN cdf
+    GROUP BY q_pct
+    ORDER BY q_pct
+    """,
+    sort=("q_pct",),
+    doc="Mergeable binned-quantile sketch, the distributed-quantile "
+    "algebra made explicit: stage 1 builds per-source fixed-width "
+    "histograms (the partial sketch state — O(bins) per source, "
+    "map-side combinable), stage 2 MERGES them by summing counts per "
+    "bin (the associative merge that t-digest/KLL also rely on), stage "
+    "3 reads p50/p90/p99 off the merged CDF with exact integer "
+    "cross-multiplication (cum*100 >= q*total — no float thresholds). "
+    "Unlike approx_quantile_contract (engine-specific sketch under a "
+    "tolerance contract) this estimator is bit-reproducible across "
+    "engines because its state is exact integer counts; its error is "
+    "bounded by the bin width instead of a rank epsilon. The CDF "
+    "window is over the merged histogram — bounded by construction at "
+    "value_range/width rows (a few hundred) regardless of table size, "
+    "the accepted bounded-relation window pattern. The 3-row quantile "
+    "spine is broadcast; nothing non-answer-sized ever shuffles.",
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    partials = o.groupBy(
+        F.col("o_orderpriority").alias("src"),
+        F.floor(F.col("o_totalprice") / F.lit(1000.0)).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    merged = partials.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cdf = merged.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(W.orderBy("bin")).alias("cum"),
+        F.sum("cnt").over(W.partitionBy()).alias("total"),
+    )
+    qs = F.broadcast(
+        spark.range(1).select(
+            F.explode(F.array(F.lit(50), F.lit(90), F.lit(99))).alias("q_pct")
+        )
+    )
+    hit = F.when(
+        F.col("cum") * 100 >= F.col("q_pct").cast("long") * F.col("total"),
+        F.col("bin"),
+    )
+    return qs.crossJoin(cdf).groupBy("q_pct").agg(
+        F.min(hit).alias("q_bin"),
+        (F.min(hit) * 1000).cast("long").alias("q_lo_price"),
+        F.max("total").alias("n_total"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
