@@ -1,0 +1,40 @@
+"""Full-registry plan-drift gate (VERDICT r11 ask #5): every registered
+query's canonicalized physical-plan digest must match the committed map
+in tools/registry_digests.json — so a code change that alters ANY
+query's plan cannot land without regenerating (and thereby reviewing)
+the map, and rotation freshness can cite "digest unchanged since the
+query's last green driver signal" as machine-checked evidence.
+
+Costs ~2 min wall (the round-trip/write-audit queries execute their
+sink at builder time — that IS the operator under test); plan builds
+themselves never execute.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def test_registry_plan_digests_match_committed(spark):
+    from tools.registry_digest import compute_digests, load_committed
+
+    committed = load_committed()
+    assert committed, "tools/registry_digests.json missing or empty — run " \
+        "`python tools/registry_digest.py --write` and commit it"
+
+    current = compute_digests(spark)
+    drifted = sorted(
+        n for n, d in current.items() if n in committed and committed[n] != d
+    )
+    missing = sorted(n for n in current if n not in committed)
+    stale = sorted(n for n in committed if n not in current)
+    assert not (drifted or missing or stale), (
+        f"plan digests out of date — drifted={drifted} missing={missing} "
+        f"stale={stale}; if the plan changes are intentional run "
+        "`python tools/registry_digest.py --write`, review the diff, and "
+        "commit the regenerated map"
+    )

@@ -1,0 +1,167 @@
+"""Full-registry plan-digest witness (VERDICT r11 ask #5).
+
+bench.py's ``plan_digest`` covers the 18 headline queries; the other
+270 registry entries had no drift witness, which made stale driver
+signals expensive to re-adjudicate (every rotation round re-argued
+"did anything change since the last green?"). This tool normalizes and
+hashes EVERY registered query's formatted physical plan (initial,
+pre-AQE — a pure code+optimizer witness, no execution) using the exact
+normalizer tools/plan_diff.py applies to PLANS.md, and maintains the
+committed per-query digest map ``tools/registry_digests.json``.
+
+With the map committed, rotation freshness arguments become mechanical:
+"digest unchanged since the query's last green driver signal" is
+machine-checkable evidence that the shipped plan IS the blessed plan.
+tests/test_registry_digest.py runs the check in the suite, so plan
+drift cannot land without regenerating (and thereby reviewing) the map.
+
+Digests are computed against the canonical correctness-gate scale
+factor (sf0.01); the sf directory path is normalized out of the plan
+text so the digest witnesses plan STRUCTURE, not the test host's
+layout. Pre-AQE plans can legitimately differ across scale factors
+(file-size stats drive broadcast planning), which is why the committed
+map pins one canonical sf rather than claiming sf-independence.
+
+Usage:
+  python tools/registry_digest.py            # check vs committed map
+  python tools/registry_digest.py --write    # regenerate the map
+  python tools/registry_digest.py NAME ...   # check a subset
+Exit 0 = no drift; 1 = drift / missing entries (check mode).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import hashlib
+import io
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DIGEST_FILE = os.path.join(REPO, "tools", "registry_digests.json")
+CANONICAL_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+def _normalize(plan_text: str, sf_dir: str) -> str:
+    """Canonicalize a formatted plan for DIGESTING (stricter than
+    plan_diff's human-readable normalizer, which this builds on):
+
+    - test-host layout out: the sf dir and the per-application managed
+      scratch root (scratch.py) become fixed tokens, so round-trip/
+      write-audit queries digest identically across sessions;
+    - within-line token order out: RewriteDistinctAggregates emits its
+      Expand projection groups in nondeterministic order (expression-id-
+      dependent set iteration), so each line is reduced to its SORTED
+      token multiset;
+    - whole-plan line order out: lines are sorted before hashing.
+
+    Trade-off, documented: a pure reordering of identical nodes would
+    collide — acceptable for a drift witness, because real plan changes
+    (operator added/removed, join strategy flipped, pushdown lost,
+    column set changed) always change line CONTENT, which this keeps.
+    """
+    from tools.plan_diff import _norm
+
+    text = plan_text.replace(sf_dir.rstrip("/"), "<SFDIR>")
+    text = re.sub(r"/root/testdata/sf[0-9.]+", "<SFDIR>", text)
+    text = re.sub(r"\S*spark_graft_scratch_[^\s/\]]*", "<SCRATCH>", text)
+    # scratch callers scope paths AND catalog table names with
+    # md5(sf_dir|applicationId)[:8] — session-varying by design
+    # (process isolation); not plan structure
+    text = re.sub(r"<SCRATCH>/[0-9a-f]{8}(/|\b)", r"<SCRATCH>/<TAG>\1", text)
+    text = re.sub(r"_ba_[0-9a-f]{8}\b", "_ba_<TAG>", text)
+    lines = []
+    for line in _norm(text):
+        tokens = re.findall(r"[\w#<>.$@:/+-]+", line)
+        lines.append(" ".join(sorted(tokens)))
+    return "\n".join(sorted(lines))
+
+
+def query_digest(spark, spec, sf_dir: str) -> str:
+    df = spec.builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    h = hashlib.sha256()
+    h.update(spec.name.encode())
+    h.update(_normalize(buf.getvalue(), sf_dir).encode())
+    return h.hexdigest()[:16]
+
+
+def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
+    os.environ.setdefault("SPARK_GRAFT_STRICT_IMPORTS", "1")
+    from fitness_nutrition_data_pipeline_spark.queries import all_specs
+
+    specs = all_specs()
+    wanted = list(names) if names else sorted(specs)
+    # Exchange nodes print the shuffle partition count, so the digest is
+    # only canonical under one config — pin it for the computation and
+    # restore the caller's (the test suite runs at shuffle_partitions=8)
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "32")
+    try:
+        return {n: query_digest(spark, specs[n], sf_dir) for n in wanted}
+    finally:
+        spark.conf.set(key, prev)
+
+
+def load_committed() -> dict:
+    if not os.path.exists(DIGEST_FILE):
+        return {}
+    with open(DIGEST_FILE) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    write = "--write" in args
+    names = [a for a in args if not a.startswith("--")] or None
+
+    from fitness_nutrition_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("registry_digest")
+    current = compute_digests(spark, names)
+
+    if write:
+        committed = load_committed()
+        committed.update(current)
+        if names is None:
+            # full regeneration also drops unregistered leftovers
+            committed = current
+        with open(DIGEST_FILE, "w") as f:
+            json.dump(dict(sorted(committed.items())), f, indent=1)
+            f.write("\n")
+        print(f"wrote {len(committed)} digests to {DIGEST_FILE}")
+        return 0
+
+    committed = load_committed()
+    drifted = [
+        n for n, d in current.items() if committed.get(n) not in (None, d)
+    ]
+    missing = [n for n in current if n not in committed]
+    stale_entries = (
+        [n for n in committed if n not in current] if names is None else []
+    )
+    for n in drifted:
+        print(f"DRIFT {n}: committed {committed[n]} != current {current[n]}")
+    for n in missing:
+        print(f"MISSING {n}: not in committed map (run --write)")
+    for n in stale_entries:
+        print(f"STALE {n}: committed but no longer registered")
+    ok = len(current) - len(drifted) - len(missing)
+    print(
+        f"{ok} unchanged, {len(drifted)} drifted, {len(missing)} missing, "
+        f"{len(stale_entries)} stale of {len(current)} checked"
+    )
+    return 1 if (drifted or missing or stale_entries) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
