@@ -84,16 +84,18 @@ def load_warehouse(
         if partition_facts and name in PARTITIONED_FACTS:
             writer = writer.partitionBy("DateKey")
         writer.parquet(path)
+        if register_views:
+            # register on the writer thread: each registration is a py4j
+            # round trip + parquet footer read (~0.1 s), and a sequential
+            # post-pass of 18 of them was ~1.5 s of driver wall-clock;
+            # the catalog is concurrent and names are distinct
+            spark.read.parquet(path).createOrReplaceTempView(name)
         return path
 
     with ThreadPoolExecutor(max_workers=max(1, min(max_parallel_writes, len(present) or 1))) as pool:
         results = dict(zip(present, pool.map(write_one, present)))
 
-    paths: dict[str, str] = {n: results[n] for n in present}
-    if register_views:
-        for name, path in paths.items():
-            spark.read.parquet(path).createOrReplaceTempView(name)
-    return paths
+    return {n: results[n] for n in present}
 
 
 def write_bucketed(

@@ -84,7 +84,9 @@ class FitnessWarehousePipeline:
         import os
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=2)
+        # 2 slots for the primes + 1 for the bridges declaration below
+        # (a bridges submit must never queue behind a running prime)
+        pool = ThreadPoolExecutor(max_workers=3)
         primes = [
             pool.submit(df.count) for df in (self.staging, self.mapping)
         ]
@@ -117,10 +119,22 @@ class FitnessWarehousePipeline:
             for df in dims.values():
                 df.cache()
 
-            bridges = build_bridges(self.staging, dims)
-            facts = build_facts(
-                self.spark, self.sources, self.staging, self.mapping, dims, self.cfg
-            )
+            # bridges and facts both consume dims but not each other —
+            # declare them concurrently too (SPARK_GRAFT_SEQ_DECL=1
+            # serializes all pooled declarations for A/B runs)
+            if os.environ.get("SPARK_GRAFT_SEQ_DECL"):
+                bridges = build_bridges(self.staging, dims)
+                facts = build_facts(
+                    self.spark, self.sources, self.staging, self.mapping,
+                    dims, self.cfg,
+                )
+            else:
+                bridges_fut = pool.submit(build_bridges, self.staging, dims)
+                facts = build_facts(
+                    self.spark, self.sources, self.staging, self.mapping,
+                    dims, self.cfg,
+                )
+                bridges = bridges_fut.result()
         finally:
             import sys
 

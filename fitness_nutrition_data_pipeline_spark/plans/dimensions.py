@@ -129,9 +129,14 @@ def build_dim_food_item(nutrition: DataFrame, cfg: PipelineConfig | None = None)
     if "category" in df.columns:  # never true for the real data (quirk)
         df = df.withColumnRenamed("category", "FoodCategory")
 
-    for col in NUMERIC_NUTRIENT_COLUMNS:
-        if col in df.columns:
-            df = df.withColumn(col, strip_units(col))
+    # ONE withColumns call, not 73 chained withColumn: each chained call
+    # adds a Project node whose analysis re-walks the whole 77-column
+    # tower, and the deep plan re-pays that optimizer cost in EVERY
+    # consumer job (this dim has 4). Batched: measured 1.71 s -> ~0.1 s
+    # declaration, same resolved plan shape after collapse.
+    present = [c for c in NUMERIC_NUTRIENT_COLUMNS if c in df.columns]
+    if present:
+        df = df.withColumns({c: strip_units(c) for c in present})
 
     wanted = ["FoodName", "FoodCategory", "calories", "protein", "carbs", "fats", "fiber"]
     available = [c for c in wanted if c in df.columns]
@@ -163,25 +168,53 @@ def build_dimensions(
     nutrition: DataFrame | None,
     cfg: PipelineConfig | None = None,
 ) -> dict[str, DataFrame]:
-    """All dimensions (main_etl_pipeline.py:363-482)."""
+    """All dimensions (main_etl_pipeline.py:363-482).
+
+    The per-dimension builds are independent DAG declarations over the
+    same (cached) staging, and declaration cost is driver-side py4j +
+    JVM-side Catalyst analysis — the py4j calls release the GIL and the
+    JVM analyzes on whatever thread calls it, so the builds parallelize
+    on a small thread pool (VERDICT r11 ask #4: the declaration half of
+    cold transform was as large as the executor prime it overlaps).
+    ``SPARK_GRAFT_SEQ_DECL=1`` restores the sequential shape for A/B
+    protocol runs. Output dict order is fixed by the builder list, not
+    completion order, so downstream iteration stays deterministic.
+    """
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     cfg = cfg or PipelineConfig()
-    dims: dict[str, DataFrame] = {}
-    dims["Dim_Date"] = build_dim_date(spark)
-    dims["Dim_User"] = build_dim_user(staging)
-    dims["Dim_FitnessGoal"] = build_value_dim(staging, "FitnessGoal", "GoalKey", "GoalName")
-    dims["Dim_FitnessType"] = build_value_dim(staging, "FitnessType", "TypeKey", "TypeName")
-    dims["Dim_HealthCondition"] = build_blob_dim(
-        staging, "HealthConditions", "ConditionKey", "ConditionName"
-    )
-    dims["Dim_Exercise"] = build_blob_dim(
-        staging, "WorkoutPreference", "ExerciseKey", "ExerciseName"
-    )
-    dims["Dim_Diet"] = build_blob_dim(staging, "DietPreference", "DietKey", "DietName")
+    builders: list[tuple[str, object]] = [
+        ("Dim_Date", lambda: build_dim_date(spark)),
+        ("Dim_User", lambda: build_dim_user(staging)),
+        ("Dim_FitnessGoal",
+         lambda: build_value_dim(staging, "FitnessGoal", "GoalKey", "GoalName")),
+        ("Dim_FitnessType",
+         lambda: build_value_dim(staging, "FitnessType", "TypeKey", "TypeName")),
+        ("Dim_HealthCondition",
+         lambda: build_blob_dim(staging, "HealthConditions", "ConditionKey",
+                                "ConditionName")),
+        ("Dim_Exercise",
+         lambda: build_blob_dim(staging, "WorkoutPreference", "ExerciseKey",
+                                "ExerciseName")),
+        ("Dim_Diet",
+         lambda: build_blob_dim(staging, "DietPreference", "DietKey", "DietName")),
+    ]
     if nutrition is not None:
-        dims["Dim_FoodItem"] = build_dim_food_item(nutrition, cfg)
+        builders.append(
+            ("Dim_FoodItem", lambda: build_dim_food_item(nutrition, cfg))
+        )
     # Dim_WorkoutType reuses the fitness types (main_etl_pipeline.py:455-458)
-    dims["Dim_WorkoutType"] = build_value_dim(
-        staging, "FitnessType", "WorkoutTypeKey", "WorkoutName"
+    builders.append(
+        ("Dim_WorkoutType",
+         lambda: build_value_dim(staging, "FitnessType", "WorkoutTypeKey",
+                                 "WorkoutName"))
     )
+    if os.environ.get("SPARK_GRAFT_SEQ_DECL"):
+        dims = {name: fn() for name, fn in builders}
+    else:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [(name, pool.submit(fn)) for name, fn in builders]
+            dims = {name: fut.result() for name, fut in futures}
     dims.update(build_static_dims(spark))
     return dims

@@ -267,16 +267,28 @@ def build_facts(
     cfg: PipelineConfig | None = None,
 ) -> dict[str, DataFrame]:
     cfg = cfg or PipelineConfig()
-    facts: dict[str, DataFrame] = {}
-    facts["Fact_UserSnapshot"] = build_fact_user_snapshot(staging, dims)
     fitbit = sources.get("fitbit") or {}
-    hm = build_fact_health_metric(fitbit, mapping, dims["Dim_Date"])
-    if hm is not None:
-        facts["Fact_HealthMetric"] = hm
-    ws = build_fact_workout_session(fitbit, mapping, dims["Dim_Date"], dims)
-    if ws is not None:
-        facts["Fact_WorkoutSession"] = ws
-    nl = build_fact_nutrition_log(spark, staging, dims, cfg)
-    if nl is not None:
-        facts["Fact_NutritionLog"] = nl
-    return facts
+    # Independent declarations over the same cached inputs — pooled for
+    # the same reason as build_dimensions (driver-side Catalyst analysis
+    # parallelizes; SPARK_GRAFT_SEQ_DECL=1 for A/B runs). Dict order is
+    # the builder list, not completion order.
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = [
+        ("Fact_UserSnapshot", lambda: build_fact_user_snapshot(staging, dims)),
+        ("Fact_HealthMetric",
+         lambda: build_fact_health_metric(fitbit, mapping, dims["Dim_Date"])),
+        ("Fact_WorkoutSession",
+         lambda: build_fact_workout_session(fitbit, mapping, dims["Dim_Date"],
+                                            dims)),
+        ("Fact_NutritionLog",
+         lambda: build_fact_nutrition_log(spark, staging, dims, cfg)),
+    ]
+    if os.environ.get("SPARK_GRAFT_SEQ_DECL"):
+        built = [(name, fn()) for name, fn in builders]
+    else:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futures = [(name, pool.submit(fn)) for name, fn in builders]
+            built = [(name, fut.result()) for name, fut in futures]
+    return {name: df for name, df in built if df is not None}

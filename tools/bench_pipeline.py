@@ -80,11 +80,17 @@ def main() -> None:
 
     report = build_report(results, list(pipe.sources.keys()), pipe.mapping.count())
     et_total = t_convert + t_extract + t_build
+    # self-annotating host-regime witness (same protocol as bench.py's
+    # probe_sec): a fixed CPU spin whose wall-clock calibrates the host,
+    # so every e2e reading carries its own noise adjudication
+    from bench import host_probe_sec
+
     print(
         json.dumps(
             {
                 "metric": "pipeline_e2e",
                 "unit": "sec",
+                "probe_sec": host_probe_sec(),
                 "xlsx_convert_s": round(t_convert, 3),
                 "extract_s": round(t_extract, 3),
                 "transform_load_s": round(t_build, 3),
