@@ -10,7 +10,18 @@ CORRECTNESS_r*.json row) and the planned next-round window, then FAILS
 MAX_AGE_ROUNDS (6) at the next driver round — i.e. when the current
 _CHECK_PRIORITY plan is about to let a cohort rot.
 
+``--digest-evidence`` additionally reports, for every query whose
+driver signal is stale (age ≥ 2 at the next round), whether its
+CURRENT plan digest (tools/registry_digest.py) equals the digest
+committed in tools/registry_digests.json at the round of its last
+green signal — "digest unchanged since last green" is the
+machine-checked witness that the shipped plan IS the blessed plan
+(VERDICT r11 ask #5 follow-through). Rounds before r12 predate the
+digest map and report "no digest evidence". Informational: it never
+changes the exit code; the freshness contract stays age-based.
+
 Usage: python tools/rotation_report.py [--max-age N] [--window W]
+                                       [--digest-evidence]
 """
 
 from __future__ import annotations
@@ -91,6 +102,9 @@ def main() -> int:
     print(f"oldest signal OUTSIDE the window after r{next_round}: r{oldest_after} "
           f"(age {next_round - oldest_after})")
 
+    if "--digest-evidence" in args:
+        _digest_evidence(registry, last, next_round)
+
     if stale:
         print(f"FAIL: {len(stale)} queries would exceed age {max_age} at "
               f"r{next_round} and are NOT in the planned window:")
@@ -99,6 +113,66 @@ def main() -> int:
         return 1
     print(f"OK: no query outside the window exceeds age {max_age} at r{next_round}")
     return 0
+
+
+def _digest_evidence(registry, last, next_round) -> None:
+    """Per stale query: does its CURRENT plan digest equal the digest
+    committed at the round of its last green driver signal?"""
+    import subprocess
+
+    from fitness_nutrition_data_pipeline_spark.session import get_spark
+    from tools.registry_digest import compute_digests
+
+    def map_at_round(r: int) -> dict[str, str] | None:
+        # the commit that ADDED CORRECTNESS_r{r}.json carries the digest
+        # map as committed for that round (absent before r12)
+        rev = subprocess.run(
+            ["git", "-C", REPO, "log", "--diff-filter=A", "--format=%H",
+             "--", f"CORRECTNESS_r{r:02d}.json"],
+            capture_output=True, text=True,
+        ).stdout.split()
+        if not rev:
+            rev = subprocess.run(
+                ["git", "-C", REPO, "log", "--diff-filter=A", "--format=%H",
+                 "--", f"CORRECTNESS_r{r}.json"],
+                capture_output=True, text=True,
+            ).stdout.split()
+        if not rev:
+            return None
+        shown = subprocess.run(
+            ["git", "-C", REPO, "show",
+             f"{rev[0]}:tools/registry_digests.json"],
+            capture_output=True, text=True,
+        )
+        if shown.returncode != 0 or not shown.stdout:
+            return None
+        return json.loads(shown.stdout)
+
+    stale_qs = [q for q in registry
+                if q in last and next_round - last[q] >= 2]
+    if not stale_qs:
+        print("digest evidence: no stale queries")
+        return
+    spark = get_spark("rotation_digest_evidence")
+    current = compute_digests(spark, stale_qs)
+    cache: dict[int, dict[str, str] | None] = {}
+    unchanged = drifted = no_evidence = 0
+    for q in stale_qs:
+        r = last[q]
+        if r not in cache:
+            cache[r] = map_at_round(r)
+        blessed = (cache[r] or {}).get(q)
+        if blessed is None:
+            no_evidence += 1
+        elif blessed == current[q]:
+            unchanged += 1
+        else:
+            drifted += 1
+            print(f"  DIGEST-DRIFT since r{r}: {q} "
+                  f"({blessed} -> {current[q]}) — re-signal with priority")
+    print(f"digest evidence over {len(stale_qs)} stale queries: "
+          f"{unchanged} unchanged-since-green, {drifted} drifted-since-green, "
+          f"{no_evidence} no-evidence (signal predates the r12 digest map)")
 
 
 if __name__ == "__main__":
