@@ -150,6 +150,11 @@ def main(names=None):
     specs = all_specs()
     for mod, err in IMPORT_FAILURES.items():
         print(f"IMPORT FAIL {mod}: {err}")
+    jobs = 1
+    if names and "--jobs" in names:
+        i = names.index("--jobs")
+        jobs = int(names[i + 1])
+        names = names[:i] + names[i + 2:] or None
     if names and names[0] == "--first":
         # driver-window simulation: exactly the first N registrations in
         # check-priority order (the driver samples the first 50)
@@ -157,62 +162,77 @@ def main(names=None):
         specs = dict(list(specs.items())[:n])
     elif names:
         specs = {n: specs[n] for n in names}
-    n_pass = n_fail = n_weak = 0
-    for name, spec in specs.items():
+
+    def check_one(item) -> tuple[str, str]:
+        """(verdict, message) for one spec. Thread-safe: Spark jobs are
+        concurrent by design; the DuckDB side gets a per-call cursor
+        (same in-memory catalog, its own connection state)."""
+        name, spec = item
         t0 = time.time()
         try:
             sdf = spec.builder(spark, SF_DIR)
             scols, srows = fetch_spark(sdf)
-        except Exception as e:
-            print(f"FAIL {name}: spark error: {e}")
-            n_fail += 1
-            continue
+        except Exception as e:  # noqa: BLE001
+            return "fail", f"FAIL {name}: spark error: {e}"
         if spec.oracle is None:
-            print(f"WEAK {name}: rows={len(srows)} (no oracle)")
-            n_weak += 1
-            continue
+            return "weak", f"WEAK {name}: rows={len(srows)} (no oracle)"
         try:
-            rel = con.sql(spec.oracle)
-            # Allowlist lint (mirrors tests/test_oracle_types.py): any
-            # final oracle column outside the Arrow-stable set diverges
-            # under the driver's pandas fetch (HUGEINT/DECIMAL ->
-            # float64, TIMESTAMP -> Timestamp) even when values match.
-            bad = [
-                (c, str(t))
-                for c, t in zip(rel.columns, rel.types)
-                if str(t).upper() not in ALLOWED_ORACLE_TYPES
-            ]
-            if bad:
-                print(
-                    f"FAIL {name}: oracle column(s) {bad} outside the "
-                    f"Arrow-stable allowlist — CAST(... AS "
-                    f"DOUBLE/BIGINT/VARCHAR) as the final projection"
-                )
-                n_fail += 1
-                continue
-            ocols, orows = fetch_oracle(rel)
-        except Exception as e:
-            print(f"FAIL {name}: duckdb error: {e}")
-            n_fail += 1
-            continue
+            cur = con.cursor()
+            try:
+                rel = cur.sql(spec.oracle)
+                # Allowlist lint (mirrors tests/test_oracle_types.py):
+                # any final oracle column outside the Arrow-stable set
+                # diverges under the driver's pandas fetch
+                # (HUGEINT/DECIMAL -> float64, TIMESTAMP -> Timestamp)
+                # even when values match.
+                bad = [
+                    (c, str(t))
+                    for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() not in ALLOWED_ORACLE_TYPES
+                ]
+                if bad:
+                    return "fail", (
+                        f"FAIL {name}: oracle column(s) {bad} outside the "
+                        f"Arrow-stable allowlist — CAST(... AS "
+                        f"DOUBLE/BIGINT/VARCHAR) as the final projection"
+                    )
+                ocols, orows = fetch_oracle(rel)
+            finally:
+                cur.close()
+        except Exception as e:  # noqa: BLE001
+            return "fail", f"FAIL {name}: duckdb error: {e}"
         sc, sr = norm_rows(scols, srows)
         oc, orw = norm_rows(ocols, orows)
         dt = time.time() - t0
         if sc != oc:
-            print(f"FAIL {name}: schema mismatch spark={sc} duck={oc}")
-            n_fail += 1
-        elif len(sr) != len(orw):
-            print(f"FAIL {name}: rowcount spark={len(sr)} duck={len(orw)}")
-            n_fail += 1
-        elif sr != orw:
+            return "fail", f"FAIL {name}: schema mismatch spark={sc} duck={oc}"
+        if len(sr) != len(orw):
+            return "fail", f"FAIL {name}: rowcount spark={len(sr)} duck={len(orw)}"
+        if sr != orw:
             diffs = [(a, b) for a, b in zip(sr, orw) if a != b][:3]
-            print(f"FAIL {name}: value mismatch ({len([1 for a,b in zip(sr,orw) if a!=b])} rows) e.g. {diffs}")
-            n_fail += 1
-        else:
-            print(f"PASS {name}: rows={len(sr)} ({dt:.1f}s)")
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
-    return 1 if (n_fail or IMPORT_FAILURES) else 0
+            return "fail", (
+                f"FAIL {name}: value mismatch "
+                f"({len([1 for a, b in zip(sr, orw) if a != b])} rows) "
+                f"e.g. {diffs}"
+            )
+        return "pass", f"PASS {name}: rows={len(sr)} ({dt:.1f}s)"
+
+    items = list(specs.items())
+    if jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(pool.map(check_one, items))
+    else:
+        results = [check_one(it) for it in items]
+
+    counts = {"pass": 0, "fail": 0, "weak": 0}
+    for verdict, msg in results:
+        counts[verdict] += 1
+        print(msg)
+    print(f"\n{counts['pass']} pass, {counts['fail']} fail, "
+          f"{counts['weak']} weak (rows-only)")
+    return 1 if (counts["fail"] or IMPORT_FAILURES) else 0
 
 
 if __name__ == "__main__":
