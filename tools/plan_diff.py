@@ -29,6 +29,10 @@ def _norm(text: str) -> list[str]:
     text = re.sub(r"plan_id=\d+", "plan_id=N", text)
     # lambda variable counters are allocation-order artifacts
     text = re.sub(r"lambda ([a-z]+)_\d+", r"lambda \1_N", text)
+    # common-subexpression aliases use a SESSION-GLOBAL counter (same
+    # class of artifact; verified absent from every headline plan, so
+    # bench.py's digest continuity is unaffected)
+    text = re.sub(r"_common_expr_\d+", "_common_expr_N", text)
     return [
         line
         for line in text.splitlines()

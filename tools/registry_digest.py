@@ -76,6 +76,12 @@ def _normalize(plan_text: str, sf_dir: str) -> str:
     # (process isolation); not plan structure
     text = re.sub(r"<SCRATCH>/[0-9a-f]{8}(/|\b)", r"<SCRATCH>/<TAG>\1", text)
     text = re.sub(r"_ba_[0-9a-f]{8}\b", "_ba_<TAG>", text)
+    # localCheckpoint scans print the session-global RDD id and the py4j
+    # call site ("MapPartitionsRDD[15] at localCheckpoint at
+    # NativeMethodAccessorImpl.java:0" — id counts every prior job in the
+    # session; the call-site string differs per JVM accessor generation)
+    text = re.sub(r"PartitionsRDD\[\d+\]", "PartitionsRDD[N]", text)
+    text = re.sub(r" at (\w+) at [\w.<>$]+:\d+", r" at \1 at <CALLSITE>:0", text)
     lines = []
     for line in _norm(text):
         tokens = re.findall(r"[\w#<>.$@:/+-]+", line)
