@@ -134,6 +134,8 @@ SHOWCASE = [
     ("avro_split_scan", "block-split Avro: byte-range split relation -> ONE Arrow-batched MapInPandas decode; parallelism = file bytes / split bytes"),
     ("grouping_sets_distinct_users", "COUNT DISTINCT under Expand: per-set replication, partial-distinct + final aggregate levels"),
     ("churn_hazard_curve", "survival hazard: user fold -> tenure histogram; the suffix-sum window runs on the bounded histogram"),
+    ("stratified_train_eval_split", "exact-quota split: ONE shuffle by stratum serves both rank and count windows; ceil quota is integer math in the projection"),
+    ("quantile_sketch_merge", "mergeable quantile sketch: per-source bin histograms (map-side combinable) -> merged bin counts; CDF window on the bounded bin grain; 3-row quantile spine broadcast"),
 ]
 
 
