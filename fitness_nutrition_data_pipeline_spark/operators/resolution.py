@@ -24,7 +24,6 @@ the reference's per-row try/except (:235-236, 286-287).
 
 from __future__ import annotations
 
-import os
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame
@@ -194,20 +193,19 @@ def resolve_users(
         return df
 
     # the two source preps are independent declarations (~0.9 s + 0.4 s
-    # of py4j/Catalyst) — overlap them; everything downstream chains
-    # (gym's match-or-create needs mendeley's profiles)
-    if mendeley is not None and gym is not None and not os.environ.get(
-        "SPARK_GRAFT_SEQ_DECL"
-    ):
-        from concurrent.futures import ThreadPoolExecutor
+    # of py4j/Catalyst) — overlap them via declare_parallel; everything
+    # downstream chains (gym's match-or-create needs mendeley's profiles)
+    from fitness_nutrition_data_pipeline_spark.parallel import declare_parallel
 
-        with ThreadPoolExecutor(max_workers=2) as _pool:
-            _m_fut = _pool.submit(_prep_mendeley, mendeley, cfg)
-            _g_fut = _pool.submit(_prep_gym, gym, cfg)
-            m_rows, _g_prepped = _m_fut.result(), _g_fut.result()
-    else:
-        m_rows = _prep_mendeley(mendeley, cfg) if mendeley is not None else None
-        _g_prepped = _prep_gym(gym, cfg) if gym is not None else None
+    preps = declare_parallel(
+        [
+            ("m", lambda: _prep_mendeley(mendeley, cfg)
+             if mendeley is not None else None),
+            ("g", lambda: _prep_gym(gym, cfg) if gym is not None else None),
+        ],
+        max_workers=2,
+    )
+    m_rows, _g_prepped = preps["m"], preps["g"]
     if m_rows is not None:
         m_rows = m_rows.cache()
         # reference-scale staging is a handful of single-machine CSVs —

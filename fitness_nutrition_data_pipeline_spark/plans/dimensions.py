@@ -171,17 +171,11 @@ def build_dimensions(
     """All dimensions (main_etl_pipeline.py:363-482).
 
     The per-dimension builds are independent DAG declarations over the
-    same (cached) staging, and declaration cost is driver-side py4j +
-    JVM-side Catalyst analysis — the py4j calls release the GIL and the
-    JVM analyzes on whatever thread calls it, so the builds parallelize
-    on a small thread pool (VERDICT r11 ask #4: the declaration half of
-    cold transform was as large as the executor prime it overlaps).
-    ``SPARK_GRAFT_SEQ_DECL=1`` restores the sequential shape for A/B
-    protocol runs. Output dict order is fixed by the builder list, not
-    completion order, so downstream iteration stays deterministic.
+    same (cached) staging — pooled via parallel.declare_parallel
+    (VERDICT r11 ask #4: the declaration half of cold transform was as
+    large as the executor prime it overlaps).
     """
-    import os
-    from concurrent.futures import ThreadPoolExecutor
+    from fitness_nutrition_data_pipeline_spark.parallel import declare_parallel
 
     cfg = cfg or PipelineConfig()
     builders: list[tuple[str, object]] = [
@@ -210,11 +204,6 @@ def build_dimensions(
          lambda: build_value_dim(staging, "FitnessType", "WorkoutTypeKey",
                                  "WorkoutName"))
     )
-    if os.environ.get("SPARK_GRAFT_SEQ_DECL"):
-        dims = {name: fn() for name, fn in builders}
-    else:
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [(name, pool.submit(fn)) for name, fn in builders]
-            dims = {name: fut.result() for name, fut in futures}
+    dims = declare_parallel(builders)
     dims.update(build_static_dims(spark))
     return dims

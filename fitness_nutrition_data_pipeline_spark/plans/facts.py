@@ -269,11 +269,8 @@ def build_facts(
     cfg = cfg or PipelineConfig()
     fitbit = sources.get("fitbit") or {}
     # Independent declarations over the same cached inputs — pooled for
-    # the same reason as build_dimensions (driver-side Catalyst analysis
-    # parallelizes; SPARK_GRAFT_SEQ_DECL=1 for A/B runs). Dict order is
-    # the builder list, not completion order.
-    import os
-    from concurrent.futures import ThreadPoolExecutor
+    # the same reason as build_dimensions (parallel.declare_parallel).
+    from fitness_nutrition_data_pipeline_spark.parallel import declare_parallel
 
     builders = [
         ("Fact_UserSnapshot", lambda: build_fact_user_snapshot(staging, dims)),
@@ -285,10 +282,5 @@ def build_facts(
         ("Fact_NutritionLog",
          lambda: build_fact_nutrition_log(spark, staging, dims, cfg)),
     ]
-    if os.environ.get("SPARK_GRAFT_SEQ_DECL"):
-        built = [(name, fn()) for name, fn in builders]
-    else:
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            futures = [(name, pool.submit(fn)) for name, fn in builders]
-            built = [(name, fut.result()) for name, fut in futures]
-    return {name: df for name, df in built if df is not None}
+    built = declare_parallel(builders)
+    return {name: df for name, df in built.items() if df is not None}

@@ -43,9 +43,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DIGEST_FILE = os.path.join(REPO, "tools", "registry_digests.json")
+# HARD-pinned (not SPARK_GRAFT_VERIFY_SF_DIR): pre-AQE plans can differ
+# across scale factors (file-size-driven broadcast planning), so the
+# committed map is only meaningful at ONE sf — a verify-env override
+# leaking in would turn the suite gate red for everyone (review r12).
+# SPARK_GRAFT_DIGEST_SF_DIR exists for deliberate experiments only.
 CANONICAL_SF_DIR = os.environ.get(
-    "SPARK_GRAFT_VERIFY_SF_DIR", "/root/testdata/sf0.01"
+    "SPARK_GRAFT_DIGEST_SF_DIR", "/root/testdata/sf0.01"
 )
+
+# Bumped whenever _normalize's rules change: digests computed under
+# different normalizer versions are not comparable, and consumers
+# (rotation_report --digest-evidence) must treat cross-version
+# comparisons as "no evidence" rather than report false drift.
+NORMALIZER_VERSION = 2
+_META_KEY = "__normalizer_version__"
 
 
 def _normalize(plan_text: str, sf_dir: str) -> str:
@@ -101,10 +113,22 @@ def query_digest(spark, spec, sf_dir: str) -> str:
 
 
 def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
-    os.environ.setdefault("SPARK_GRAFT_STRICT_IMPORTS", "1")
-    from fitness_nutrition_data_pipeline_spark.queries import all_specs
+    # strict imports ONLY for the all_specs() call — a permanent
+    # os.environ.setdefault here leaked into the pytest process and
+    # broke the lenient-mode import test when ordered after this
+    # (review r12); save/restore instead.
+    key = "SPARK_GRAFT_STRICT_IMPORTS"
+    prev = os.environ.get(key)
+    os.environ[key] = prev or "1"
+    try:
+        from fitness_nutrition_data_pipeline_spark.queries import all_specs
 
-    specs = all_specs()
+        specs = all_specs()
+    finally:
+        if prev is None:
+            os.environ.pop(key, None)
+        else:
+            os.environ[key] = prev
     wanted = list(names) if names else sorted(specs)
     # Exchange nodes print the shuffle partition count, so the digest is
     # only canonical under one config — pin it for the computation and
@@ -119,6 +143,12 @@ def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
 
 
 def load_committed() -> dict:
+    """Committed name→digest map, WITHOUT the meta key."""
+    raw = load_committed_raw()
+    return {k: v for k, v in raw.items() if not k.startswith("__")}
+
+
+def load_committed_raw() -> dict:
     if not os.path.exists(DIGEST_FILE):
         return {}
     with open(DIGEST_FILE) as f:
@@ -141,12 +171,20 @@ def main() -> int:
         if names is None:
             # full regeneration also drops unregistered leftovers
             committed = current
+        out = {_META_KEY: NORMALIZER_VERSION}
+        out.update(dict(sorted(committed.items())))
         with open(DIGEST_FILE, "w") as f:
-            json.dump(dict(sorted(committed.items())), f, indent=1)
+            json.dump(out, f, indent=1)
             f.write("\n")
-        print(f"wrote {len(committed)} digests to {DIGEST_FILE}")
+        print(f"wrote {len(committed)} digests to {DIGEST_FILE} "
+              f"(normalizer v{NORMALIZER_VERSION})")
         return 0
 
+    committed_ver = load_committed_raw().get(_META_KEY)
+    if committed_ver not in (None, NORMALIZER_VERSION):
+        print(f"NORMALIZER MISMATCH: map written at v{committed_ver}, tool is "
+              f"v{NORMALIZER_VERSION} — regenerate with --write")
+        return 1
     committed = load_committed()
     drifted = [
         n for n, d in current.items() if committed.get(n) not in (None, d)

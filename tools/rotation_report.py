@@ -121,7 +121,11 @@ def _digest_evidence(registry, last, next_round) -> None:
     import subprocess
 
     from fitness_nutrition_data_pipeline_spark.session import get_spark
-    from tools.registry_digest import compute_digests
+    from tools.registry_digest import (
+        _META_KEY,
+        NORMALIZER_VERSION,
+        compute_digests,
+    )
 
     def map_at_round(r: int) -> dict[str, str] | None:
         # the commit that ADDED CORRECTNESS_r{r}.json carries the digest
@@ -146,7 +150,13 @@ def _digest_evidence(registry, last, next_round) -> None:
         )
         if shown.returncode != 0 or not shown.stdout:
             return None
-        return json.loads(shown.stdout)
+        hist = json.loads(shown.stdout)
+        # digests are only comparable under the SAME normalizer rules —
+        # a map written by an older/newer normalizer must read as
+        # no-evidence, not as mass false DIGEST-DRIFT (review r12)
+        if hist.get(_META_KEY) != NORMALIZER_VERSION:
+            return None
+        return hist
 
     stale_qs = [q for q in registry
                 if q in last and next_round - last[q] >= 2]

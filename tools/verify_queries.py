@@ -153,7 +153,10 @@ def main(names=None):
     jobs = 1
     if names and "--jobs" in names:
         i = names.index("--jobs")
-        jobs = int(names[i + 1])
+        if i + 1 >= len(names) or not names[i + 1].isdigit():
+            print("usage: --jobs N (positive integer)", file=sys.stderr)
+            return 2
+        jobs = max(1, int(names[i + 1]))
         names = names[:i] + names[i + 2:] or None
     if names and names[0] == "--first":
         # driver-window simulation: exactly the first N registrations in
