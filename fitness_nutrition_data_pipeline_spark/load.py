@@ -241,8 +241,11 @@ def _jdbc_table_exists(conn, table: str) -> bool:
     getTables takes a PATTERN, where '_' matches any one char — so
     ``fact_workoutsession`` could false-positive against another table
     and send the swap's RENAME at a live table that doesn't exist
-    (ADVICE r11). Escape '_' and '%' with the driver's declared escape
-    string before probing."""
+    (ADVICE r11). Escaping with getSearchStringEscape is NOT sufficient:
+    Derby (at least) declares an EMPTY escape string, so the decisive
+    check is an EXACT compare of each returned TABLE_NAME against the
+    probed casing — the escape, when the driver has one, merely narrows
+    the candidate set."""
     md = conn.getMetaData()
     esc = md.getSearchStringEscape() or ""
 
@@ -268,8 +271,9 @@ def _jdbc_table_exists(conn, table: str) -> bool:
         seen.add(cased)
         rs = md.getTables(None, None, _pat(cased), None)
         try:
-            if rs.next():
-                return True
+            while rs.next():
+                if rs.getString(3) == cased:  # TABLE_NAME, exact
+                    return True
         finally:
             rs.close()
     return False

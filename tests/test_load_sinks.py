@@ -155,3 +155,27 @@ def test_jdbc_connection_forwards_credentials(spark, tmp_path):
         assert conn.getSchema() == "ETL"
     finally:
         conn.close()
+
+
+def test_jdbc_table_exists_escapes_pattern_wildcards(spark, tmp_path):
+    """ADVICE r11: getTables takes a PATTERN where '_' matches any one
+    char — a decoy table that matches the unescaped pattern (factX... vs
+    fact_...) must NOT make the probe report the real table as present
+    (a false positive aims the swap's RENAME at a nonexistent table)."""
+    from fitness_nutrition_data_pipeline_spark.load import (
+        _jdbc_connection,
+        _jdbc_exec,
+        _jdbc_table_exists,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/dwdb_esc;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    conn = _jdbc_connection(spark, url, props)
+    try:
+        _jdbc_exec(conn, "CREATE TABLE factXworkoutsession (a INT)")
+        assert not _jdbc_table_exists(conn, "fact_workoutsession")
+        assert _jdbc_table_exists(conn, "factXworkoutsession")
+        _jdbc_exec(conn, "CREATE TABLE fact_workoutsession (a INT)")
+        assert _jdbc_table_exists(conn, "fact_workoutsession")
+    finally:
+        conn.close()
