@@ -74,7 +74,17 @@ def plan_digest(spark, specs, sf_dir: str) -> str:
     execution), normalized exactly as tools/plan_diff.py normalizes
     PLANS.md (expression ids, plan ids, lambda counters). Identical
     digest across rounds == the physics did not change; wall-clock drift
-    with an identical digest is host regime by construction."""
+    with an identical digest is host regime by construction.
+
+    Comparability caveat (r12): entity_resolution_profiles pins its
+    survivor relation with localCheckpoint, whose scan node prints the
+    session-global RDD id — deterministic given identical prior
+    execution (warm-up + 18 queries x default reps), which is why the
+    digest matches across driver/judge/default-mode runs, but a
+    ``--median N`` run with N != 5 shifts it. Compare digests only
+    between runs of the same mode; the full-registry witness
+    (tools/registry_digest.py) normalizes the artifact instead and is
+    mode-independent."""
     import contextlib
     import hashlib
     import io
