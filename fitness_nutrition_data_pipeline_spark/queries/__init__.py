@@ -76,77 +76,75 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-12 window, per VERDICT r11 asks
-# #1-#3: lead with ALL 46 r6-stale queries (the oldest cohort registry-
-# wide; the rotation guard says they fail the age-6 invariant at r13 if
-# not re-signalled now), then the 2 queries whose implementation changed
-# after their last driver signal (funnel_time_to_convert's prefix-sum
-# rewrite landed r11 over an r7 signal; rfm_segmentation carries an r9
-# signal), then the round's ≤2 new registrations — net registry growth
-# frozen at +2 this round per the capacity decision (VERDICT r11 ask #2;
-# rationale recorded in SCALE.md r12). Planned against
-# tools/rotation_report.py: after this window the oldest signal
-# registry-wide becomes r7.
+# ordering is signal allocation. Round-13 window, per VERDICT r12 ask #1:
+# lead with ALL 39 r7-stale queries (the oldest cohort registry-wide —
+# they fail the age-6 invariant at r14 if not re-signalled now), then the
+# round's 8 new registrations (never-checked queries outside the window
+# would trip the rotation guard), then 3 pre-drains from the 50-query
+# r8 cohort so the r14 window (which must drain the remaining 47 r8s)
+# gains slack. Queries frozen under tools/registry_freeze.json are
+# excluded from the age invariant (their staleness witness is the
+# committed plan digest — see rotation_report --help); everything here
+# stays in the hot rotation. Planned against tools/rotation_report.py:
+# after this window the oldest HOT signal registry-wide becomes r8.
 _CHECK_PRIORITY = (
-    # --- round-12 window (driver checks the FIRST 50) ---
-    # (1) the full r6-stale cohort: 46 queries whose green signal
-    # predates five rounds of shared-infra churn; all HEAD-green in the
-    # r11 closing strict sweeps
-    "cep_batch_replay",
-    "csv_roundtrip_scan",
-    "dedup_clusters_exact",
-    "deletion_propagation_audit",
-    "distribution_stats",
-    "domain_inventory_concat",
-    "embedding_ann_ivf_probe",
-    "embedding_centroid_assign",
-    "embedding_knn_bruteforce",
-    "embedding_near_dup_pairs",
-    "fact_dim_key_resolution",
-    "fk_coverage_pct",
-    "grouping_sets_revenue",
-    "heavy_hitters_batch_replay",
-    "histogram_equi_width_prices",
-    "incremental_agg_merge",
-    "ingestion_lag_audit",
-    "interval_range_join",
-    "keyword_categorization",
-    "ks_binned_click_view",
-    "l_diversity_audit",
-    "metric_unpivot",
-    "minhash_dedup_flags",
-    "near_dup_pipeline",
-    "ngram_jaccard_pairs",
-    "orphan_fk_check",
-    "percentile_stats",
-    "pit_join_scd2",
-    "pivot_status_counts",
-    "pk_uniqueness_check",
-    "price_histogram",
-    "psi_value_drift",
-    "ratelimit_batch_replay",
-    "recent_window_topk",
-    "rollup_qty",
-    "scan_filter_project",
-    "semi_join_active_customers",
-    "set_ops_customers",
-    "simhash_hamming_pairs",
-    "simhash_signatures",
-    "split_contamination_matrix",
-    "table_counts_union",
-    "token_length_percentiles",
-    "topn_per_group",
-    "unigram_lm_crossentropy",
-    "zorder_locality_stats",
-    # (2) the 2 rewritten-but-stale queries (VERDICT r11 ask #3): the
-    # driver must bless the code that actually ships
-    "funnel_time_to_convert",
-    "rfm_segmentation",
-    # (3) the 2 r12 registrations (capacity freeze: never-checked queries
-    # outside the window would trip the rotation guard, so net growth is
-    # bounded by the window slack — exactly 2 this round)
-    "stratified_train_eval_split",
-    "quantile_sketch_merge",
+    # --- round-13 window (driver checks the FIRST 50) ---
+    # (1) the full r7-stale cohort: 39 queries; all HEAD-green in the
+    # r12 closing strict sweeps and digest-witnessed unchanged
+    "range_validity_nullout",
+    "daily_rollup_sum",
+    "daily_rollup_mean",
+    "conditional_range_check",
+    "window_dedup_first_seen",
+    "regex_extract_cast",
+    "json_props_parse",
+    "running_revenue",
+    "monthly_customer_spend",
+    "salted_event_counts",
+    "asof_join_last_view",
+    "funnel_view_purchase",
+    "violations_materialization",
+    "date_spine_gap_fill",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_volume",
+    "tpch_q14_promo_share",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "dsir_importance_weights",
+    "scd2_priority_history",
+    "tpch_q15_top_supplier",
+    "winsorized_price_stats",
+    "drift_monitor_batch_replay",
+    "multimodal_meta_profile",
+    "training_shard_assignment",
+    "copurchase_pairs_topk",
+    "triangle_count_cooccurrence",
+    "snapshot_diff_cdc",
+    "weighted_sample_es",
+    "jsonl_roundtrip_scan",
+    "orc_roundtrip_scan",
+    "record_linkage_scores",
+    "linkage_em_step",
+    "hierarchy_rollup",
+    "embedding_dot_arrow",
+    "hygiene_batch_replay",
+    # (2) the 8 r13 registrations (strict-verified at sf0.001/0.01/0.1
+    # before registration; see SCALE.md r13)
+    "skipgram_cooccurrence_topk",
+    "log_odds_ratio_terms",
+    "ngram_novelty_curve",
+    "quantile_normalization_map",
+    "burstiness_fano_factor",
+    "js_divergence_sources",
+    "association_rules_lift",
+    "label_propagation_step",
+    # (3) 3 pre-drains from the r8 cohort (oldest-next; alphabetical
+    # head) — reduces the r14 mandatory drain from 50 to 47
+    "ams_f2_contract",
+    "approx_distinct_contract",
+    "approx_quantile_contract",
 )
 
 

@@ -577,3 +577,94 @@ def tree_subtree_cost_rollup_native(spark: SparkSession, sf_dir: str) -> DataFra
         """,
         part=part,
     )
+
+
+@register(
+    "label_propagation_step",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+      SELECT l_orderkey, l_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS basket_size
+      FROM items
+    ),
+    capped AS (SELECT l_orderkey, l_partkey FROM sized WHERE basket_size <= 20),
+    halfedges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    edges AS (
+      SELECT u, v FROM halfedges UNION ALL SELECT v, u FROM halfedges
+    ),
+    votes AS (
+      SELECT e.u AS node, p.p_brand AS nbr_label, count(*) AS c
+      FROM edges e JOIN part p ON p.p_partkey = e.v
+      GROUP BY 1, 2
+    ),
+    picked AS (
+      SELECT node, nbr_label AS new_label
+      FROM (
+        SELECT node, nbr_label, c,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, nbr_label) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT po.p_brand AS old_label, pk.new_label,
+           count(*) AS n_parts
+    FROM picked pk JOIN part po ON po.p_partkey = pk.node
+    GROUP BY 1, 2
+    ORDER BY old_label, new_label
+    """,
+    sort=("old_label", "new_label"),
+    doc="One synchronous label-propagation step over the co-purchase "
+    "part graph: each part adopts the majority brand among its "
+    "neighbors (deterministic tie-break: smallest label), reported as "
+    "the (old_label -> new_label) transition matrix — the community-"
+    "smoothing primitive behind LPA clustering, one step unrolled so "
+    "the result is closed-form checkable. Edge generation reuses the "
+    "capped-basket discipline (C(20,2) per order max); the majority "
+    "vote is a (node, label) groupBy whose per-node window runs over "
+    "at most |brands| = 25 rows — bounded grain, scale-safe. The "
+    "brand lookup is a dimension join on part key (broadcastable "
+    "whenever the dim fits; Catalyst/AQE decides from stats).",
+)
+def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sized = li.withColumn(
+        "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    )
+    capped = sized.where(F.col("basket_size") <= 20).drop("basket_size")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    edges = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    votes = (
+        edges.join(part, edges["v"] == part["p_partkey"])
+        .groupBy(F.col("u").alias("node"), F.col("p_brand").alias("nbr_label"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = W.partitionBy("node").orderBy(F.desc("c"), "nbr_label")
+    picked = (
+        votes.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("node", F.col("nbr_label").alias("new_label"))
+    )
+    return (
+        picked.join(part, picked["node"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("old_label"), "new_label")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("old_label", "new_label")
+    )

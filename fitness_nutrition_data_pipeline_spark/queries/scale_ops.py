@@ -856,3 +856,103 @@ def skew_salted_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("v_cents").cast("long").alias("value_cents"),
         )
     )
+
+
+@register(
+    "association_rules_lift",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    sized AS (
+      SELECT l_orderkey, l_partkey,
+             count(*) OVER (PARTITION BY l_orderkey) AS basket_size
+      FROM items
+    ),
+    capped AS (SELECT l_orderkey, l_partkey FROM sized WHERE basket_size <= 20),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM capped),
+    item_cnt AS (SELECT l_partkey, count(*) AS ic FROM capped GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS pc
+      FROM capped a JOIN capped b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, pc FROM pairs
+      UNION ALL
+      SELECT pb, pa, pc FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, CAST(r.pc AS BIGINT) AS n_both,
+           round(CAST(r.pc AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(r.pc AS DOUBLE) / ca.ic, 6) AS confidence,
+           round(CAST(r.pc AS DOUBLE) * n.n_orders / (ca.ic * cb.ic), 6) AS lift
+    FROM rules r
+    JOIN item_cnt ca ON ca.l_partkey = r.antecedent
+    JOIN item_cnt cb ON cb.l_partkey = r.consequent
+    CROSS JOIN n
+    WHERE r.pc >= 3
+    ORDER BY lift DESC, antecedent, consequent
+    LIMIT 20
+    """,
+    doc="Association-rule mining over order baskets: support, confidence "
+    "and lift for 2-item rules (both directions of each co-purchased "
+    "pair), min co-occurrence 3, top-20 by lift. Extends "
+    "copurchase_pairs_topk's capped pair generation (baskets > 20 lines "
+    "excluded BEFORE pairing, bounding per-order work at C(20,2)) with "
+    "the rule statistics a recommender pipeline actually consumes. "
+    "Item counts join back by part key (two co-partitioned hash joins); "
+    "the order total is a broadcast scalar. All ratios derive from "
+    "exact integer counts, rounded to 6 digits, with a key tie-break, "
+    "so both engines select the same top-20.",
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    sized = li.withColumn(
+        "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+    )
+    capped = sized.where(F.col("basket_size") <= 20).drop("basket_size")
+    n = capped.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    item_cnt = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ic"))
+    a = capped.alias("a")
+    b = capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .where(F.col("pc") >= 3)
+    )
+    rules = pairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pc"
+    ).unionByName(
+        pairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "pc"
+        )
+    )
+    ca = item_cnt.select(F.col("l_partkey").alias("antecedent"), F.col("ic").alias("ca"))
+    cb = item_cnt.select(F.col("l_partkey").alias("consequent"), F.col("ic").alias("cb"))
+    return (
+        rules.join(ca, "antecedent")
+        .join(cb, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pc").cast("long").alias("n_both"),
+            F.round(F.col("pc").cast("double") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("pc").cast("double") / F.col("ca"), 6).alias("confidence"),
+            F.round(
+                F.col("pc").cast("double") * F.col("n_orders")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "antecedent", "consequent")
+        .limit(20)
+    )

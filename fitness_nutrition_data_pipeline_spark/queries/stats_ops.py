@@ -1147,3 +1147,214 @@ def changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "quantile_normalization_map",
+    """
+    WITH per AS (
+      SELECT source, n_chars, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT source, n_chars, c,
+             sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum,
+             sum(c) OVER (PARTITION BY source) AS n
+      FROM per
+    ),
+    spine AS (SELECT unnest(range(1, 10)) AS decile),
+    src_vals AS (
+      SELECT source, decile, min(n_chars) AS src_value
+      FROM cum, spine
+      WHERE cum >= (decile * n + 9) // 10
+      GROUP BY source, decile
+    ),
+    gper AS (SELECT n_chars, count(*) AS c FROM documents GROUP BY 1),
+    gcum AS (
+      SELECT n_chars,
+             sum(c) OVER (ORDER BY n_chars) AS cum,
+             sum(c) OVER () AS n
+      FROM gper
+    ),
+    g_vals AS (
+      SELECT decile, min(n_chars) AS global_value
+      FROM gcum, spine
+      WHERE cum >= (decile * n + 9) // 10
+      GROUP BY decile
+    )
+    SELECT s.source, CAST(s.decile AS INT) AS decile,
+           CAST(s.src_value AS BIGINT) AS src_value,
+           CAST(g.global_value AS BIGINT) AS global_value,
+           CAST(s.src_value - g.global_value AS BIGINT) AS shift
+    FROM src_vals s JOIN g_vals g USING (decile)
+    ORDER BY source, decile
+    """,
+    sort=("source", "decile"),
+    doc="Quantile-normalization map: each source's exact rank-based "
+    "decile boundaries of document length mapped onto the global decile "
+    "boundaries (the cross-source feature-alignment table a mixing "
+    "pipeline uses to re-weight or re-scale a skewed source). Exact "
+    "integer thresholds ceil(q*n/10) = (q*n+9) DIV 10 keep both engines "
+    "selecting the same data value — no interpolation. The cumulative "
+    "windows run on the (source, n_chars) DISTINCT-VALUE grain, bounded "
+    "by the length domain (not the row count), so the plan holds at "
+    "100 TB; the 9-row decile spine is a broadcast cross join.",
+)
+def quantile_normalization_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = W.partitionBy("source").orderBy("n_chars")
+    w_tot = W.partitionBy("source")
+    cum = per.select(
+        "source", "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    spine = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    src_vals = (
+        cum.crossJoin(F.broadcast(spine))
+        .where(F.expr("cum >= (decile * n + 9) DIV 10"))
+        .groupBy("source", "decile")
+        .agg(F.min("n_chars").alias("src_value"))
+    )
+    gper = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    gw_cum = W.orderBy("n_chars")
+    gw_tot = W.partitionBy()
+    gcum = gper.select(
+        "n_chars",
+        F.sum("c").over(gw_cum).alias("cum"),
+        F.sum("c").over(gw_tot).alias("n"),
+    )
+    g_vals = (
+        gcum.crossJoin(F.broadcast(spine))
+        .where(F.expr("cum >= (decile * n + 9) DIV 10"))
+        .groupBy("decile")
+        .agg(F.min("n_chars").alias("global_value"))
+    )
+    return (
+        src_vals.join(F.broadcast(g_vals), "decile")
+        .select(
+            "source",
+            "decile",
+            F.col("src_value").cast("long").alias("src_value"),
+            F.col("global_value").cast("long").alias("global_value"),
+            (F.col("src_value") - F.col("global_value")).cast("long").alias("shift"),
+        )
+    )
+
+
+@register(
+    "burstiness_fano_factor",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS c
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(c) AS BIGINT) AS total_events,
+           round(CAST(
+             (count(*) * sum(c * c) - sum(c) * sum(c))
+             AS DOUBLE) / ((count(*) - 1) * sum(c)), 6) AS fano
+    FROM daily
+    GROUP BY event_type
+    HAVING count(*) > 1
+    ORDER BY event_type
+    """,
+    sort=("event_type",),
+    doc="Burstiness (Fano factor = sample variance / mean) of daily "
+    "event arrivals per type — dispersion >> 1 flags bursty/bot-like "
+    "streams a curation pipeline down-weights. Two bounded-grain "
+    "aggregations: (type, day) counts shuffle once with map-side "
+    "combine, then the per-type moments reduce the day grain. All "
+    "moments stay exact integers (n*sum(c^2) - sum(c)^2); one final "
+    "division is rounded to 6 digits, so the engines hash-match.",
+)
+def burstiness_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    s1 = F.sum("c")
+    s2 = F.sum(F.col("c") * F.col("c"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            n.cast("long").alias("n_days"),
+            s1.cast("long").alias("total_events"),
+            F.round(
+                (n * s2 - s1 * s1).cast("double") / ((n - 1) * s1), 6
+            ).alias("fano"),
+        )
+        .where(F.col("n_days") > 1)
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "js_divergence_sources",
+    """
+    WITH cnt AS (
+      SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c) AS t FROM cnt GROUP BY source),
+    g AS (SELECT lang, sum(c) AS gc FROM cnt GROUP BY lang),
+    gt AS (SELECT sum(c) AS gtot FROM cnt),
+    spine AS (SELECT source, t, lang, gc, gtot FROM tot, g, gt),
+    terms AS (
+      SELECT s.source, s.t,
+             CAST(coalesce(c.c, 0) AS DOUBLE) / s.t AS p,
+             CAST(s.gc AS DOUBLE) / s.gtot AS q
+      FROM spine s LEFT JOIN cnt c ON c.source = s.source AND c.lang = s.lang
+    )
+    SELECT source,
+           CAST(max(t) AS BIGINT) AS n_docs,
+           round(CAST(sum(
+             0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END)
+             + 0.5 * (q * ln(q / ((p + q) / 2)))
+           ) AS DOUBLE), 6) AS jsd
+    FROM terms
+    GROUP BY source
+    ORDER BY source
+    """,
+    sort=("source",),
+    doc="Jensen-Shannon divergence between each source's language mix "
+    "and the corpus-wide mix — the symmetric, bounded drift measure "
+    "(complements psi_value_drift's PSI) used to spot sources whose "
+    "composition departs from the blend a pretraining mix planned. The "
+    "(source, lang) contingency grain is categorical-bounded, the "
+    "source x lang spine is a broadcast cross join of two aggregate "
+    "relations, and missing cells are zero-filled via a left join so "
+    "absent languages contribute the exact q*ln(2) mass on the "
+    "global side. Probabilities are exact integer ratios; ln() touches "
+    "only the final per-cell term, summed over <= |langs| cells and "
+    "rounded to 6 digits.",
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    g = cnt.groupBy("lang").agg(F.sum("c").alias("gc"))
+    gt = cnt.agg(F.sum("c").alias("gtot"))
+    spine = tot.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(gt))
+    terms = spine.join(
+        cnt, ["source", "lang"], "left"
+    ).select(
+        "source",
+        "t",
+        (F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("t")).alias("p"),
+        (F.col("gc").cast("double") / F.col("gtot")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    cell = (
+        F.lit(0.5) * F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.lit(0.5) * (F.col("q") * F.log(F.col("q") / m))
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("t").cast("long").alias("n_docs"),
+            F.round(F.sum(cell), 6).alias("jsd"),
+        )
+        .orderBy("source")
+    )

@@ -407,3 +407,237 @@ def bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(20)
     )
+
+
+def _clean_toks(text_col: str = "text"):
+    """Empty-filtered lowercase whitespace tokens — the r13 queries filter
+    empties BEFORE position assignment so Spark positions and DuckDB list
+    indices agree even when a document has leading/trailing whitespace."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+@register(
+    "skipgram_cooccurrence_topk",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(tk) AS tok,
+             unnest(range(1, len(tk) + 1)) AS pos
+      FROM t
+    ),
+    pairs AS (
+      SELECT least(a.tok, b.tok) AS w1, greatest(a.tok, b.tok) AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+    )
+    SELECT w1, w2, count(*) AS n_pairs
+    FROM pairs GROUP BY w1, w2
+    ORDER BY n_pairs DESC, w1, w2
+    LIMIT 20
+    """,
+    doc="Skip-gram co-occurrence counts (word2vec-style preprocessing): "
+    "token pairs within a +-2 position window, canonically unordered, "
+    "global top-20. The non-equi window condition is turned into an "
+    "EQUI-join by exploding the bounded offset set {1,2} on the left "
+    "side (pos_b = pos_a + d), so Catalyst plans a hash join keyed on "
+    "(doc_id, position) instead of a per-document nested loop — at "
+    "100 TB the pair stream shards by document with no quadratic term "
+    "(window size is a constant). Counts are exact integers.",
+)
+def skipgram_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_clean_toks()).alias("pos", "tok")
+    )
+    left = toks.withColumn(
+        "d", F.explode(F.array(F.lit(1), F.lit(2)))
+    ).select(
+        "doc_id", F.col("tok").alias("tok_a"), (F.col("pos") + F.col("d")).alias("pos_b")
+    )
+    right = toks.select("doc_id", F.col("tok").alias("tok_b"), F.col("pos").alias("pos_b"))
+    pairs = left.join(right, ["doc_id", "pos_b"]).select(
+        F.least("tok_a", "tok_b").alias("w1"),
+        F.greatest("tok_a", "tok_b").alias("w2"),
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(20)
+    )
+
+
+@register(
+    "log_odds_ratio_terms",
+    r"""
+    WITH toks AS (
+      SELECT CASE WHEN lang = 'en' THEN 'en' ELSE 'other' END AS corpus,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    cnt AS (SELECT corpus, tok, count(*) AS y FROM toks GROUP BY corpus, tok),
+    tot AS (SELECT corpus, sum(y) AS n FROM cnt GROUP BY corpus),
+    vocab AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+    wide AS (
+      SELECT t.tok,
+             coalesce(max(CASE WHEN t.corpus = 'en' THEN y END), 0) AS y1,
+             coalesce(max(CASE WHEN t.corpus = 'other' THEN y END), 0) AS y2
+      FROM cnt t GROUP BY t.tok
+    ),
+    scored AS (
+      SELECT w.tok, w.y1, w.y2,
+             round(CAST(
+               (ln((w.y1 + 1.0) / (n1.n + v.v - w.y1 - 1.0))
+                - ln((w.y2 + 1.0) / (n2.n + v.v - w.y2 - 1.0)))
+               / sqrt(1.0 / (w.y1 + 1.0) + 1.0 / (w.y2 + 1.0))
+             AS DOUBLE), 6) AS z
+      FROM wide w, (SELECT n FROM tot WHERE corpus = 'en') n1,
+           (SELECT n FROM tot WHERE corpus = 'other') n2, vocab v
+    ),
+    final AS (
+      SELECT tok, CAST(y1 AS BIGINT) AS y_en, CAST(y2 AS BIGINT) AS y_other, z
+      FROM scored
+    )
+    SELECT * FROM (
+      (SELECT * FROM final ORDER BY z DESC, tok LIMIT 10)
+      UNION ALL
+      (SELECT * FROM final ORDER BY z ASC, tok LIMIT 10)
+    ) ORDER BY z, tok
+    """,
+    sort=("z", "tok"),
+    doc="Monroe-style log-odds-ratio with a flat +1 Dirichlet prior, "
+    "z-scored: which terms are most over-represented in the English "
+    "corpus vs everything else (the classic corpus-comparison statistic "
+    "for curation/mixing decisions). Term counts are exact integers; "
+    "ln/sqrt touch only the final scalar per term, rounded to 6 digits "
+    "before ranking so both engines select identical rows. One shuffle "
+    "to (corpus, term) counts with map-side combine; totals and vocab "
+    "size are broadcast scalars; the two top-10 windows run on the "
+    "term-grain relation (vocabulary-bounded, not data-bounded).",
+)
+def log_odds_ratio_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.when(F.col("lang") == "en", F.lit("en")).otherwise(F.lit("other")).alias("corpus"),
+        F.explode(_clean_toks()).alias("tok"),
+    )
+    cnt = toks.groupBy("corpus", "tok").agg(F.count(F.lit(1)).alias("y"))
+    wide = cnt.groupBy("tok").agg(
+        F.coalesce(F.max(F.when(F.col("corpus") == "en", F.col("y"))), F.lit(0)).alias("y1"),
+        F.coalesce(F.max(F.when(F.col("corpus") == "other", F.col("y"))), F.lit(0)).alias("y2"),
+    )
+    tot = cnt.groupBy().agg(
+        F.sum(F.when(F.col("corpus") == "en", F.col("y"))).alias("n1"),
+        F.sum(F.when(F.col("corpus") == "other", F.col("y"))).alias("n2"),
+        F.countDistinct("tok").alias("v"),
+    )
+    scored = wide.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.col("y1").cast("long").alias("y_en"),
+        F.col("y2").cast("long").alias("y_other"),
+        F.round(
+            (
+                F.log((F.col("y1") + 1.0) / (F.col("n1") + F.col("v") - F.col("y1") - 1.0))
+                - F.log((F.col("y2") + 1.0) / (F.col("n2") + F.col("v") - F.col("y2") - 1.0))
+            )
+            / F.sqrt(1.0 / (F.col("y1") + 1.0) + 1.0 / (F.col("y2") + 1.0)),
+            6,
+        ).alias("z"),
+    )
+    # materialize the vocab-grain scored relation once (two top-k branches
+    # read it), then take each extreme with orderBy+limit — Catalyst plans
+    # TakeOrderedAndProject (per-partition heap + driver merge), never a
+    # single-task global window
+    scored = scored.localCheckpoint()
+    top = scored.orderBy(F.desc("z"), "tok").limit(10)
+    bot = scored.orderBy(F.asc("z"), "tok").limit(10)
+    return top.unionByName(bot)
+
+
+@register(
+    "ngram_novelty_curve",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+      FROM t WHERE len(tk) >= 3
+    ),
+    firsts AS (SELECT s, min(doc_id) AS first_doc FROM sh GROUP BY s),
+    per_doc AS (
+      SELECT sh.doc_id,
+             count(*) AS n_total,
+             sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh JOIN firsts f ON sh.s = f.s
+      GROUP BY sh.doc_id
+    ),
+    mx AS (SELECT max(doc_id) + 1 AS m FROM documents)
+    SELECT CAST(floor(d.doc_id * 10.0 / mx.m) AS INT) AS bucket,
+           CAST(sum(n_total) AS BIGINT) AS shingles_total,
+           CAST(sum(n_novel) AS BIGINT) AS shingles_novel,
+           round(CAST(sum(n_novel) AS DOUBLE) / sum(n_total), 6) AS novelty_rate
+    FROM per_doc d, mx
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Corpus novelty curve: per ingestion-order decile, the fraction "
+    "of distinct word trigrams never seen in any earlier document — the "
+    "diminishing-returns diagnostic a pretraining pipeline reads before "
+    "deciding whether the next crawl slice adds information or "
+    "duplicates. first-occurrence attribution is a min(doc_id) groupBy "
+    "on the shingle key (one shuffle, map-side partial min) followed by "
+    "a shingle-keyed join back — both shard by shingle, no window over "
+    "data-sized grain. Integer counts; one final division rounded 6dp.",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _clean_toks()
+    length = F.greatest(F.array_size(toks) - 2, F.lit(0))
+    g1 = F.slice(toks, 1, length)
+    g2 = F.slice(toks, 2, length)
+    g3 = F.slice(toks, 3, length)
+    tri = F.array_distinct(
+        F.zip_with(F.zip_with(g1, g2, lambda a, b: F.concat_ws(" ", a, b)),
+                   g3, lambda ab, c: F.concat_ws(" ", ab, c))
+    )
+    sh = docs.select("doc_id", F.explode(tri).alias("s"))
+    firsts = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    return (
+        per_doc.crossJoin(F.broadcast(mx))
+        .groupBy(
+            F.floor(F.col("doc_id") * 10.0 / F.col("m")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.sum("n_total").cast("long").alias("shingles_total"),
+            F.sum("n_novel").cast("long").alias("shingles_novel"),
+            F.round(
+                F.sum("n_novel").cast("double") / F.sum("n_total"), 6
+            ).alias("novelty_rate"),
+        )
+        .orderBy("bucket")
+    )

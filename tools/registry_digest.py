@@ -167,6 +167,21 @@ def main() -> int:
 
     if write:
         committed = load_committed()
+        if names is not None and committed:
+            # a subset write MERGES into the committed map, so the two
+            # must share normalizer rules — after a normalizer bump, a
+            # partial --write would silently stamp the current version
+            # over stale v(N-1) digests, producing false drift/unchanged
+            # verdicts (ADVICE r12 #2): refuse and force a full regen
+            committed_ver = load_committed_raw().get(_META_KEY)
+            if committed_ver != NORMALIZER_VERSION:
+                print(
+                    f"REFUSED: committed map was written at normalizer "
+                    f"v{committed_ver}, tool is v{NORMALIZER_VERSION} — a "
+                    f"subset --write would mislabel stale digests. Run a "
+                    f"full `--write` (no names) to regenerate everything."
+                )
+                return 1
         committed.update(current)
         if names is None:
             # full regeneration also drops unregistered leftovers

@@ -67,11 +67,21 @@ def main() -> int:
 
     os.environ.setdefault("SPARK_GRAFT_STRICT_IMPORTS", "1")
     from fitness_nutrition_data_pipeline_spark.queries import all_specs
+    from tools.registry_freeze import frozen_names, load_freeze
 
     registry = list(all_specs())
     last, latest = last_checked()
     next_round = latest + 1
     window = set(registry[:slots])
+
+    # hot/frozen split (tools/registry_freeze.py): a frozen-INTACT query
+    # (freeze-time digest still equals the suite-gated committed digest
+    # map) is witnessed by "plan unchanged since its last green driver
+    # signal" and exits the age invariant; a frozen query whose digest
+    # drifted is auto-promoted back to hot and ages like any other.
+    frozen = frozen_names()
+    all_frozen = set(load_freeze().get("frozen", {}))
+    promoted = all_frozen - frozen
 
     ages = Counter()
     stale: list[tuple[str, int]] = []
@@ -83,11 +93,18 @@ def main() -> int:
                 stale.append((q, 10**9))
             continue
         ages[last[q]] += 1
+        if q in frozen:
+            continue
         age_next = next_round - last[q]
         if age_next > max_age and q not in window:
             stale.append((q, age_next))
 
-    print(f"registry: {len(registry)} queries; latest driver round: r{latest}")
+    print(f"registry: {len(registry)} queries "
+          f"({len(registry) - len(frozen)} hot, {len(frozen)} frozen-intact); "
+          f"latest driver round: r{latest}")
+    if promoted:
+        print(f"auto-promoted to hot (frozen digest drifted — re-signal, "
+              f"then re-freeze): {sorted(promoted)}")
     print("check-age histogram (round -> queries):")
     for r in sorted(ages, reverse=True):
         print(f"  r{r}: {ages[r]}")
@@ -96,11 +113,12 @@ def main() -> int:
     print(f"next-round window (first {slots} registrations): "
           f"{len(window & set(registry))} slots planned")
     oldest_after = min(
-        [last[q] for q in registry if q in last and q not in window],
+        [last[q] for q in registry
+         if q in last and q not in window and q not in frozen],
         default=next_round,
     )
-    print(f"oldest signal OUTSIDE the window after r{next_round}: r{oldest_after} "
-          f"(age {next_round - oldest_after})")
+    print(f"oldest HOT signal OUTSIDE the window after r{next_round}: "
+          f"r{oldest_after} (age {next_round - oldest_after})")
 
     if "--digest-evidence" in args:
         _digest_evidence(registry, last, next_round)
