@@ -52,6 +52,27 @@ HEADLINE = [
     "rollup_qty",
 ]
 
+# Extended section (VERDICT r12 ask #5): the costliest non-headline
+# registry families, so their timing TREND is machine-readable like the
+# headline's. Fixed list for round-over-round comparability. Single-shot
+# per query (they are 5-40x a headline query; the probe_sec field beside
+# the section adjudicates host regime as usual), executed AFTER the
+# headline plan digest + probe are captured so the headline digest's
+# execution-history comparability (see plan_digest docstring) is
+# untouched. Disable with --no-extended.
+EXTENDED = [
+    "near_dup_pipeline",
+    "dedup_clusters_exact",
+    "kcore_fixpoint_audit",
+    "rag_corpus_pipeline",
+    "storage_layout_inventory_audit",
+    "corpus_curation_pipeline",
+    "dsir_importance_weights",
+    "cluster_survivor_selection",
+    "drift_monitor_batch_replay",
+    "triangle_count_cooccurrence",
+]
+
 
 def host_probe_sec(adds: int = 20_000_000) -> float:
     """Pure-Python spin probe (20M integer adds): a host-regime witness
@@ -156,6 +177,42 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # capture the headline witnesses BEFORE the extended queries run:
+    # plan_digest is execution-history-sensitive (localCheckpoint RDD
+    # ids), so it must be computed at the same point in session history
+    # as every prior round's reading
+    headline_digest = plan_digest(spark, specs, sf_dir)
+    headline_probe = host_probe_sec()
+
+    extended = None
+    if "--no-extended" not in sys.argv:
+        ext_timings: dict[str, float] = {}
+        ext_errors: dict[str, str] = {}
+        for name in EXTENDED:
+            try:
+                t0 = time.time()
+                specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ext_timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                ext_errors[name] = str(e).split("\n", 1)[0][:200]
+                print(f"BENCH ERROR {name}: {ext_errors[name]}", file=sys.stderr)
+        extended = {
+            "value": round(sum(ext_timings.values()), 3)
+            if not ext_errors
+            else None,
+            "queries": ext_timings,
+            "n_ok": len(ext_timings),
+            "n_queries": len(EXTENDED),
+            "complete": not ext_errors,
+            "reps": 1,
+            "probe_sec": host_probe_sec(),
+        }
+        if ext_errors:
+            extended["errors"] = ext_errors
+            extended["partial_total"] = round(sum(ext_timings.values()), 3)
+
     result = {
         "metric": "headline_queries_median_total"
         if median_mode
@@ -171,10 +228,13 @@ def main() -> None:
         "complete": not errors,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # self-annotating protocol (VERDICT r10 ask #4): host regime +
-        # plan-drift witnesses travel WITH the reading
-        "probe_sec": host_probe_sec(),
-        "plan_digest": plan_digest(spark, specs, sf_dir),
+        # plan-drift witnesses travel WITH the reading (captured before
+        # the extended section ran — see comment at capture site)
+        "probe_sec": headline_probe,
+        "plan_digest": headline_digest,
     }
+    if extended is not None:
+        result["extended"] = extended
     if median_mode:
         result["reps"] = reps
         result["spread"] = spreads

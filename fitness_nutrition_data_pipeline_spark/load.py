@@ -93,7 +93,23 @@ def load_warehouse(
         return path
 
     with ThreadPoolExecutor(max_workers=max(1, min(max_parallel_writes, len(present) or 1))) as pool:
-        results = dict(zip(present, pool.map(write_one, present)))
+        try:
+            results = dict(zip(present, pool.map(write_one, present)))
+        except Exception:
+            # views register on the writer threads, so by the time one
+            # write fails, siblings may already have registered theirs —
+            # a caller that catches and retries must not observe a
+            # partially-populated catalog (ADVICE r12 #3): drop every
+            # view this call could have registered before re-raising
+            if register_views:
+                for name in present:
+                    try:
+                        spark.catalog.dropTempView(name)
+                    except Exception:  # noqa: BLE001
+                        logger.warning(
+                            "cleanup: could not drop temp view %s", name
+                        )
+            raise
 
     return {n: results[n] for n in present}
 

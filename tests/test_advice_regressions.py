@@ -237,3 +237,60 @@ def test_avg_half_boundary_integer_formula(spark):
         .fetchone()[0]
     )
     assert got == want == 38.3788
+
+
+def test_load_failure_drops_registered_views(spark, tmp_path):
+    """ADVICE r12 #3: temp views register on load_warehouse's writer
+    threads, so one failing write must not leave a caller that catches
+    the exception with a partially-populated catalog — the error path
+    drops every view this call could have registered."""
+    import pytest as _pytest
+
+    from fitness_nutrition_data_pipeline_spark.load import load_warehouse
+
+    good = spark.range(3).toDF("DateKey")
+    # fails at ACTION time (after sibling writes may have registered)
+    bad = spark.range(1).select(
+        F.assert_true(F.col("id") > 100).alias("x"), F.col("id")
+    )
+    with _pytest.raises(Exception):
+        load_warehouse(
+            spark,
+            {"Dim_Date": good, "Dim_User": bad},
+            str(tmp_path / "wh"),
+        )
+    assert not spark.catalog.tableExists("Dim_Date")
+    assert not spark.catalog.tableExists("Dim_User")
+
+    # and a clean retry on the same session repopulates normally
+    paths = load_warehouse(
+        spark,
+        {"Dim_Date": good, "Dim_User": spark.range(2).toDF("UserKey")},
+        str(tmp_path / "wh2"),
+    )
+    assert set(paths) == {"Dim_Date", "Dim_User"}
+    assert spark.table("Dim_Date").count() == 3
+
+
+def test_subset_digest_write_refuses_normalizer_mismatch(monkeypatch):
+    """ADVICE r12 #2: a subset --write into a map written under a
+    different normalizer version must refuse (Spark-free check), while
+    a matching version or an empty/absent map proceeds."""
+    from tools import registry_digest as rd
+
+    monkeypatch.setattr(
+        rd, "load_committed_raw",
+        lambda: {rd._META_KEY: rd.NORMALIZER_VERSION - 1, "q1": "aa"},
+    )
+    assert rd.subset_write_refusal(["q1"]) is not None
+    # full regeneration is always allowed
+    assert rd.subset_write_refusal(None) is None
+
+    monkeypatch.setattr(
+        rd, "load_committed_raw",
+        lambda: {rd._META_KEY: rd.NORMALIZER_VERSION, "q1": "aa"},
+    )
+    assert rd.subset_write_refusal(["q1"]) is None
+
+    monkeypatch.setattr(rd, "load_committed_raw", lambda: {})
+    assert rd.subset_write_refusal(["q1"]) is None

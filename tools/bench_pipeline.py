@@ -7,8 +7,16 @@ runs OUR full warehouse pipeline (extract → resolve → dims/bridges/facts
 JSON line with phase timings, so the "same order of magnitude end-to-end"
 target is a measured number, not a claim.
 
-Usage: python tools/bench_pipeline.py
+Usage: python tools/bench_pipeline.py [--out FILE]
 (requires /root/reference/data; exits 0 with {"skipped": true} otherwise)
+
+``--out FILE`` additionally writes the JSON line to FILE — the per-round
+committed artifact ``BENCH_pipeline_r{N}.json`` (VERDICT r12 ask #4), so
+the e2e trend is machine-readable like the query bench. The line carries
+the same self-annotating fields as bench.py (probe_sec for host regime,
+plan_digest over the declared warehouse DAGs for drift), so a moved
+total with an identical digest and an elevated probe reads as host
+noise, exactly as with BENCH_r{N}.json.
 """
 
 from __future__ import annotations
@@ -25,6 +33,29 @@ sys.path.insert(0, _REPO)
 sys.path.insert(0, os.path.join(_REPO, "tools"))
 
 REF = "/root/reference/data"
+
+
+def _warehouse_digest(warehouse: dict, base_dir: str) -> str:
+    """Deterministic hash of every declared warehouse table's formatted
+    physical plan, normalized with the registry-digest normalizer plus a
+    token for this run's temp base dir (input paths vary per run)."""
+    import contextlib
+    import hashlib
+    import io
+    import re
+
+    from tools.registry_digest import _normalize
+
+    h = hashlib.sha256()
+    for name in sorted(warehouse):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            warehouse[name].explain(mode="formatted")
+        text = buf.getvalue().replace(base_dir.rstrip("/"), "<BASE>")
+        text = re.sub(r"/\S*bench_pipeline_[^\s/\]]*", "<BASE>", text)
+        h.update(name.encode())
+        h.update(_normalize(text, base_dir).encode())
+    return h.hexdigest()[:16]
 
 
 def main() -> None:
@@ -72,6 +103,12 @@ def main() -> None:
     pipe.load()
     t_build = time.time() - t2
 
+    # drift witness over the 18 declared warehouse DAGs: normalized
+    # formatted plans, hashed in table-name order (same normalizer as
+    # tools/registry_digest.py, with the run's scratch dirs tokenized
+    # out so the digest is session-independent)
+    wh_digest = _warehouse_digest(pipe.warehouse, base)
+
     t4 = time.time()
     results = pipe.validate()
     t_validate = time.time() - t4
@@ -85,24 +122,28 @@ def main() -> None:
     # so every e2e reading carries its own noise adjudication
     from bench import host_probe_sec
 
-    print(
-        json.dumps(
-            {
-                "metric": "pipeline_e2e",
-                "unit": "sec",
-                "probe_sec": host_probe_sec(),
-                "xlsx_convert_s": round(t_convert, 3),
-                "extract_s": round(t_extract, 3),
-                "transform_load_s": round(t_build, 3),
-                "extract_transform_total_s": round(et_total, 3),
-                "pandas_anchor_extract_transform_s": 9.75,
-                "vs_anchor": round(et_total / 9.75, 2),
-                "validate_s": round(t_validate, 3),
-                "total_rows": sum(report["table_counts"].values()),
-                "quality_score": report["validation"]["quality_score"],
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "pipeline_e2e",
+            "unit": "sec",
+            "probe_sec": host_probe_sec(),
+            "plan_digest": wh_digest,
+            "xlsx_convert_s": round(t_convert, 3),
+            "extract_s": round(t_extract, 3),
+            "transform_load_s": round(t_build, 3),
+            "extract_transform_total_s": round(et_total, 3),
+            "pandas_anchor_extract_transform_s": 9.75,
+            "vs_anchor": round(et_total / 9.75, 2),
+            "validate_s": round(t_validate, 3),
+            "total_rows": sum(report["table_counts"].values()),
+            "quality_score": report["validation"]["quality_score"],
+        }
     )
+    print(line)
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
     shutil.rmtree(base, ignore_errors=True)
 
 

@@ -155,10 +155,39 @@ def load_committed_raw() -> dict:
         return json.load(f)
 
 
+def subset_write_refusal(names) -> str | None:
+    """A subset --write MERGES into the committed map, so the two must
+    share normalizer rules — after a normalizer bump, a partial --write
+    would silently stamp the current version over stale v(N-1) digests,
+    producing false drift/unchanged verdicts (ADVICE r12 #2). Returns
+    the refusal message, or None when the write may proceed. Checked
+    BEFORE any digest computation (no Spark needed to refuse)."""
+    if names is None:
+        return None
+    raw = load_committed_raw()
+    if not {k: v for k, v in raw.items() if not k.startswith("__")}:
+        return None
+    committed_ver = raw.get(_META_KEY)
+    if committed_ver != NORMALIZER_VERSION:
+        return (
+            f"REFUSED: committed map was written at normalizer "
+            f"v{committed_ver}, tool is v{NORMALIZER_VERSION} — a "
+            f"subset --write would mislabel stale digests. Run a "
+            f"full `--write` (no names) to regenerate everything."
+        )
+    return None
+
+
 def main() -> int:
     args = sys.argv[1:]
     write = "--write" in args
     names = [a for a in args if not a.startswith("--")] or None
+
+    if write:
+        refusal = subset_write_refusal(names)
+        if refusal:
+            print(refusal)
+            return 1
 
     from fitness_nutrition_data_pipeline_spark.session import get_spark
 
@@ -167,21 +196,6 @@ def main() -> int:
 
     if write:
         committed = load_committed()
-        if names is not None and committed:
-            # a subset write MERGES into the committed map, so the two
-            # must share normalizer rules — after a normalizer bump, a
-            # partial --write would silently stamp the current version
-            # over stale v(N-1) digests, producing false drift/unchanged
-            # verdicts (ADVICE r12 #2): refuse and force a full regen
-            committed_ver = load_committed_raw().get(_META_KEY)
-            if committed_ver != NORMALIZER_VERSION:
-                print(
-                    f"REFUSED: committed map was written at normalizer "
-                    f"v{committed_ver}, tool is v{NORMALIZER_VERSION} — a "
-                    f"subset --write would mislabel stale digests. Run a "
-                    f"full `--write` (no names) to regenerate everything."
-                )
-                return 1
         committed.update(current)
         if names is None:
             # full regeneration also drops unregistered leftovers

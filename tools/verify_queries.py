@@ -5,7 +5,18 @@ Runs every ``queries()`` entry on sf0.01 Spark-side, the matching
 row count, column names, and an order-insensitive value compare
 (columns sorted by name, rows sorted, values normalized).
 
-Usage: python tools/verify_queries.py [name ...]
+Usage: python tools/verify_queries.py [name ...] [--jobs N]
+
+``--jobs N`` is a BEST-EFFORT fast sweep, not the blessing protocol
+(ADVICE r12 #1): all builders share one SparkSession, and the
+round-trip/write-audit queries execute their sinks at builder time in
+the shared per-application scratch namespace — concurrent builders can
+interleave those writes, and any builder that toggles a session conf
+races the others. A parallel FAIL therefore warrants a jobs=1 re-check
+before acting on it, and the sequential default (jobs=1) is the only
+mode whose verdict blesses a query for registration/freezing. The tool
+prints this notice on every parallel run so a logged sweep is
+self-describing.
 """
 
 from __future__ import annotations
@@ -224,6 +235,11 @@ def main(names=None):
     if jobs > 1:
         from concurrent.futures import ThreadPoolExecutor
 
+        print(
+            f"NOTE: --jobs {jobs} is a best-effort sweep (shared session; "
+            f"sink-executing builders can interleave) — bless with jobs=1",
+            file=sys.stderr,
+        )
         with ThreadPoolExecutor(max_workers=jobs) as pool:
             results = list(pool.map(check_one, items))
     else:
