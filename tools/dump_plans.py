@@ -136,6 +136,8 @@ SHOWCASE = [
     ("churn_hazard_curve", "survival hazard: user fold -> tenure histogram; the suffix-sum window runs on the bounded histogram"),
     ("stratified_train_eval_split", "exact-quota split: ONE shuffle by stratum serves both rank and count windows; ceil quota is integer math in the projection"),
     ("quantile_sketch_merge", "mergeable quantile sketch: per-source bin histograms (map-side combinable) -> merged bin counts; CDF window on the bounded bin grain; 3-row quantile spine broadcast"),
+    ("skipgram_cooccurrence_topk", "skip-gram pairs: non-equi +-2 window turned into an EQUI hash join by exploding the constant offset set; TakeOrderedAndProject top-k"),
+    ("quantile_normalization_map", "per-source deciles mapped to global: cumulative windows on the (source, value) DISTINCT-VALUE grain; 9-row decile spine broadcast-crossed"),
 ]
 
 
