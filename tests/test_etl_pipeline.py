@@ -27,7 +27,21 @@ def pipeline(spark, tmp_path_factory):
     p = FitnessWarehousePipeline(spark, cfg)
     p.extract()
     p.transform()
-    p.load()
+    paths = p.load()
+    # rebind the warehouse dict to the parquet load() just wrote: the
+    # transform() DataFrames are lazy DAG declarations, so every test
+    # that collects from them would otherwise re-run the whole lineage
+    # (resolution + dims + facts) per assertion — the written tables
+    # hold the identical rows and read back in milliseconds. load()
+    # appends write-time surrogate keys to the facts; drop them so the
+    # rebound frames keep the transform() schema the tests assert on.
+    from fitness_nutrition_data_pipeline_spark.load import FACT_SURROGATES
+
+    for name, path in paths.items():
+        df = spark.read.parquet(path)
+        if name in FACT_SURROGATES:
+            df = df.drop(FACT_SURROGATES[name])
+        p.warehouse[name] = df
     return p
 
 
@@ -158,8 +172,19 @@ def test_validation_score_100(pipeline):
     assert results.checks_run >= 40  # inventory of the corpus
 
 
-def test_full_run_report(pipeline, spark):
-    report = FitnessWarehousePipeline(spark, pipeline.cfg).run(pipeline.sources)
+def test_full_run_report(pipeline, spark, tmp_path_factory):
+    # fresh warehouse/output dirs: re-running .run() against the fixture's
+    # cfg would OVERWRITE the warehouse the rebound fixture frames read
+    # from, invalidating their cached file listings for later tests
+    import dataclasses
+
+    base = str(tmp_path_factory.mktemp("rerun"))
+    cfg = dataclasses.replace(
+        pipeline.cfg,
+        warehouse_dir=f"{base}/warehouse",
+        output_dir=f"{base}/output",
+    )
+    report = FitnessWarehousePipeline(spark, cfg).run(pipeline.sources)
     assert report["total_users_mapped"] == FX.EXPECTED_MAPPING
     assert report["validation"]["quality_score"] == 100.0
     assert report["table_counts"]["Dim_Date"] == 3653

@@ -25,13 +25,12 @@ Instead of chasing types one-by-one, both lints are allowlists:
   pattern).
 
 Cost honesty: the ORACLE half is binder-only (no execution). The
-SPARK half is NOT free — builders with eager ``localCheckpoint`` steps
-materialize their pinned stages, and the three write-path audits
-(bucketed / z-ordered / partitioned) perform their writes before
-returning a DataFrame — so the schema walk runs ~1-2 min at sf0.001
-and leaves scratch tables under the warehouse dir and /tmp. That is
-the price of linting the REAL registered builders rather than a
-parallel registry that could drift.
+SPARK half lints the REAL registered builders rather than a parallel
+registry that could drift; since r13 it reads schemas from the shared
+one-pass ``registry_plans`` fixture (conftest) instead of re-building
+all ~300 queries itself — the build cost (including the sink-executing
+audit builders) is paid once per suite run, shared with the digest,
+cartesian and output-order gates.
 """
 
 from __future__ import annotations
@@ -99,12 +98,13 @@ def test_oracle_output_types_allowlisted(con):
     )
 
 
-def test_spark_output_types_allowlisted(spark, sf_dir):
+def test_spark_output_types_allowlisted(registry_plans):
+    specs = all_specs()
     offenders = {}
-    for name, spec in all_specs().items():
-        if spec.oracle is None:
+    for name, plans in registry_plans.items():
+        if specs[name].oracle is None:
             continue
-        schema = spec.builder(spark, sf_dir).schema
+        schema = plans["schema"]
         bad = [
             (f.name, f.dataType.simpleString())
             for f in schema.fields

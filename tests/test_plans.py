@@ -88,12 +88,13 @@ def test_whole_stage_codegen_everywhere(spark, sf_dir):
     assert "[codegen id :" in plan
 
 
-def test_no_cartesian_products(spark, sf_dir):
+def test_no_cartesian_products(registry_plans):
     """Only the deliberate broadcast-nest-loop joins (tiny scalar/centroid
-    sides) may appear; no shuffle cartesian anywhere."""
-    for name in SPECS:
-        plan = plan_of(spark, sf_dir, name, mode="simple")
-        assert "CartesianProduct" not in plan, name
+    sides) may appear; no shuffle cartesian anywhere. Reads the shared
+    one-pass registry_plans fixture (formatted mode lists every physical
+    operator, so the node-name check is mode-independent)."""
+    for name, plans in registry_plans.items():
+        assert "CartesianProduct" not in plans["formatted"], name
 
 
 # --- wave 2/3 plan shapes -------------------------------------------------
@@ -333,7 +334,7 @@ def test_multimodal_metadata_stays_jvm_side(spark, sf_dir):
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF
 
 
-def test_deterministic_output_order(spark, sf_dir):
+def test_deterministic_output_order(registry_plans):
     """Every registered query must return deterministically ORDERED rows:
     the optimized plan's root (looking through order-preserving Project /
     Filter / Limit nodes) is a GLOBAL Sort, a single-partition local sort
@@ -383,15 +384,13 @@ def test_deterministic_output_order(spark, sf_dir):
         return "empty"
 
     bad = []
-    for name, spec in SPECS.items():
-        plan = spec.builder(spark, sf_dir)._jdf.queryExecution().optimizedPlan()
+    for name, plans in registry_plans.items():
         # ≤1-row plans are trivially ordered — Catalyst's EliminateSorts
         # even strips an explicit orderBy from them (e.g. a join of two
         # scalar aggregates), so check the row bound first
-        max_rows = plan.maxRows()
-        if max_rows.isDefined() and max_rows.get() <= 1:
+        if plans["max_rows"] is not None and plans["max_rows"] <= 1:
             continue
-        kind = root_kind(plan.toString())
+        kind = root_kind(plans["optimized"])
         if kind not in ("global-sort", "single-partition-sort", "scalar-aggregate"):
             bad.append(f"{name}: plan root is {kind}, not a total-order sort")
     assert not bad, "unordered query outputs:\n" + "\n".join(bad)

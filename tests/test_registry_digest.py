@@ -5,9 +5,11 @@ query's plan cannot land without regenerating (and thereby reviewing)
 the map, and rotation freshness can cite "digest unchanged since the
 query's last green driver signal" as machine-checked evidence.
 
-Costs ~2 min wall (the round-trip/write-audit queries execute their
-sink at builder time — that IS the operator under test); plan builds
-themselves never execute.
+The build+explain pass comes from the shared session-scoped
+``registry_plans`` fixture (conftest), paid once per suite run across
+the four registry-wide gates; the round-trip/write-audit queries
+execute their sink at builder time (that IS the operator under test),
+plan builds themselves never execute.
 """
 
 from __future__ import annotations
@@ -19,14 +21,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def test_registry_plan_digests_match_committed(spark):
-    from tools.registry_digest import compute_digests, load_committed
+def test_registry_plan_digests_match_committed(registry_plans):
+    from tools.registry_digest import (
+        CANONICAL_SF_DIR,
+        digest_of_plan,
+        load_committed,
+    )
 
     committed = load_committed()
     assert committed, "tools/registry_digests.json missing or empty — run " \
         "`python tools/registry_digest.py --write` and commit it"
 
-    current = compute_digests(spark)
+    # same computation as tools/registry_digest.compute_digests, fed from
+    # the suite's shared one-pass registry_plans fixture (built at the
+    # digest-canonical sf0.01 / shuffle-32 config)
+    current = {
+        name: digest_of_plan(name, plans["formatted"], CANONICAL_SF_DIR)
+        for name, plans in registry_plans.items()
+    }
     drifted = sorted(
         n for n, d in current.items() if n in committed and committed[n] != d
     )

@@ -101,15 +101,22 @@ def _normalize(plan_text: str, sf_dir: str) -> str:
     return "\n".join(sorted(lines))
 
 
+def digest_of_plan(name: str, plan_text: str, sf_dir: str) -> str:
+    """Digest from an ALREADY-formatted plan — the shared entry point for
+    query_digest and for the test suite's one-pass registry_plans
+    fixture (which explains every query once and feeds four gates)."""
+    h = hashlib.sha256()
+    h.update(name.encode())
+    h.update(_normalize(plan_text, sf_dir).encode())
+    return h.hexdigest()[:16]
+
+
 def query_digest(spark, spec, sf_dir: str) -> str:
     df = spec.builder(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
-    h = hashlib.sha256()
-    h.update(spec.name.encode())
-    h.update(_normalize(buf.getvalue(), sf_dir).encode())
-    return h.hexdigest()[:16]
+    return digest_of_plan(spec.name, buf.getvalue(), sf_dir)
 
 
 def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
