@@ -630,7 +630,12 @@ def tree_subtree_cost_rollup_native(spark: SparkSession, sf_dir: str) -> DataFra
     "vote is a (node, label) groupBy whose per-node window runs over "
     "at most |brands| = 25 rows — bounded grain, scale-safe. The "
     "brand lookup is a dimension join on part key (broadcastable "
-    "whenever the dim fits; Catalyst/AQE decides from stats).",
+    "whenever the dim fits; Catalyst/AQE decides from stats). The edge "
+    "symmetrization is an EXPLODE of two (node, nbr_label) structs per "
+    "unordered pair, not a union of two branch plans — a union re-plans "
+    "(and re-computes: 0 ReusedExchange, measured) the whole "
+    "distinct->window->self-join pair chain per branch, doubling the "
+    "dominant cost; the explode streams both directions from ONE pass.",
 )
 def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -650,10 +655,26 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
-    edges = half.unionByName(half.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    pu = part.select(F.col("p_partkey").alias("u"), F.col("p_brand").alias("brand_u"))
+    pv = part.select(F.col("p_partkey").alias("v"), F.col("p_brand").alias("brand_v"))
     votes = (
-        edges.join(part, edges["v"] == part["p_partkey"])
-        .groupBy(F.col("u").alias("node"), F.col("p_brand").alias("nbr_label"))
+        half.join(pu, "u")
+        .join(pv, "v")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("u").alias("node"),
+                        F.col("brand_v").alias("nbr_label"),
+                    ),
+                    F.struct(
+                        F.col("v").alias("node"),
+                        F.col("brand_u").alias("nbr_label"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .groupBy(F.col("e.node").alias("node"), F.col("e.nbr_label").alias("nbr_label"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
     w = W.partitionBy("node").orderBy(F.desc("c"), "nbr_label")
