@@ -928,13 +928,26 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("pc"))
         .where(F.col("pc") >= 3)
     )
+    # both rule directions EXPLODE from one pass over the pair relation:
+    # a union of two projections re-plans (0 ReusedExchange, measured)
+    # the whole distinct -> basket window -> self-join -> count chain
+    # once per branch — the same recompute class fixed in
+    # label_propagation_step, caught by the r13 window reuse audit
     rules = pairs.select(
-        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "pc"
-    ).unionByName(
-        pairs.select(
-            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "pc"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("antecedent"),
+                    F.col("pb").alias("consequent"),
+                ),
+                F.struct(
+                    F.col("pb").alias("antecedent"),
+                    F.col("pa").alias("consequent"),
+                ),
+            )
+        ).alias("r"),
+        "pc",
+    ).select("r.antecedent", "r.consequent", "pc")
     ca = item_cnt.select(F.col("l_partkey").alias("antecedent"), F.col("ic").alias("ca"))
     cb = item_cnt.select(F.col("l_partkey").alias("consequent"), F.col("ic").alias("cb"))
     return (

@@ -1332,7 +1332,17 @@ def burstiness_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    cnt = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    # the (source, lang) contingency feeds FOUR consumers (per-source
+    # totals, global lang counts, grand total, and the zero-fill join);
+    # unpinned, each consumer re-scans documents — at 100 TB that is 4
+    # full passes for one categorical-bounded relation. localCheckpoint
+    # is safe here by the repo rule (answer-sized: |sources| x |langs|
+    # rows) and cuts the plan to ONE scan of documents.
+    cnt = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
+    )
     tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
     g = cnt.groupBy("lang").agg(F.sum("c").alias("gc"))
     gt = cnt.agg(F.sum("c").alias("gtot"))
