@@ -595,9 +595,14 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("parent").alias("anc"),
         F.when(F.col("node") < 10, 0).otherwise(1).alias("depth"),
     )
+    # the hop relation is joined once per unrolled level; unpinned, each
+    # of the 6 joins re-plans (and re-scans) the customer-derived edge
+    # table — 7 scans for one logical relation (r13 reuse audit). Pin it
+    # once: the iterative-state materialization pattern the k-core and
+    # star-CC operators already use for exactly this join-ladder shape.
     hop = edges.select(
         F.col("node").alias("anc"), F.col("parent").alias("anc_next")
-    )
+    ).localCheckpoint()
     for _ in range(6):
         cur = (
             cur.join(hop, "anc", "left")

@@ -328,6 +328,13 @@ def unigram_lm_crossentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.join(split.where(F.col("split") == "train").select("doc_id"), "doc_id")
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        # the LM is a trained artifact consumed twice (the (N,V) scalars
+        # and the scoring join); unpinned, each consumer re-explodes and
+        # re-aggregates the full token stream (r13 reuse audit). Train
+        # once, materialize, score with it — exactly what a KenLM-style
+        # pipeline does; the pinned relation is vocab-grain, orders of
+        # magnitude below the token stream it summarizes.
+        .localCheckpoint()
     )
     nv = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     scored = (
