@@ -766,3 +766,24 @@ def test_poisson_bootstrap_no_python_stage(spark, sf_dir):
     assert "MapInPandas" not in plan
     assert "BatchEvalPython" not in plan
     assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_fixed_recompute_sites_stay_fixed(registry_plans):
+    """r13 reuse-audit fixes must not regress: each query's physical plan
+    may not re-acquire redundant scans of its base relations (the
+    union-branch / multi-consumer recompute class). Counts come from the
+    shared registry_plans fixture — zero extra plan builds. Formatted
+    mode lists each scan node twice (tree + details), hence the halving."""
+    bounds = {
+        "hierarchy_rollup": 1,            # hop relation pinned once
+        "unigram_lm_crossentropy": 2,     # LM trained once, scored once
+        "label_propagation_step": 5,      # self-join 2 + dim part 3
+        "association_rules_lift": 5,      # self-join 2 + item/order stats
+        "js_divergence_sources": 1,       # contingency pinned
+    }
+    for name, bound in bounds.items():
+        scans = registry_plans[name]["formatted"].count("Scan parquet") // 2
+        assert scans <= bound, (
+            f"{name}: {scans} parquet scans > fixed bound {bound} — a "
+            f"recompute site regressed (see tools/audit_reuse.py)"
+        )
