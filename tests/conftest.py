@@ -65,3 +65,25 @@ def registry_plans(spark):
     finally:
         spark.conf.set(key, prev)
     return out
+
+
+def pytest_sessionstart(session):
+    _print_probe("suite-start")
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _print_probe("suite-finish")
+
+
+def _print_probe(tag: str) -> None:
+    """Self-annotating suite timing (same protocol as bench.py's
+    probe_sec): the suite's wall-clock drifted 14m09s -> 16m39s across
+    one r13 session with an identical test list while the host probe
+    drifted 0.70 -> 0.84 — without a probe in the log, a slow run reads
+    as a regression. Failures here must never fail the suite."""
+    try:
+        from bench import host_probe_sec
+
+        print(f"\n[{tag}] host_probe_sec={host_probe_sec()}")
+    except Exception:  # noqa: BLE001
+        pass
