@@ -20,8 +20,15 @@ machine-checked witness that the shipped plan IS the blessed plan
 digest map and report "no digest evidence". Informational: it never
 changes the exit code; the freshness contract stays age-based.
 
+``--plan-next`` prints a RECOMMENDED _CHECK_PRIORITY ordering for the
+next round's window: the mandatory drain cohort (hot queries whose
+signal would exceed the age limit if skipped), oldest signal first with
+a name tie-break, followed by the remaining slack count — the builder
+appends new registrations / rewritten-query re-signals into that slack.
+Mechanizes the window arithmetic SCALE.md records by hand each round.
+
 Usage: python tools/rotation_report.py [--max-age N] [--window W]
-                                       [--digest-evidence]
+                                       [--digest-evidence] [--plan-next]
 """
 
 from __future__ import annotations
@@ -120,6 +127,9 @@ def main() -> int:
     print(f"oldest HOT signal OUTSIDE the window after r{next_round}: "
           f"r{oldest_after} (age {next_round - oldest_after})")
 
+    if "--plan-next" in args:
+        _plan_next(registry, last, frozen, next_round, max_age, slots)
+
     if "--digest-evidence" in args:
         _digest_evidence(registry, last, next_round)
 
@@ -131,6 +141,35 @@ def main() -> int:
         return 1
     print(f"OK: no query outside the window exceeds age {max_age} at r{next_round}")
     return 0
+
+
+def _plan_next(registry, last, frozen, next_round, max_age, slots) -> None:
+    """Recommended window for the round AFTER next_round, under the
+    practiced drain-one-round-early convention: a cohort at age max_age
+    goes into the window NOW, because skipping it leaves no later chance
+    — the guard hard-fails it one round later, when the window may also
+    owe a newer cohort. So the recommended drain set is every hot query
+    whose signal would reach age > max_age by (next_round + 2) if the
+    (next_round + 1) window skipped it. Assumes the next_round window
+    lands green (its members' signals become next_round)."""
+    window = set(registry[:slots])
+    mandatory = sorted(
+        (
+            (last[q], q)
+            for q in registry
+            if q in last and q not in frozen
+            # after next_round lands, this query's signal is next_round if
+            # it is in the current window, else unchanged
+            and (next_round if q in window else last[q])
+            < next_round + 2 - max_age
+        ),
+    )
+    print(f"\n--plan-next: r{next_round + 1} window recommendation "
+          f"(assumes the r{next_round} window lands green):")
+    print(f"  mandatory drain: {len(mandatory)} queries; "
+          f"slack: {slots - len(mandatory)} slots")
+    for r, q in mandatory:
+        print(f'    "{q}",  # r{r}')
 
 
 def _digest_evidence(registry, last, next_round) -> None:
