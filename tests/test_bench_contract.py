@@ -21,3 +21,27 @@ def test_bench_lists_are_registered_and_disjoint():
     overlap = set(HEADLINE) & set(EXTENDED)
     assert not overlap, f"headline/extended overlap: {overlap}"
     assert len(HEADLINE) == 18 and len(EXTENDED) == 10
+
+
+def test_pipeline_bench_artifact_shape():
+    """The committed BENCH_pipeline_r*.json artifacts must carry the
+    self-adjudication fields (probe + plan digest) alongside the phase
+    timings — a malformed artifact silently loses the evidence the
+    round-over-round comparison rests on."""
+    import glob
+    import json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(glob.glob(os.path.join(repo, "BENCH_pipeline_r*.json")))
+    assert artifacts, "no committed BENCH_pipeline artifact"
+    required = {
+        "metric", "unit", "probe_sec", "plan_digest", "extract_s",
+        "transform_load_s", "extract_transform_total_s", "vs_anchor",
+        "validate_s", "total_rows", "quality_score",
+    }
+    for path in artifacts:
+        d = json.loads(open(path).read())
+        missing = required - set(d)
+        assert not missing, f"{path} missing fields: {missing}"
+        assert d["metric"] == "pipeline_e2e"
+        assert len(d["plan_digest"]) == 16
