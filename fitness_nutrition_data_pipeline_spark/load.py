@@ -92,15 +92,24 @@ def load_warehouse(
             spark.read.parquet(path).createOrReplaceTempView(name)
         return path
 
-    with ThreadPoolExecutor(max_workers=max(1, min(max_parallel_writes, len(present) or 1))) as pool:
+    pool = ThreadPoolExecutor(
+        max_workers=max(1, min(max_parallel_writes, len(present) or 1))
+    )
+    try:
         try:
             results = dict(zip(present, pool.map(write_one, present)))
         except Exception:
             # views register on the writer threads, so by the time one
             # write fails, siblings may already have registered theirs —
             # a caller that catches and retries must not observe a
-            # partially-populated catalog (ADVICE r12 #3): drop every
-            # view this call could have registered before re-raising
+            # partially-populated catalog (ADVICE r12 #3). pool.map
+            # raises as soon as the FAILING future's result is consumed,
+            # while later-submitted siblings may still be RUNNING — a
+            # cleanup that starts now could drop a view a slower sibling
+            # re-registers a moment later (ADVICE r13 #1). Join all
+            # in-flight writers first (cancel the not-yet-started), THEN
+            # sweep the catalog.
+            pool.shutdown(wait=True, cancel_futures=True)
             if register_views:
                 for name in present:
                     try:
@@ -110,6 +119,8 @@ def load_warehouse(
                             "cleanup: could not drop temp view %s", name
                         )
             raise
+    finally:
+        pool.shutdown(wait=True)
 
     return {n: results[n] for n in present}
 

@@ -76,75 +76,80 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-13 window, per VERDICT r12 ask #1:
-# lead with ALL 39 r7-stale queries (the oldest cohort registry-wide —
-# they fail the age-6 invariant at r14 if not re-signalled now), then the
-# round's 8 new registrations (never-checked queries outside the window
-# would trip the rotation guard), then 3 pre-drains from the 50-query
-# r8 cohort so the r14 window (which must drain the remaining 47 r8s)
-# gains slack. Queries frozen under tools/registry_freeze.json are
-# excluded from the age invariant (their staleness witness is the
-# committed plan digest — see rotation_report --help); everything here
-# stays in the hot rotation. Planned against tools/rotation_report.py:
-# after this window the oldest HOT signal registry-wide becomes r8.
+# ordering is signal allocation. Round-14 window, per VERDICT r13 ask #1:
+# the full 47-query r8-stale mandatory drain (oldest hot cohort — they
+# fail the age-6 invariant at r15 if not re-signalled now; exact set and
+# order from `rotation_report --plan-next` at r14 open, oldest-first with
+# name tie-break), then the 3 slack slots spent per VERDICT r13 ask #2 and
+# ADVICE r13 item 2: a reserved re-signal slot for unigram_lm_crossentropy
+# (its r13 localCheckpoint plan fix landed OUTSIDE the r13 window, so its
+# last driver signal r12 blessed the superseded plan — this slot closes
+# that gap instead of reverting a real 6-to-2-scan win), plus the two
+# largest plan-recompute-queue fixes (tools/audit_reuse.py):
+# rfm_segmentation_histogram (+13 redundant scans) and
+# capped_waterfill_allocation (+8), both rewritten THIS round while inside
+# this window, strict-re-blessed at 3 SFs + bare, digests regenerated.
+# t_closeness_audit (+5) is deliberately deferred to the r15 slack (its
+# r10 signal is not yet age-critical and the window has no fourth slot).
+# Queries frozen under tools/registry_freeze.json are excluded from the
+# age invariant (their staleness witness is the committed plan digest —
+# see rotation_report --help). Planned against tools/rotation_report.py:
+# after this window the oldest HOT signal registry-wide becomes r9.
 _CHECK_PRIORITY = (
-    # --- round-13 window (driver checks the FIRST 50) ---
-    # (1) the full r7-stale cohort: 39 queries; all HEAD-green in the
-    # r12 closing strict sweeps and digest-witnessed unchanged
-    "range_validity_nullout",
-    "daily_rollup_sum",
-    "daily_rollup_mean",
-    "conditional_range_check",
-    "window_dedup_first_seen",
-    "regex_extract_cast",
-    "json_props_parse",
-    "running_revenue",
-    "monthly_customer_spend",
-    "salted_event_counts",
-    "asof_join_last_view",
-    "funnel_view_purchase",
-    "violations_materialization",
-    "date_spine_gap_fill",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_volume",
-    "tpch_q14_promo_share",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_volume",
-    "dsir_importance_weights",
-    "scd2_priority_history",
-    "tpch_q15_top_supplier",
-    "winsorized_price_stats",
-    "drift_monitor_batch_replay",
-    "multimodal_meta_profile",
-    "training_shard_assignment",
-    "copurchase_pairs_topk",
-    "triangle_count_cooccurrence",
-    "snapshot_diff_cdc",
-    "weighted_sample_es",
-    "jsonl_roundtrip_scan",
-    "orc_roundtrip_scan",
-    "record_linkage_scores",
-    "linkage_em_step",
-    "hierarchy_rollup",
-    "embedding_dot_arrow",
-    "hygiene_batch_replay",
-    # (2) the 8 r13 registrations (strict-verified at sf0.001/0.01/0.1
-    # before registration; see SCALE.md r13)
-    "skipgram_cooccurrence_topk",
-    "log_odds_ratio_terms",
-    "ngram_novelty_curve",
-    "quantile_normalization_map",
-    "burstiness_fano_factor",
-    "js_divergence_sources",
-    "association_rules_lift",
-    "label_propagation_step",
-    # (3) 3 pre-drains from the r8 cohort (oldest-next; alphabetical
-    # head) — reduces the r14 mandatory drain from 50 to 47
-    "ams_f2_contract",
-    "approx_distinct_contract",
-    "approx_quantile_contract",
+    # --- round-14 window (driver checks the FIRST 50) ---
+    # (1) the full r8-stale cohort: 47 mandatory drains
+    "bloom_membership_contract",
+    "cluster_balanced_sample",
+    "compaction_plan",
+    "corpus_curation_pipeline",
+    "correlated_subquery_big_spenders",
+    "countmin_contract",
+    "cube_revenue",
+    "cuped_adjusted_lift",
+    "dedup_keep_best",
+    "doc_fingerprint",
+    "doc_quality_score",
+    "domain_mixing_budget",
+    "dp_noised_histogram",
+    "edit_distance_pairs",
+    "hard_negative_mining",
+    "hash_stratified_sample",
+    "incremental_ingest_dedup",
+    "khop_reach_parts",
+    "kmeans_lloyd_update",
+    "kmv_distinct_contract",
+    "lang_id_scores",
+    "length_filter_survivorship",
+    "lsh_dedup_clusters",
+    "multitouch_attribution",
+    "oov_rate_curve",
+    "order_gap_analysis",
+    "prefix_filter_simjoin",
+    "range_frame_trailing_avg",
+    "reciprocal_rank_fusion",
+    "retention_cohorts",
+    "seasonal_naive_backtest",
+    "shard_manifest_checksums",
+    "source_temperature_mix",
+    "stats_correlation",
+    "tfidf_top_terms",
+    "token_budget_plan",
+    "token_count",
+    "tpch_q13_custdist",
+    "tpch_q22_dormant_capital",
+    "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue",
+    "train_val_test_split",
+    "variant_props_profile",
+    "vocab_inventory",
+    "window_rank_suite",
+    "winnowing_fingerprints",
+    "zorder_write_band_spans",
+    # (2) 3 slack slots: reserved re-signal + the two largest
+    # recompute-queue fixes (see comment above)
+    "unigram_lm_crossentropy",
+    "rfm_segmentation_histogram",
+    "capped_waterfill_allocation",
 )
 
 

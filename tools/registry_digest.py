@@ -43,6 +43,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DIGEST_FILE = os.path.join(REPO, "tools", "registry_digests.json")
+# Checkpoint-scar sidecar (ADVICE r13 #3): localCheckpoint truncates
+# lineage to "Scan ExistingRDD", so a digest of the POST-checkpoint plan
+# witnesses little or none of the computation upstream of the pin. The
+# sidecar records which queries' canonical plans carry that scar; the
+# freeze tool (tools/registry_freeze.py) excludes them from freeze
+# eligibility — their drift witness is structurally weaker, so they stay
+# in the hot (driver-signal) rotation where the value oracle re-checks
+# them. Maintained by --write alongside the digest map and gated by the
+# suite's one-pass registry_plans fixture.
+CHECKPOINT_FILE = os.path.join(REPO, "tools", "registry_checkpointed.json")
 # HARD-pinned (not SPARK_GRAFT_VERIFY_SF_DIR): pre-AQE plans can differ
 # across scale factors (file-size-driven broadcast planning), so the
 # committed map is only meaningful at ONE sf — a verify-env override
@@ -111,15 +121,33 @@ def digest_of_plan(name: str, plan_text: str, sf_dir: str) -> str:
     return h.hexdigest()[:16]
 
 
-def query_digest(spark, spec, sf_dir: str) -> str:
+def has_checkpoint_scar(plan_text: str) -> bool:
+    """True when the formatted plan scans a checkpointed RDD — i.e. the
+    plan text (and therefore its digest) is blind to everything upstream
+    of a localCheckpoint pin."""
+    return "ExistingRDD" in plan_text
+
+
+def plan_text_of(spark, spec, sf_dir: str) -> str:
     df = spec.builder(spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
-    return digest_of_plan(spec.name, buf.getvalue(), sf_dir)
+    return buf.getvalue()
+
+
+def query_digest(spark, spec, sf_dir: str) -> str:
+    return digest_of_plan(spec.name, plan_text_of(spark, spec, sf_dir), sf_dir)
 
 
 def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
+    return compute_digests_and_scars(spark, names, sf_dir)[0]
+
+
+def compute_digests_and_scars(
+    spark, names=None, sf_dir: str = CANONICAL_SF_DIR
+) -> tuple[dict, dict]:
+    """(name -> digest, name -> has_checkpoint_scar) in one plan pass."""
     # strict imports ONLY for the all_specs() call — a permanent
     # os.environ.setdefault here leaked into the pytest process and
     # broke the lenient-mode import test when ordered after this
@@ -144,9 +172,26 @@ def compute_digests(spark, names=None, sf_dir: str = CANONICAL_SF_DIR) -> dict:
     prev = spark.conf.get(key)
     spark.conf.set(key, "32")
     try:
-        return {n: query_digest(spark, specs[n], sf_dir) for n in wanted}
+        digests: dict[str, str] = {}
+        scars: dict[str, bool] = {}
+        for n in wanted:
+            text = plan_text_of(spark, specs[n], sf_dir)
+            digests[n] = digest_of_plan(n, text, sf_dir)
+            scars[n] = has_checkpoint_scar(text)
+        return digests, scars
     finally:
         spark.conf.set(key, prev)
+
+
+def load_checkpointed() -> set[str]:
+    """Names whose canonical plan carries the checkpoint scar (digest
+    under-witnesses the plan). Empty set when the sidecar is absent —
+    callers then treat every query as fully witnessed, which matches
+    pre-sidecar behavior."""
+    if not os.path.exists(CHECKPOINT_FILE):
+        return set()
+    with open(CHECKPOINT_FILE) as f:
+        return set(json.load(f))
 
 
 def load_committed() -> dict:
@@ -199,21 +244,29 @@ def main() -> int:
     from fitness_nutrition_data_pipeline_spark.session import get_spark
 
     spark = get_spark("registry_digest")
-    current = compute_digests(spark, names)
+    current, scars = compute_digests_and_scars(spark, names)
 
     if write:
         committed = load_committed()
         committed.update(current)
+        marked = load_checkpointed()
+        marked |= {n for n, s in scars.items() if s}
+        marked -= {n for n, s in scars.items() if not s}
         if names is None:
             # full regeneration also drops unregistered leftovers
             committed = current
+            marked = {n for n, s in scars.items() if s}
         out = {_META_KEY: NORMALIZER_VERSION}
         out.update(dict(sorted(committed.items())))
         with open(DIGEST_FILE, "w") as f:
             json.dump(out, f, indent=1)
             f.write("\n")
+        with open(CHECKPOINT_FILE, "w") as f:
+            json.dump(sorted(marked), f, indent=1)
+            f.write("\n")
         print(f"wrote {len(committed)} digests to {DIGEST_FILE} "
-              f"(normalizer v{NORMALIZER_VERSION})")
+              f"(normalizer v{NORMALIZER_VERSION}); "
+              f"{len(marked)} checkpoint-scarred to {CHECKPOINT_FILE}")
         return 0
 
     committed_ver = load_committed_raw().get(_META_KEY)
@@ -235,12 +288,21 @@ def main() -> int:
         print(f"MISSING {n}: not in committed map (run --write)")
     for n in stale_entries:
         print(f"STALE {n}: committed but no longer registered")
+    marked = load_checkpointed()
+    scar_drift = [
+        n for n, s in scars.items()
+        if s != (n in marked) and n not in missing
+    ]
+    for n in scar_drift:
+        print(f"CKPT-DRIFT {n}: checkpoint scar is {scars[n]} but sidecar "
+              f"says {n in marked} (run --write)")
     ok = len(current) - len(drifted) - len(missing)
     print(
         f"{ok} unchanged, {len(drifted)} drifted, {len(missing)} missing, "
-        f"{len(stale_entries)} stale of {len(current)} checked"
+        f"{len(stale_entries)} stale, {len(scar_drift)} ckpt-drift "
+        f"of {len(current)} checked"
     )
-    return 1 if (drifted or missing or stale_entries) else 0
+    return 1 if (drifted or missing or stale_entries or scar_drift) else 0
 
 
 if __name__ == "__main__":

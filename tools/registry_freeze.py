@@ -31,7 +31,12 @@ Eligibility (enforced by ``freeze``, listed by ``propose``):
   - >= MIN_GREENS lifetime green checks and ZERO lifetime non-green
     checks (a query that ever went red is not "settled");
   - an oracle-checked query (rows-only queries keep rotating — their
-    driver signal is the only value witness they have).
+    driver signal is the only value witness they have);
+  - no checkpoint scar in the canonical plan
+    (tools/registry_checkpointed.json, maintained by registry_digest
+    --write): localCheckpoint truncates lineage to "Scan ExistingRDD",
+    so the digest witnesses only the post-pin subplan — too weak a
+    drift witness to substitute for a driver signal (ADVICE r13 #3).
 
 Usage:
   python tools/registry_freeze.py propose            # list eligible
@@ -152,13 +157,19 @@ def frozen_names() -> set[str]:
 
 def _eligible(specs, hist) -> dict[str, dict]:
     """name -> freeze metadata for every currently-eligible query."""
-    from tools.registry_digest import load_committed
+    from tools.registry_digest import load_checkpointed, load_committed
 
     committed = load_committed()
+    # Checkpoint-scarred plans digest only the post-pin subplan (lineage
+    # truncates to "Scan ExistingRDD"), so "digest unchanged" would NOT
+    # witness the computation upstream of the pin — exactly the evidence
+    # freezing is built on. Those queries stay hot, where the driver's
+    # value oracle re-checks them (ADVICE r13 #3).
+    scarred = load_checkpointed()
     maps: dict[int, dict | None] = {}
     out: dict[str, dict] = {}
     for name, spec in specs.items():
-        if spec.oracle is None:
+        if spec.oracle is None or name in scarred:
             continue
         checks = hist.get(name, [])
         if not checks or not all(g for _, g in checks):
@@ -200,7 +211,14 @@ def cmd_propose() -> int:
     hist = correctness_history()
     frozen = set(load_freeze().get("frozen", {}))
     elig = {n: m for n, m in _eligible(specs, hist).items() if n not in frozen}
-    print(f"eligible to freeze ({len(elig)}; already frozen: {len(frozen)}):")
+    from tools.registry_digest import load_checkpointed
+
+    scarred = sorted(load_checkpointed() & set(frozen))
+    if scarred:
+        print(f"WEAK-WITNESS (frozen but checkpoint-scarred — digest "
+              f"under-witnesses the plan; thaw these): {scarred}")
+    print(f"eligible to freeze ({len(elig)}; already frozen: {len(frozen)}; "
+          f"checkpoint-scarred queries are never eligible):")
     for n, m in sorted(elig.items()):
         print(f"  {n} (last green r{m['last_green_round']}, "
               f"{m['lifetime_greens']} lifetime greens, digest {m['digest']})")
@@ -245,17 +263,24 @@ def cmd_thaw(names: list[str]) -> int:
 
 
 def cmd_check() -> int:
-    from tools.registry_digest import load_committed
+    from tools.registry_digest import load_checkpointed, load_committed
 
     specs = _specs()
     hist = correctness_history()
     committed = load_committed()
     data = load_freeze()
+    scarred = load_checkpointed()
     maps: dict[int, dict | None] = {}
     invalid = promoted = intact = 0
     for name, meta in data.get("frozen", {}).items():
         if name not in specs:
             print(f"INVALID {name}: frozen but not registered")
+            invalid += 1
+            continue
+        if name in scarred:
+            print(f"INVALID {name}: frozen but checkpoint-scarred — the "
+                  f"digest witnesses only the post-pin subplan; thaw and "
+                  f"keep it in the hot rotation (ADVICE r13 #3)")
             invalid += 1
             continue
         r = meta.get("last_green_round")
