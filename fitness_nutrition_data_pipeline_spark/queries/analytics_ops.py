@@ -509,26 +509,69 @@ def rfm_segmentation_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = per_cust.withColumn(
         "m_bin", F.expr("monetary_cents div 10000")
     )
-    tot = per_cust.agg(F.count(F.lit(1)).alias("n"))
 
-    def value_quintiles(vals: DataFrame, desc: bool) -> DataFrame:
-        """(v, q): equi-depth quintile of each distinct metric value via
-        the prefix-sum CDF over the collapsed value grain."""
-        order = F.col("v").desc() if desc else F.col("v").asc()
-        cum = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")).withColumn(
+    # The three metric CDFs used to be three separate subplans, each
+    # re-computing the orders scan + customer-grain agg, and each also
+    # cross-joining a separately-recomputed total — 13 redundant scans
+    # in the executed plan (tools/audit_reuse.py, r13). One explode pass
+    # over customer grain now feeds all three: (metric, v) rows collapse
+    # to the per-metric VALUE grain, the prefix-sum CDF runs partitioned
+    # by metric (recency negated so its DESC order becomes the shared
+    # ASC frame), and n comes from an unbounded window over the same
+    # partition instead of a recomputed global agg. The quintile map is
+    # bounded (distinct recency days x distinct frequencies x $100 bins)
+    # — answer-sized by the repo's localCheckpoint rule — so pinning it
+    # cuts the three broadcast-join consumers to ExistingRDD reads: the
+    # executed plan scans orders twice (anchor + per_cust), period.
+    mv = per_cust.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("metric"),
+                    F.col("recency_days").alias("v"),
+                ),
+                F.struct(
+                    F.lit("f").alias("metric"), F.col("frequency").alias("v")
+                ),
+                F.struct(
+                    F.lit("m").alias("metric"), F.col("m_bin").alias("v")
+                ),
+            )
+        ).alias("mv")
+    ).select("mv.metric", "mv.v")
+    by_metric = W.partitionBy("metric")
+    quint = (
+        mv.groupBy("metric", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # recency quintiles rank v DESC; negating its sort key folds all
+        # three metrics into one ASC rows-frame over the value grain
+        .withColumn(
+            "sk",
+            F.when(F.col("metric") == "r", -F.col("v")).otherwise(F.col("v")),
+        )
+        .withColumn(
             "cw",
             F.sum("c").over(
-                W.orderBy(order).rowsBetween(W.unboundedPreceding, 0)
+                by_metric.orderBy("sk").rowsBetween(W.unboundedPreceding, 0)
             ),
         )
-        return cum.crossJoin(F.broadcast(tot)).select(
-            "v",
+        .withColumn(
+            "n",
+            F.sum("c").over(
+                by_metric.rowsBetween(
+                    W.unboundedPreceding, W.unboundedFollowing
+                )
+            ),
+        )
+        .select(
+            "metric", "v",
             F.expr("(5 * cw + n - 1) div n").cast("int").alias("q"),
         )
-
-    rq = value_quintiles(per_cust.select(F.col("recency_days").alias("v")), desc=True)
-    fq = value_quintiles(per_cust.select(F.col("frequency").alias("v")), desc=False)
-    mq = value_quintiles(per_cust.select(F.col("m_bin").alias("v")), desc=False)
+        .localCheckpoint()
+    )
+    rq = quint.where(F.col("metric") == "r").select("v", "q")
+    fq = quint.where(F.col("metric") == "f").select("v", "q")
+    mq = quint.where(F.col("metric") == "m").select("v", "q")
     return (
         per_cust.join(
             F.broadcast(rq.withColumnRenamed("q", "r_q")),

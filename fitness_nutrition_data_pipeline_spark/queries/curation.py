@@ -565,10 +565,19 @@ def pretraining_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touches data; the allocation runs on the source-count relation.",
 )
 def capped_waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # caps fans out into FOUR consumers (tot, ranked -> kk / pfx_k /
+    # final projection) — unpinned, the executed plan re-scanned
+    # documents 9 times for one source-grain aggregate
+    # (tools/audit_reuse.py, r13 queue). The relation is answer-sized
+    # (|sources| rows), so localCheckpoint is admissible by the repo
+    # rule and cuts the plan to ONE documents scan; every downstream
+    # step (the unpartitioned-but-bounded rank window, the feasibility
+    # scan, the level algebra) runs on the pinned source-count relation.
     caps = (
         load_table(spark, sf_dir, "documents")
         .groupBy("source")
         .agg(F.sum("n_chars").cast("long").alias("cap"))
+        .localCheckpoint()
     )
     tot = caps.agg(
         F.sum("cap").cast("long").alias("total"),

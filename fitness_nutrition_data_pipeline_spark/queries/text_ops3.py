@@ -485,8 +485,15 @@ def skipgram_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     cnt AS (SELECT corpus, tok, count(*) AS y FROM toks GROUP BY corpus, tok),
-    tot AS (SELECT corpus, sum(y) AS n FROM cnt GROUP BY corpus),
-    vocab AS (SELECT count(DISTINCT tok) AS v FROM cnt),
+    -- single-row conditional aggregate, NOT per-corpus scalar subqueries:
+    -- on a monolingual slice a (SELECT n FROM tot WHERE corpus='en')
+    -- relation is EMPTY and the comma-join wipes the result, while the
+    -- Spark side's global agg emits one row with NULL n1 — this shape
+    -- degenerates identically on both engines (ADVICE r13 #4)
+    tot AS (SELECT sum(CASE WHEN corpus = 'en' THEN y END) AS n1,
+                   sum(CASE WHEN corpus = 'other' THEN y END) AS n2,
+                   count(DISTINCT tok) AS v
+            FROM cnt),
     wide AS (
       SELECT t.tok,
              coalesce(max(CASE WHEN t.corpus = 'en' THEN y END), 0) AS y1,
@@ -496,12 +503,11 @@ def skipgram_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored AS (
       SELECT w.tok, w.y1, w.y2,
              round(CAST(
-               (ln((w.y1 + 1.0) / (n1.n + v.v - w.y1 - 1.0))
-                - ln((w.y2 + 1.0) / (n2.n + v.v - w.y2 - 1.0)))
+               (ln((w.y1 + 1.0) / (t.n1 + t.v - w.y1 - 1.0))
+                - ln((w.y2 + 1.0) / (t.n2 + t.v - w.y2 - 1.0)))
                / sqrt(1.0 / (w.y1 + 1.0) + 1.0 / (w.y2 + 1.0))
              AS DOUBLE), 6) AS z
-      FROM wide w, (SELECT n FROM tot WHERE corpus = 'en') n1,
-           (SELECT n FROM tot WHERE corpus = 'other') n2, vocab v
+      FROM wide w, tot t
     ),
     final AS (
       SELECT tok, CAST(y1 AS BIGINT) AS y_en, CAST(y2 AS BIGINT) AS y_other, z

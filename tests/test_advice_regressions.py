@@ -313,6 +313,43 @@ def test_load_failure_cleanup_waits_for_inflight_writers(spark, tmp_path):
     assert not spark.catalog.tableExists("Dim_User")
 
 
+def test_log_odds_oracle_degenerates_like_spark(spark, tmp_path):
+    """ADVICE r13 #4: on a MONOLINGUAL corpus slice the old oracle's
+    per-corpus scalar subqueries produced an empty relation and wiped
+    the result through the comma-join, while the Spark side's global
+    agg emits one row with NULL totals and 20 null-z rows — a strict
+    hash-mismatch waiting on any single-language data slice. Both
+    engines must now degenerate identically."""
+    import duckdb
+    import pandas as pd
+
+    from fitness_nutrition_data_pipeline_spark.queries import all_specs
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(30),
+            "text": [f"alpha beta w{i} gamma" for i in range(30)],
+            "lang": ["en"] * 30,  # no 'other' corpus at all
+            "source": ["s"] * 30,
+            "n_chars": [20] * 30,
+        }
+    )
+    docs.to_parquet(str(tmp_path / "documents.parquet"))
+
+    spec = all_specs()["log_odds_ratio_terms"]
+    got = spec.builder(spark, str(tmp_path)).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet'"
+    )
+    want = con.execute(spec.oracle).df()
+    assert len(got) == len(want) == 20
+    assert got["z"].isna().all() and want["z"].isna().all()
+    assert sorted(got["tok"]) == sorted(want["tok"])
+
+
 def test_subset_digest_write_refuses_normalizer_mismatch(monkeypatch):
     """ADVICE r12 #2: a subset --write into a map written under a
     different normalizer version must refuse (Spark-free check), while

@@ -780,6 +780,11 @@ def test_fixed_recompute_sites_stay_fixed(registry_plans):
         "label_propagation_step": 5,      # self-join 2 + dim part 3
         "association_rules_lift": 5,      # self-join 2 + item/order stats
         "js_divergence_sources": 1,       # contingency pinned
+        # r14 queue fixes (VERDICT r13 ask #2)
+        "rfm_segmentation_histogram": 2,  # anchor + per_cust; quintile
+                                          # map pinned (was 13 extra)
+        "capped_waterfill_allocation": 1, # source-grain caps pinned
+                                          # (was 8 extra)
     }
     for name, bound in bounds.items():
         scans = registry_plans[name]["formatted"].count("Scan parquet") // 2

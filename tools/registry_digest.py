@@ -124,8 +124,12 @@ def digest_of_plan(name: str, plan_text: str, sf_dir: str) -> str:
 def has_checkpoint_scar(plan_text: str) -> bool:
     """True when the formatted plan scans a checkpointed RDD — i.e. the
     plan text (and therefore its digest) is blind to everything upstream
-    of a localCheckpoint pin."""
-    return "ExistingRDD" in plan_text
+    of a localCheckpoint pin. Matched on the RDD's recorded call site
+    ("... at localCheckpoint at ..."), NOT on the bare "ExistingRDD"
+    node name: createDataFrame literals print the same node
+    ("at applySchemaToPythonRDD at") but have no hidden upstream — the
+    digest fully witnesses those plans."""
+    return " at localCheckpoint at " in plan_text
 
 
 def plan_text_of(spark, spec, sf_dir: str) -> str:
