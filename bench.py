@@ -89,6 +89,35 @@ def host_probe_sec(adds: int = 20_000_000) -> float:
     return round(time.time() - t0, 3)
 
 
+def _spin(adds: int) -> int:
+    acc = 0
+    for i in range(adds):
+        acc += i
+    return acc
+
+
+def host_probe_mc_sec(workers: int = 8, adds: int = 20_000_000) -> float:
+    """Fixed-width MULTI-core spin probe (8 forked processes x the SAME
+    20M-add spin as host_probe_sec, wall-clock of the whole batch):
+    witnesses effective parallel throughput, the regime the single-core
+    probe is blind to — r13's host read FASTER on the single-core spin
+    than every prior quiet band while every Spark-parallel workload ran
+    10-40% slower with identical plan digests (VERDICT r13 ask #8,
+    SCALE.md probe blind-spot note). Matching per-worker work makes the
+    ratio self-interpreting: on a quiet host all 8 workers run
+    concurrently and mc ~= sc (+ fork overhead); mc/sc climbing toward
+    8 means effective cores are vanishing. Forked PROCESSES, not
+    threads — the GIL would serialize a threaded pure-Python spin and
+    measure single-core all over again."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    t0 = time.time()
+    with ctx.Pool(workers) as pool:
+        pool.map(_spin, [adds] * workers)
+    return round(time.time() - t0, 3)
+
+
 def plan_digest(spark, specs, sf_dir: str) -> str:
     """Deterministic hash of the 18 headline queries' formatted physical
     plans (initial, pre-AQE — a pure code+optimizer witness, no
@@ -183,6 +212,7 @@ def main() -> None:
     # as every prior round's reading
     headline_digest = plan_digest(spark, specs, sf_dir)
     headline_probe = host_probe_sec()
+    headline_probe_mc = host_probe_mc_sec()
 
     extended = None
     if "--no-extended" not in sys.argv:
@@ -208,6 +238,7 @@ def main() -> None:
             "complete": not ext_errors,
             "reps": 1,
             "probe_sec": host_probe_sec(),
+            "probe_mc_sec": host_probe_mc_sec(),
         }
         if ext_errors:
             extended["errors"] = ext_errors
@@ -231,6 +262,7 @@ def main() -> None:
         # plan-drift witnesses travel WITH the reading (captured before
         # the extended section ran — see comment at capture site)
         "probe_sec": headline_probe,
+        "probe_mc_sec": headline_probe_mc,
         "plan_digest": headline_digest,
     }
     if extended is not None:

@@ -82,8 +82,9 @@ def _print_probe(tag: str) -> None:
     drifted 0.70 -> 0.84 — without a probe in the log, a slow run reads
     as a regression. Failures here must never fail the suite."""
     try:
-        from bench import host_probe_sec
+        from bench import host_probe_mc_sec, host_probe_sec
 
-        print(f"\n[{tag}] host_probe_sec={host_probe_sec()}")
+        print(f"\n[{tag}] host_probe_sec={host_probe_sec()} "
+              f"host_probe_mc_sec={host_probe_mc_sec()}")
     except Exception:  # noqa: BLE001
         pass

@@ -1,0 +1,291 @@
+"""Property-style engine parity for the two remaining stateful streaming
+families (VERDICT r13 ask #4, completing the §2.8 hypothesis
+batch-invariance set): sessionization and watermarked dedup.
+
+Both tests drive the REAL Structured Streaming engines — one availableNow
+micro-batch per drawn split against a shared checkpoint — and assert the
+FINAL emitted table is invariant to WHERE the feed is cut into
+micro-batches and to arrival ORDER within each micro-batch, and equals
+the independently-computed batch answer.
+
+- Sessions: hypothesis draws per-event (user, forward time step), the
+  micro-batch cut points (contiguous slices of the feed — state
+  semantics require per-user time to move forward ACROSS batches; full
+  reorder-tolerance within the watermark is the dedup test's job), and
+  a permutation within each batch. Both sessionizer backends run per
+  example: the custom applyInPandasWithState operator and the native
+  session_window aggregation (streaming/sessions.py); a far-future
+  flush event per user closes every real session so append mode emits
+  it. Expected sessions come from a transparent pure-Python fold of the
+  30-minute-gap spec.
+- Dedup: content-duplicated events (fresh ids, repeated payloads) are
+  split ARBITRARILY across micro-batches — every duplicate arrives
+  inside the 1-hour lateness window, so dropDuplicatesWithinWatermark
+  must behave as a global first-wins distinct: each payload emitted
+  exactly once, surviving payload set equal to the batch distinct.
+
+The r12/r13 family tests (watermark, ratelimit, CEP, drift, heavy
+hitters) are the template: tests/test_drift_property.py.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import sys
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+T0 = datetime.datetime(2016, 4, 1, 10, 0, 0)
+N_EVENTS = 18
+GAP_MIN = 30  # must match streaming/sessions.py GAP_US
+
+
+@st.composite
+def session_feed(draw):
+    """(user_ids, minute_offsets, per-batch permutations): global event
+    times are non-decreasing (cumulative 0-45 min steps, so real session
+    breaks occur), batches are contiguous slices of that feed."""
+    users = draw(
+        st.lists(st.integers(0, 1), min_size=N_EVENTS, max_size=N_EVENTS)
+    )
+    steps = draw(
+        st.lists(st.integers(0, 45), min_size=N_EVENTS, max_size=N_EVENTS)
+    )
+    offs, acc = [], 0
+    for s in steps:
+        acc += s
+        offs.append(acc)
+    cuts = sorted(
+        draw(st.lists(st.integers(1, N_EVENTS - 1), max_size=1, unique=True))
+    )
+    bounds = [0, *cuts, N_EVENTS]
+    perms = [
+        draw(st.permutations(range(bounds[b], bounds[b + 1])))
+        for b in range(len(bounds) - 1)
+    ]
+    return users, offs, perms
+
+
+def _expected_sessions(rows):
+    """Pure-Python 30-minute-gap spec: (user, start_us, end_us, n)."""
+    by_user: dict[int, list[int]] = {}
+    for _eid, ts, uid in rows:
+        by_user.setdefault(uid, []).append(
+            int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+        )
+    out = []
+    for uid, times in by_user.items():
+        times.sort()
+        start = last = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - last > GAP_MIN * 60 * 1_000_000:
+                out.append((uid, start, last, n))
+                start = last = t
+                n = 1
+            else:
+                last = t
+                n += 1
+        out.append((uid, start, last, n))  # flush closes the tail too
+    return sorted(out)
+
+
+@settings(
+    max_examples=2,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(session_feed())
+def test_sessionizers_invariant_to_batching(spark, case):
+    from fitness_nutrition_data_pipeline_spark.streaming.sessions import (
+        stream_sessionize,
+        stream_sessionize_native,
+    )
+
+    users, offs, perms = case
+    rows = [
+        (i, T0 + datetime.timedelta(minutes=offs[i], seconds=i % 7), users[i])
+        for i in range(N_EVENTS)
+    ]
+    flush_ts = T0 + datetime.timedelta(days=100)
+    want = _expected_sessions(rows)
+
+    for backend in (stream_sessionize, stream_sessionize_native):
+        work = tempfile.mkdtemp(prefix="sess_prop_")
+        try:
+            src = os.path.join(work, "in")
+            emitted: list[tuple] = []
+
+            os.makedirs(src, exist_ok=True)
+            batch_no = [0]
+
+            def run_batch(batch_rows, _src=src, _work=work, _out=emitted,
+                          _backend=backend, _no=batch_no):
+                # pyarrow-direct parquet (timestamp[us] == Spark
+                # TimestampType) — a Spark batch write per micro-batch
+                # tripled this test's wall-clock
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                table = pa.table(
+                    {
+                        "event_id": pa.array(
+                            [eid for eid, _, _ in batch_rows], pa.int64()
+                        ),
+                        "ts": pa.array(
+                            [ts for _, ts, _ in batch_rows],
+                            pa.timestamp("us"),
+                        ),
+                        "user_id": pa.array(
+                            [uid for _, _, uid in batch_rows], pa.int64()
+                        ),
+                        "event_type": pa.array(
+                            ["e"] * len(batch_rows), pa.string()
+                        ),
+                        "value": pa.array(
+                            [0.0] * len(batch_rows), pa.float64()
+                        ),
+                    }
+                )
+                pq.write_table(
+                    table, os.path.join(_src, f"b{_no[0]}.parquet")
+                )
+                _no[0] += 1
+
+                def sink(df, _epoch):
+                    _out.extend(
+                        (
+                            r["user_id"],
+                            r["session_start_us"],
+                            r["session_end_us"],
+                            r["n_events"],
+                        )
+                        for r in df.collect()
+                    )
+
+                q = (
+                    _backend(spark, _src)
+                    .writeStream.foreachBatch(sink)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .option(
+                        "checkpointLocation", os.path.join(_work, "ckpt")
+                    )
+                    .start()
+                )
+                q.awaitTermination()
+
+            for perm in perms:
+                run_batch([rows[j] for j in perm])
+            # one far-future event per user: every real session's gap /
+            # watermark horizon is crossed, so append emits it; the
+            # flush sessions themselves stay open and never emit
+            run_batch(
+                [(9000 + u, flush_ts, u) for u in sorted(set(users))]
+            )
+
+            got = sorted(emitted)
+            assert got == want, (
+                f"{backend.__name__}: cuts={[len(p) for p in perms]} "
+                f"engine-only={set(got) - set(want)} "
+                f"spec-only={set(want) - set(got)}"
+            )
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+
+@st.composite
+def dup_feed(draw):
+    """Indices into a 9-slot payload pool (duplicates guaranteed), cut
+    into up to 3 batches at ARBITRARY points with in-batch permutations
+    — unlike sessions, dedup state must tolerate any cross-batch
+    arrival order, because every arrival is inside the lateness
+    window."""
+    slots = draw(
+        st.lists(st.integers(0, 8), min_size=N_EVENTS, max_size=N_EVENTS)
+    )
+    order = draw(st.permutations(range(N_EVENTS)))
+    cuts = sorted(
+        draw(st.lists(st.integers(1, N_EVENTS - 1), max_size=2, unique=True))
+    )
+    bounds = [0, *cuts, N_EVENTS]
+    batches = [
+        [order[j] for j in range(bounds[b], bounds[b + 1])]
+        for b in range(len(bounds) - 1)
+    ]
+    return slots, batches
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(dup_feed())
+def test_content_dedup_invariant_to_batching(spark, case):
+    from fitness_nutrition_data_pipeline_spark.streaming.dedup import (
+        dedup_by_content,
+    )
+
+    slots, batches = case
+    # payload determined by slot; event_id fresh per arrival (the
+    # transport-redelivery shape dedup_by_content exists for); all ts
+    # within 10 minutes << the 1 h lateness window, so no state expires
+    # between any two duplicates
+    rows = [
+        (
+            i,
+            T0 + datetime.timedelta(seconds=30 * slots[i] + i % 11),
+            f"k{slots[i]}",
+            float(slots[i]) * 1.5,
+        )
+        for i in range(N_EVENTS)
+    ]
+    work = tempfile.mkdtemp(prefix="dedup_prop_")
+    try:
+        src = os.path.join(work, "in")
+        os.makedirs(src)
+        emitted: list[tuple] = []
+
+        def run_batch(batch_rows, b):
+            with open(os.path.join(src, f"batch{b}.csv"), "w") as f:
+                f.write("event_id,ts,k,v\n")
+                for eid, ts, k, v in batch_rows:
+                    f.write(f"{eid},{ts},{k},{v}\n")
+            stream = (
+                spark.readStream.schema(
+                    "event_id LONG, ts TIMESTAMP, k STRING, v DOUBLE"
+                )
+                .option("header", True)
+                .csv(src)
+            )
+            deduped = dedup_by_content(stream, "ts", ["k", "v"])
+
+            def sink(df, _epoch, _out=emitted):
+                _out.extend((r["k"], r["v"]) for r in df.collect())
+
+            q = (
+                deduped.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+
+        for b, idxs in enumerate(batches):
+            run_batch([rows[j] for j in idxs], b)
+
+        # exactly-once per payload, and the survivor set is the batch
+        # distinct — a redelivered payload never re-emits, a fresh one
+        # never disappears
+        assert len(emitted) == len(set(emitted)), f"re-emitted: {emitted}"
+        assert set(emitted) == {(f"k{s}", float(s) * 1.5) for s in set(slots)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

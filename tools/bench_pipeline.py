@@ -129,13 +129,17 @@ def main() -> None:
     # self-annotating host-regime witness (same protocol as bench.py's
     # probe_sec): a fixed CPU spin whose wall-clock calibrates the host,
     # so every e2e reading carries its own noise adjudication
-    from bench import host_probe_sec
+    from bench import host_probe_mc_sec, host_probe_sec
 
     line = json.dumps(
         {
             "metric": "pipeline_e2e",
             "unit": "sec",
             "probe_sec": host_probe_sec(),
+            # 8-way forked spin: effective-parallelism witness; the
+            # single-core probe proved blind to r13's multi-core-only
+            # degradation (VERDICT r13 ask #8)
+            "probe_mc_sec": host_probe_mc_sec(),
             "plan_digest": wh_digest,
             "xlsx_convert_s": round(t_convert, 3),
             "extract_s": round(t_extract, 3),
