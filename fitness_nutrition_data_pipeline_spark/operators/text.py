@@ -313,10 +313,20 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def tfidf_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tfidf) with tfidf = tf · ln(N/df), rounded 4dp so ranking
-    on it is engine-independent."""
+    on it is engine-independent.
+
+    Document frequency derives FROM the tf relation (one row per
+    (doc, term), so a plain count per term == countDistinct docs)
+    instead of a second aggregation over the raw token explode: the raw
+    token stream is exploded and shuffled once, and df's term-shuffle
+    reads the much smaller deduped (doc, term) grain. Both tf consumers
+    (the join left side and the df rollup) contain the IDENTICAL
+    partial-count -> Exchange(doc, term) subtree, which ReuseExchange
+    collapses to one physical shuffle (r14 reuse-audit fix; scan bound
+    gated in tests/test_plans.py)."""
     toks = df.select(id_col, F.explode(whitespace_tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         tf.join(dfreq, "term")

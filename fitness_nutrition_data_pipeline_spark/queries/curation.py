@@ -98,7 +98,6 @@ _CURATION_SQL = (
 )
 def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    q = quality_features(d, "text", _STOPWORDS).select("doc_id", "passes_quality")
     near = lsh_dup_flags(
         lsh_bands(minhash_signatures(d, "doc_id", "text"), "doc_id"), "doc_id"
     )
@@ -109,11 +108,19 @@ def corpus_curation_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
+    # quality_features is a pure narrow projection (no shuffle), so it
+    # rides the SAME scan as the split/exact-dup flags — the old shape
+    # computed it as a separate branch and hash-joined it back to this
+    # scan on doc_id: one full extra documents scan plus a join shuffle
+    # for columns that were available in place (r14 reuse-audit fix)
     flags = (
-        d.select("doc_id", "n_chars", "text", split.alias("split"))
+        quality_features(d, "text", _STOPWORDS)
+        .select(
+            "doc_id", "n_chars", "text", "passes_quality",
+            split.alias("split"),
+        )
         .withColumn("is_exact", is_exact)
         .drop("text")
-        .join(q, "doc_id")
         .join(near, "doc_id", "left")
         .withColumn("is_near", F.coalesce(F.col("is_dup_candidate"), F.lit(0)))
     )

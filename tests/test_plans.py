@@ -785,6 +785,13 @@ def test_fixed_recompute_sites_stay_fixed(registry_plans):
                                           # map pinned (was 13 extra)
         "capped_waterfill_allocation": 1, # source-grain caps pinned
                                           # (was 8 extra)
+        "tfidf_top_terms": 3,             # filtered tf + global df +
+                                          # n_docs; df derives from tf
+                                          # (raw tokens shuffled once)
+        "corpus_curation_pipeline": 3,    # quality rides the base scan
+                                          # (was 4 + a join shuffle);
+                                          # +2 is the LSH bands->mins
+                                          # self-consumption
     }
     for name, bound in bounds.items():
         scans = registry_plans[name]["formatted"].count("Scan parquet") // 2
