@@ -45,3 +45,36 @@ def test_pipeline_bench_artifact_shape():
         assert not missing, f"{path} missing fields: {missing}"
         assert d["metric"] == "pipeline_e2e"
         assert len(d["plan_digest"]) == 16
+
+
+def test_bench_trend_tool_reads_committed_artifacts():
+    """tools/bench_trend.py (r14) must parse every committed BENCH
+    artifact and apply the digest-comparability rule: priors only count
+    when their round's headline plan digest equals the latest round's.
+    Pure file reads — the flag exit code is NOT asserted (a genuinely
+    flagged family on a degraded host is the tool doing its job)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.bench_trend import _rounds, main
+
+    rounds = _rounds("BENCH_r*.json")
+    assert len(rounds) >= 3, "expected committed BENCH_r*.json history"
+    assert all(isinstance(d.get("queries"), dict) for _, d in rounds)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main()
+    out = buf.getvalue()
+    assert "headline plan digests" in out
+    assert "[pipeline e2e]" in out
+    # the comparability rule: every printed "best rN" must come from a
+    # digest-matching round
+    latest = max(r for r, _ in rounds)
+    latest_digest = dict(rounds)[latest].get("plan_digest")
+    comparable = {
+        r for r, d in rounds if d.get("plan_digest") == latest_digest
+    }
+    import re as _re
+
+    for m in _re.finditer(r"best r(\d+)", out):
+        assert int(m.group(1)) in comparable
