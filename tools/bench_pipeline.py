@@ -76,6 +76,16 @@ def main() -> None:
     from fitness_nutrition_data_pipeline_spark.pipeline import FitnessWarehousePipeline
     from fitness_nutrition_data_pipeline_spark.session import get_spark
 
+    # bracket the run with probes: the post-run pair alone samples one
+    # instant on a host whose regime swings on minute timescales (r14:
+    # a 2.12x reading carried QUIET post-run probes because the
+    # contention ended with the run) — pre/post together say whether
+    # the regime held across the measurement
+    from bench import host_probe_mc_sec, host_probe_sec
+
+    probe_pre = host_probe_sec()
+    probe_mc_pre = host_probe_mc_sec()
+
     base = tempfile.mkdtemp(prefix="bench_pipeline_")
     data = os.path.join(base, "data")
     os.makedirs(os.path.join(data, "fitbit"))
@@ -129,12 +139,12 @@ def main() -> None:
     # self-annotating host-regime witness (same protocol as bench.py's
     # probe_sec): a fixed CPU spin whose wall-clock calibrates the host,
     # so every e2e reading carries its own noise adjudication
-    from bench import host_probe_mc_sec, host_probe_sec
-
     line = json.dumps(
         {
             "metric": "pipeline_e2e",
             "unit": "sec",
+            "probe_sec_pre": probe_pre,
+            "probe_mc_sec_pre": probe_mc_pre,
             "probe_sec": host_probe_sec(),
             # 8-way forked spin: effective-parallelism witness; the
             # single-core probe proved blind to r13's multi-core-only
