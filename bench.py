@@ -166,6 +166,12 @@ def main() -> None:
         reps = 5
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # pre-run probe pair: the post-run pair alone samples one instant —
+    # a contended run ending in a quiet window ships clean probes (the
+    # r14 pipeline bench caught exactly this); pre+post bracket the
+    # headline section so the artifact shows whether the regime HELD
+    probe_pre = host_probe_sec()
+    probe_mc_pre = host_probe_mc_sec()
     spark = get_spark("bench")
     specs = all_specs()
 
@@ -261,6 +267,8 @@ def main() -> None:
         # self-annotating protocol (VERDICT r10 ask #4): host regime +
         # plan-drift witnesses travel WITH the reading (captured before
         # the extended section ran — see comment at capture site)
+        "probe_sec_pre": probe_pre,
+        "probe_mc_sec_pre": probe_mc_pre,
         "probe_sec": headline_probe,
         "probe_mc_sec": headline_probe_mc,
         "plan_digest": headline_digest,
