@@ -1,6 +1,7 @@
-"""Property-style engine parity for the two remaining stateful streaming
-families (VERDICT r13 ask #4, completing the §2.8 hypothesis
-batch-invariance set): sessionization and watermarked dedup.
+"""Property-style engine parity for the remaining stateful streaming
+families (VERDICT r13 ask #4 plus one beyond it, completing the §2.8
+hypothesis batch-invariance set): sessionization, watermarked dedup,
+and the stream-stream attribution join.
 
 Both tests drive the REAL Structured Streaming engines — one availableNow
 micro-batch per drawn split against a shared checkpoint — and assert the
@@ -23,6 +24,10 @@ the independently-computed batch answer.
   inside the 1-hour lateness window, so dropDuplicatesWithinWatermark
   must behave as a global first-wins distinct: each payload emitted
   exactly once, surviving payload set equal to the batch distinct.
+- Stream-stream join: view/purchase events dealt arbitrarily into
+  micro-batches (all inside the lateness window); the engine's
+  cross-batch state buffering must reproduce the exact quadratic
+  attribution spec with no pair emitted twice.
 
 The r12/r13 family tests (watermark, ratelimit, CEP, drift, heavy
 hitters) are the template: tests/test_drift_property.py.
@@ -287,5 +292,121 @@ def test_content_dedup_invariant_to_batching(spark, case):
         # never disappears
         assert len(emitted) == len(set(emitted)), f"re-emitted: {emitted}"
         assert set(emitted) == {(f"k{s}", float(s) * 1.5) for s in set(slots)}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@st.composite
+def attribution_feed(draw):
+    """Events for two feeds: per event (side, user, minute offset) with
+    ARBITRARY dealing into up to 3 micro-batches and in-batch order —
+    every timestamp is inside the 2 h lateness window, so no buffered
+    row is ever evicted before its partner can arrive and the engine
+    must reproduce the exact batch join for any split."""
+    n = 16
+    sides = draw(st.lists(st.booleans(), min_size=n, max_size=n))
+    users = draw(st.lists(st.integers(0, 1), min_size=n, max_size=n))
+    offs = draw(st.lists(st.integers(0, 90), min_size=n, max_size=n))
+    order = draw(st.permutations(range(n)))
+    cuts = sorted(
+        draw(st.lists(st.integers(1, n - 1), max_size=2, unique=True))
+    )
+    bounds = [0, *cuts, n]
+    batches = [
+        [order[j] for j in range(bounds[b], bounds[b + 1])]
+        for b in range(len(bounds) - 1)
+    ]
+    return sides, users, offs, batches
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(attribution_feed())
+def test_stream_stream_join_invariant_to_batching(spark, case):
+    """The inner stream-stream attribution join buffers BOTH sides in
+    state across micro-batches; a view arriving in batch 0 must still
+    match a purchase arriving in batch 2, and no pair may emit twice —
+    for every dealing of events across batches and every in-batch
+    order. Expected = the quadratic pure-Python attribution spec
+    (user match + purchase within 60 min after the view)."""
+    from fitness_nutrition_data_pipeline_spark.streaming.joins import (
+        stream_stream_attribution,
+    )
+
+    sides, users, offs, batches = case
+    rows = [
+        (
+            100 + i,
+            T0 + datetime.timedelta(minutes=offs[i], seconds=i % 5),
+            users[i],
+            "view" if sides[i] else "purchase",
+        )
+        for i in range(len(sides))
+    ]
+    want = sorted(
+        (rows[i][2], rows[i][0], rows[j][0])
+        for i in range(len(rows))
+        for j in range(len(rows))
+        if rows[i][3] == "view"
+        and rows[j][3] == "purchase"
+        and rows[i][2] == rows[j][2]
+        and rows[i][1] <= rows[j][1] <= rows[i][1] + datetime.timedelta(hours=1)
+    )
+
+    work = tempfile.mkdtemp(prefix="ssjoin_prop_")
+    try:
+        vdir = os.path.join(work, "views")
+        pdir = os.path.join(work, "purchases")
+        os.makedirs(vdir)
+        os.makedirs(pdir)
+        emitted: list[tuple] = []
+
+        def run_batch(batch_rows, b):
+            # both sources advance every micro-batch (header-only file
+            # when a side drew no events — the join must not stall on an
+            # idle side within the availableNow drain)
+            for side, d in (("view", vdir), ("purchase", pdir)):
+                with open(os.path.join(d, f"batch{b}.csv"), "w") as f:
+                    f.write("event_id,ts,user_id\n")
+                    for eid, ts, uid, s in batch_rows:
+                        if s == side:
+                            f.write(f"{eid},{ts},{uid}\n")
+            schema = "event_id LONG, ts TIMESTAMP, user_id LONG"
+            views = (
+                spark.readStream.schema(schema).option("header", True).csv(vdir)
+            )
+            purchases = (
+                spark.readStream.schema(schema).option("header", True).csv(pdir)
+            )
+            joined = stream_stream_attribution(views, purchases)
+
+            def sink(df, _epoch, _out=emitted):
+                _out.extend(
+                    (r["user_id"], r["view_id"], r["purchase_id"])
+                    for r in df.collect()
+                )
+
+            q = (
+                joined.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .start()
+            )
+            q.awaitTermination()
+
+        for b, idxs in enumerate(batches):
+            run_batch([rows[j] for j in idxs], b)
+
+        got = sorted(emitted)
+        assert len(got) == len(set(got)), f"pair emitted twice: {got}"
+        assert got == want, (
+            f"batches={[len(b) for b in batches]} "
+            f"engine-only={set(got) - set(want)} "
+            f"spec-only={set(want) - set(got)}"
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
