@@ -320,7 +320,12 @@ def attribution_feed(draw):
 
 
 @settings(
-    max_examples=3,
+    # 2 examples, not 3: each example drives up to 3 availableNow runs
+    # against TWO file sources, and the r14 durations snapshot showed
+    # this class of test amplifying host contention ~3-4x (43 s quiet
+    # -> 162 s degraded at 3 examples) — the property (cross-batch
+    # two-sided buffering + exactly-once) needs drawn splits, not volume
+    max_examples=2,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow],
 )
