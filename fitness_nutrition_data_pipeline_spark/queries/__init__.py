@@ -76,80 +76,78 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-14 window, per VERDICT r13 ask #1:
-# the full 47-query r8-stale mandatory drain (oldest hot cohort — they
-# fail the age-6 invariant at r15 if not re-signalled now; exact set and
-# order from `rotation_report --plan-next` at r14 open, oldest-first with
-# name tie-break), then the 3 slack slots spent per VERDICT r13 ask #2 and
-# ADVICE r13 item 2: a reserved re-signal slot for unigram_lm_crossentropy
-# (its r13 localCheckpoint plan fix landed OUTSIDE the r13 window, so its
-# last driver signal r12 blessed the superseded plan — this slot closes
-# that gap instead of reverting a real 6-to-2-scan win), plus the two
-# largest plan-recompute-queue fixes (tools/audit_reuse.py):
-# rfm_segmentation_histogram (+13 redundant scans) and
-# capped_waterfill_allocation (+8), both rewritten THIS round while inside
-# this window, strict-re-blessed at 3 SFs + bare, digests regenerated.
-# t_closeness_audit (+5) is deliberately deferred to the r15 slack (its
-# r10 signal is not yet age-critical and the window has no fourth slot).
-# Queries frozen under tools/registry_freeze.json are excluded from the
-# age invariant (their staleness witness is the committed plan digest —
-# see rotation_report --help). Planned against tools/rotation_report.py:
-# after this window the oldest HOT signal registry-wide becomes r9.
+# ordering is signal allocation. Round-15 window, per VERDICT r14 ask #1:
+# the full 49-query r9-stale mandatory drain (oldest hot cohort — they
+# fail the age-6 invariant at r16 if not re-signalled now; exact set and
+# order from `rotation_report --plan-next` at r15 open, oldest-first with
+# name tie-break), then the single slack slot spent per VERDICT r14 ask #2:
+# t_closeness_audit (+5 redundant scans, analytics_ops2.py), the LAST item
+# in the r13 plan-recompute queue (tools/audit_reuse.py), rewritten THIS
+# round while inside this window, strict-re-blessed at 3 SFs + bare,
+# digest regenerated, scan bound added to test_plans.py. With its landing
+# the recompute queue is empty. log_odds_ratio_terms (r14 oracle-only
+# change, VERDICT r14 ask #7) last signalled r13 and is not yet
+# age-critical; it enters mechanically with the r13 cohort drain at r16 —
+# rotation_report --plan-next confirms the r16 window owes exactly that
+# cohort. Queries frozen under tools/registry_freeze.json are excluded
+# from the age invariant (their staleness witness is the committed plan
+# digest — see rotation_report --help). Planned against
+# tools/rotation_report.py: after this window the oldest HOT signal
+# registry-wide becomes r10.
 _CHECK_PRIORITY = (
-    # --- round-14 window (driver checks the FIRST 50) ---
-    # (1) the full r8-stale cohort: 47 mandatory drains
-    "bloom_membership_contract",
-    "cluster_balanced_sample",
-    "compaction_plan",
-    "corpus_curation_pipeline",
-    "correlated_subquery_big_spenders",
-    "countmin_contract",
-    "cube_revenue",
-    "cuped_adjusted_lift",
-    "dedup_keep_best",
-    "doc_fingerprint",
-    "doc_quality_score",
-    "domain_mixing_budget",
-    "dp_noised_histogram",
-    "edit_distance_pairs",
-    "hard_negative_mining",
-    "hash_stratified_sample",
-    "incremental_ingest_dedup",
-    "khop_reach_parts",
-    "kmeans_lloyd_update",
-    "kmv_distinct_contract",
-    "lang_id_scores",
-    "length_filter_survivorship",
-    "lsh_dedup_clusters",
-    "multitouch_attribution",
-    "oov_rate_curve",
-    "order_gap_analysis",
-    "prefix_filter_simjoin",
-    "range_frame_trailing_avg",
-    "reciprocal_rank_fusion",
-    "retention_cohorts",
-    "seasonal_naive_backtest",
-    "shard_manifest_checksums",
-    "source_temperature_mix",
-    "stats_correlation",
-    "tfidf_top_terms",
-    "token_budget_plan",
-    "token_count",
-    "tpch_q13_custdist",
-    "tpch_q22_dormant_capital",
-    "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue",
-    "train_val_test_split",
-    "variant_props_profile",
-    "vocab_inventory",
-    "window_rank_suite",
-    "winnowing_fingerprints",
-    "zorder_write_band_spans",
-    # (2) 3 slack slots: reserved re-signal + the two largest
-    # recompute-queue fixes (see comment above)
-    "unigram_lm_crossentropy",
-    "rfm_segmentation_histogram",
-    "capped_waterfill_allocation",
+    # --- round-15 window (driver checks the FIRST 50) ---
+    # (1) the full r9-stale cohort: 49 mandatory drains
+    "auc_exact_rank",
+    "benford_first_digit",
+    "bradley_terry_scores",
+    "bucketed_join_audit",
+    "calibration_reliability_bins",
+    "cdc_merge_apply",
+    "changepoint_cusum",
+    "char_class_profile",
+    "chi_square_priority_status",
+    "daily_anomaly_zscore",
+    "dynamic_partition_prune_audit",
+    "entropy_event_type_buckets",
+    "equi_depth_price_deciles",
+    "feature_hashing_collisions",
+    "filter_funnel_attribution",
+    "gini_customer_spend",
+    "halflife_decay_scores",
+    "hybrid_retrieval_eval",
+    "incremental_agg_maintenance",
+    "interarrival_gap_stats",
+    "ivm_batch_replay",
+    "kcore_peel_audit",
+    "late_dim_backfill_audit",
+    "mad_outlier_counts",
+    "markov_next_event_accuracy",
+    "multimodal_payload_dedup",
+    "multimodal_storage_tiering",
+    "ndcg_fused_eval",
+    "partition_restatement_audit",
+    "partitioned_write_prune_audit",
+    "pretraining_mix_plan",
+    "rag_chunk_emit_audit",
+    "rag_chunk_plan",
+    "rag_corpus_pipeline",
+    "rerank_eval_lift",
+    "retention_matrix",
+    "schema_evolution_read_audit",
+    "sessionize_events",
+    "signup_conversion_cohorts",
+    "skew_salted_join_audit",
+    "storage_layout_inventory_audit",
+    "supplier_authority_rank",
+    "target_encoding_smoothed",
+    "tokenizer_fertility_by_source",
+    "tpch_q10_returned_items",
+    "tpch_q19_discounted_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "user_ltv_deciles",
+    # (2) 1 slack slot: the last recompute-queue fix (see comment above)
+    "t_closeness_audit",
 )
 
 
