@@ -792,6 +792,12 @@ def test_fixed_recompute_sites_stay_fixed(registry_plans):
                                           # (was 4 + a join shuffle);
                                           # +2 is the LSH bands->mins
                                           # self-consumption
+        # r15 queue fix (VERDICT r14 ask #2) — the last audit-queue item
+        "t_closeness_audit": 0,           # (seg, band) grain pinned; the
+                                          # one customer scan happens at
+                                          # the pin, so the final plan
+                                          # reads only the ~50-row grain
+                                          # (was 5 extra scans)
     }
     for name, bound in bounds.items():
         scans = registry_plans[name]["formatted"].count("Scan parquet") // 2
