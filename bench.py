@@ -108,13 +108,28 @@ def host_probe_mc_sec(workers: int = 8, adds: int = 20_000_000) -> float:
     concurrently and mc ~= sc (+ fork overhead); mc/sc climbing toward
     8 means effective cores are vanishing. Forked PROCESSES, not
     threads — the GIL would serialize a threaded pure-Python spin and
-    measure single-core all over again."""
+    measure single-core all over again.
+
+    Fork, not spawn, keeps the reading comparable with the committed
+    quiet band (spawn pays 8x interpreter+import startup inside the
+    measured window). But forking a multi-threaded JVM-attached parent
+    (every post-run probe call site) can deadlock in the child — a
+    hang, not an exception, so callers' try/except guards never fire
+    (ADVICE r14). The wait is therefore bounded: on timeout the pool is
+    terminated and the probe reads -1.0 ("probe failed", never sane to
+    downstream consumers such as tools/bench_trend._probe_sane)."""
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
     t0 = time.time()
-    with ctx.Pool(workers) as pool:
-        pool.map(_spin, [adds] * workers)
+    pool = ctx.Pool(workers)
+    try:
+        pool.map_async(_spin, [adds] * workers).get(timeout=60)
+    except mp.TimeoutError:
+        return -1.0
+    finally:
+        pool.terminate()
+        pool.join()
     return round(time.time() - t0, 3)
 
 

@@ -78,3 +78,32 @@ def test_bench_trend_tool_reads_committed_artifacts():
 
     for m in _re.finditer(r"best r(\d+)", out):
         assert int(m.group(1)) in comparable
+
+
+def test_bench_trend_probe_comparability_rule():
+    """The probe rule (VERDICT r14 ask #4) must cut both ways: a >1.5x
+    reading on a probe-insane side is annotated but NOT flagged (regime
+    noise — the r14 driver artifact produced nine such rows), while the
+    same regression with quiet probes on both sides still flags, so the
+    exit code keeps meaning something."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.bench_trend import _trend_block
+
+    def rounds(latest_probes):
+        return [
+            (1, {"plan_digest": "d", "probe_sec": 0.72,
+                 "queries": {"q": 1.0}}),
+            (2, {"plan_digest": "d", **latest_probes,
+                 "queries": {"q": 3.0}}),
+        ]
+
+    quiet = {"probe_sec": 0.80, "probe_mc_sec": 0.95,
+             "probe_sec_pre": 0.75, "probe_mc_sec_pre": 0.90}
+    contended = {**quiet, "probe_mc_sec": 1.60}
+    with redirect_stdout(io.StringIO()):
+        genuine = _trend_block(rounds(quiet), "queries", 1.5)
+        noise = _trend_block(rounds(contended), "queries", 1.5)
+    assert genuine == ["q"], "quiet-probed 3x regression must flag"
+    assert noise == [], "contended-side 3x reading must not flag"

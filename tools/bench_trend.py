@@ -10,9 +10,19 @@ hand-comparison.
 
 Flags a family when its latest reading exceeds FLAG_RATIO (1.5) x its
 best prior reading — the VERDICT r13 ask #6 threshold — and exits 1 so
-the check can gate a close checklist. Probe context is printed but NOT
-auto-excused: a flagged row on a degraded host still prints, with the
-probes beside it, and the human (or the judge) adjudicates.
+the check can gate a close checklist.
+
+Probe-comparability rule (VERDICT r14 ask #4, mirroring the digest
+rule): a >ratio row is only a FLAG when BOTH sides of the comparison
+are probe-sane (every probe the artifact carries, pre and post, under
+PROBE_SC_MAX / PROBE_MC_MAX). A row whose latest or best-prior reading
+came from a degraded host still PRINTS, with the probes beside it and
+a "regime-noise" annotation, but does not flip the exit code — r14's
+driver artifact (mc 1.565-1.675) produced nine such rows, all of which
+dissolved under matched-regime re-measurement; an alarm that cries
+wolf on regime noise trains everyone to ignore it. Artifacts from the
+pre-probe era carry no probes and stay flag-eligible (nothing to
+adjudicate with — and they are all quiet-era readings).
 
 Usage: python tools/bench_trend.py [--flag-ratio R]
 """
@@ -27,6 +37,27 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FLAG_RATIO = 1.5
+# a reading is probe-sane when every probe its artifact carries is under
+# these (quiet host: sc 0.80-0.94, mc/sc ~1.0-1.2; see SCALE.md r14)
+PROBE_SC_MAX = 1.25
+PROBE_MC_MAX = 1.2
+
+
+def _probe_sane(*dicts: dict) -> bool:
+    """True unless ANY probe field in the given dicts exceeds its
+    threshold. Dicts with no probe fields at all are sane by default
+    (pre-probe-era artifacts: nothing to adjudicate with)."""
+    for d in dicts:
+        for k, v in d.items():
+            if not isinstance(v, (int, float)) or not k.startswith("probe_"):
+                continue
+            if v < 0:  # bench.py's "probe failed" sentinel (fork timeout)
+                return False
+            if k in ("probe_sec", "probe_sec_pre") and v > PROBE_SC_MAX:
+                return False
+            if k in ("probe_mc_sec", "probe_mc_sec_pre") and v > PROBE_MC_MAX:
+                return False
+    return True
 
 
 def _rounds(pattern: str) -> list[tuple[int, dict]]:
@@ -72,17 +103,27 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
         r for r, d in rounds
         if d.get("plan_digest") == latest_digest and latest_digest
     }
+    sane: dict[int, bool] = {}
     for r, d in rounds:
         if r not in comparable:
             continue
         block = d if which == "queries" else d.get("extended") or {}
         probes[r] = _probes(block if which == "extended" else d)
+        # extended sanity also reads the top-level probes: the headline
+        # post-probe immediately precedes the extended section, so it is
+        # effectively that section's pre-probe
+        sane[r] = _probe_sane(d, block)
         for q, t in (block.get("queries") or {}).items():
             series.setdefault(q, []).append((r, t))
     if not series:
         return flagged
     print(f"\n[{which}] latest r{latest_round} ({probes[latest_round]}) "
           f"vs best prior:")
+    if which == "extended":
+        print("  note: digest comparability witnesses only the 18 headline"
+              " plans; an extended family whose own registry digest changed"
+              " between the compared rounds (tools/registry_digests.json"
+              " history) may compare across a plan change")
     for q in sorted(series):
         pts = series[q]
         cur = [t for r, t in pts if r == latest_round]
@@ -95,9 +136,14 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
         ratio = cur[0] / best_t if best_t else float("inf")
         mark = ""
         if ratio > flag_ratio:
-            mark = f"  <-- FLAG >{flag_ratio}x best (r{best_r} "
-            mark += f"{probes[best_r]})"
-            flagged.append(q)
+            if sane.get(latest_round, True) and sane.get(best_r, True):
+                mark = f"  <-- FLAG >{flag_ratio}x best (r{best_r} "
+                mark += f"{probes[best_r]})"
+                flagged.append(q)
+            else:
+                mark = (f"  <-- >{flag_ratio}x best (r{best_r} "
+                        f"{probes[best_r]}) but a probe-insane side: "
+                        f"regime-noise, not flagged")
         print(f"  {q:38s} {cur[0]:7.3f}  best r{best_r} {best_t:7.3f}  "
               f"x{ratio:4.2f}{mark}")
     return flagged
