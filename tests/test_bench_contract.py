@@ -107,3 +107,43 @@ def test_bench_trend_probe_comparability_rule():
         noise = _trend_block(rounds(contended), "queries", 1.5)
     assert genuine == ["q"], "quiet-probed 3x regression must flag"
     assert noise == [], "contended-side 3x reading must not flag"
+
+
+def test_suite_trend_parse_and_flag(tmp_path):
+    """tools/suite_trend.py (VERDICT r14 ask #6): parses pytest
+    --durations tables + embedded probe lines; flags a probe-sane
+    per-test regression, suppresses the same regression when either
+    snapshot's probes are insane, and reads the committed r14 snapshot
+    (whose finish pair is mc-insane by design — the 27m02s run)."""
+    from tools.suite_trend import parse
+
+    def snap(secs, mc):
+        return (f"{secs}s call     tests/test_x.py::test_y\n"
+                f"[suite-start] host_probe_sec=0.80 host_probe_mc_sec={mc}\n")
+
+    old = tmp_path / "old.txt"
+    new_quiet = tmp_path / "new_quiet.txt"
+    new_loud = tmp_path / "new_loud.txt"
+    old.write_text(snap(10.0, 0.95))
+    new_quiet.write_text(snap(30.0, 0.95))
+    new_loud.write_text(snap(30.0, 1.60))
+
+    rows, sane = parse(str(old))
+    assert rows == {("call", "tests/test_x.py::test_y"): 10.0} and sane
+
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(repo, "tools", "suite_trend.py")
+
+    def run(a, b):
+        return subprocess.run([_sys.executable, tool, a, b],
+                              capture_output=True, text=True).returncode
+
+    assert run(str(old), str(new_quiet)) == 1, "sane 3x regression flags"
+    assert run(str(old), str(new_loud)) == 0, "insane side must not flag"
+
+    r14 = os.path.join(repo, "SUITE_DURATIONS_r14.txt")
+    rows14, sane14 = parse(r14)
+    assert len(rows14) == 60 and sane14 is False
