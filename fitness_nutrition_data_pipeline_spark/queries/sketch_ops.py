@@ -768,3 +768,180 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("total").alias("n_total"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r16 (not yet @register'ed): the rotation contract requires new
+# registrations to sit inside the driver's 50-slot check window, and the r15
+# window is fully owed to the r9-stale drain + the t_closeness slack fix
+# (see queries/__init__._CHECK_PRIORITY). r16 has 2 planned slack slots
+# (rotation_report --plan-next); this entry takes one. Until then it is
+# pytest-covered by tests/test_sketch_staged.py, which runs the EXACT
+# driver-gate compare (verify_queries' fetch/norm/hash) on the pair below.
+# ---------------------------------------------------------------------------
+
+# HLL constants, precomputed once in Python and embedded as literals in BOTH
+# engines (the NDCG-weights / _POIS_CASE precedent): p=8 -> m=256 registers,
+# alpha_256 = 0.7213/(1 + 1.079/256); the scaled numerator folds in m^2 and
+# the 2^49 register-sum scale so each engine does ONE float division.
+_HLL_M = 256
+_HLL_ALPHA_NUM = 2.6499581405668102e+19  # alpha_256 * 256^2 * 2^49
+
+_HLL_ORACLE = """
+    WITH ek AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events
+                WHERE user_id IS NOT NULL),
+    ok AS (SELECT CAST(o_custkey AS VARCHAR) AS key FROM orders
+           WHERE o_custkey IS NOT NULL),
+    tagged AS (
+      SELECT 'events_users' AS set_name, key FROM ek
+      UNION ALL SELECT 'orders_custs', key FROM ok
+      UNION ALL SELECT 'merged', key FROM ek
+      UNION ALL SELECT 'merged', key FROM ok
+    ),
+    hashed AS (
+      SELECT set_name,
+             key,
+             CAST(('0x' || substr(md5(key), 1, 2)) AS INT) AS reg,
+             CAST(('0x' || substr(md5(key), 3, 12)) AS BIGINT) AS v
+      FROM tagged
+    ),
+    rho AS (
+      SELECT set_name, reg,
+             CASE WHEN v = 0 THEN 49 ELSE 49 - length(bin(v)) END AS rho
+      FROM hashed
+    ),
+    regs AS (
+      SELECT set_name, reg, max(rho) AS r FROM rho GROUP BY set_name, reg
+    ),
+    sums AS (
+      SELECT set_name,
+             CAST(sum(CAST(1 AS BIGINT) << (49 - r)) AS BIGINT) AS s_occ,
+             CAST(count(*) AS BIGINT) AS occupied
+      FROM regs GROUP BY set_name
+    ),
+    est AS (
+      SELECT set_name, occupied,
+             2.6499581405668102e+19
+               / (s_occ + (256 - occupied) * (CAST(1 AS BIGINT) << 49))
+               AS e_raw
+      FROM sums
+    ),
+    corrected AS (
+      SELECT set_name, occupied,
+             CASE WHEN e_raw <= 640.0 AND occupied < 256
+                  THEN 256.0 * ln(256.0 / (256 - occupied))
+                  ELSE e_raw END AS e
+      FROM est
+    ),
+    exact AS (
+      SELECT set_name, CAST(count(DISTINCT key) AS BIGINT) AS n_exact
+      FROM tagged GROUP BY set_name
+    )
+    SELECT c.set_name,
+           x.n_exact,
+           CAST(round(c.e) AS BIGINT) AS hll_estimate,
+           c.occupied,
+           CAST(CAST(round(abs(c.e - x.n_exact) / x.n_exact, 4)
+                     AS DECIMAL(18, 4)) AS DOUBLE) AS rel_err
+    FROM corrected c JOIN exact x ON x.set_name = c.set_name
+    ORDER BY c.set_name
+"""
+
+
+def hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch with its UNION-MERGE contract
+    (Flajolet et al. 2007, the mergeable-register formulation every
+    DataSketches-style library ships): p=8 -> 256 registers, register =
+    first 8 md5 bits, rho = leading-zero count of the next 48 bits + 1,
+    register value = max(rho). Deterministic md5 so both engines build
+    the identical sketch (the kmv/bloom/countmin precedent). The merged
+    set is computed by REGISTER-WISE MAX OF THE TWO SKETCHES on the
+    Spark side (512 bounded rows — the one-pass mergeability that makes
+    HLL a distributed distinct-counter) while the oracle rehashes the
+    key union; equality of the two routes IS the merge contract
+    (max over a union == max of per-set maxes). Register sums stay in
+    exact integers (sum of 2^(49-rho) <= 2^57, BIGINT) so cross-engine
+    float determinism rests on one division + one round; the standard
+    small-range linear-counting correction (E <= 2.5m with empty
+    registers) is applied identically in both engines so the contract
+    holds at every SF including bare mode. n_exact rides along so
+    rel_err is measured, not assumed. One scan per fact table per
+    consumer (sketch + exact verification are intentionally two
+    methods — the bloom_membership precedent); register relations are
+    bounded at 256 rows regardless of scale."""
+    ev = _t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_custkey").isNotNull())
+    tagged = (
+        ev.select(F.col("user_id").cast("string").alias("key"),
+                  F.lit("events_users").alias("base_set"))
+        .unionByName(
+            orders.select(F.col("o_custkey").cast("string").alias("key"),
+                          F.lit("orders_custs").alias("base_set"))
+        )
+    )
+    h = F.md5(F.col("key"))
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("bigint")
+    hashed = tagged.select(
+        "base_set",
+        "key",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("reg"),
+        F.when(v == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(v)))
+        .alias("rho"),
+    )
+    base_regs = hashed.groupBy("base_set", "reg").agg(F.max("rho").alias("r"))
+    merged_regs = (
+        base_regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("merged").alias("set_name"), "reg", "r")
+    )
+    regs = base_regs.select(
+        F.col("base_set").alias("set_name"), "reg", "r"
+    ).unionByName(merged_regs)
+
+    sums = regs.groupBy("set_name").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - r)"))
+        .cast("bigint")
+        .alias("s_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("occupied"),
+    )
+    e_raw = F.lit(_HLL_ALPHA_NUM) / (
+        F.col("s_occ")
+        + (F.lit(256) - F.col("occupied"))
+        * F.expr("shiftleft(CAST(1 AS BIGINT), 49)")
+    )
+    est = sums.select(
+        "set_name",
+        "occupied",
+        F.when(
+            (e_raw <= F.lit(640.0)) & (F.col("occupied") < 256),
+            F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("occupied"))),
+        )
+        .otherwise(e_raw)
+        .alias("e"),
+    )
+    exact = (
+        hashed.select(
+            "key",
+            F.explode(F.array(F.col("base_set"), F.lit("merged"))).alias(
+                "set_name"
+            ),
+        )
+        .groupBy("set_name")
+        .agg(F.countDistinct("key").cast("bigint").alias("n_exact"))
+    )
+    return (
+        est.join(exact, "set_name")
+        .select(
+            "set_name",
+            "n_exact",
+            F.round("e", 0).cast("bigint").alias("hll_estimate"),
+            "occupied",
+            F.expr(
+                "CAST(CAST(round(abs(e - n_exact) / n_exact, 4)"
+                " AS DECIMAL(18, 4)) AS DOUBLE)"
+            ).alias("rel_err"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("set_name")
+    )
