@@ -1433,3 +1433,109 @@ def embedding_dot_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("qdot"), "vec_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r16 (not yet @register'ed — same rotation-contract reason as
+# sketch_ops.hll_union_contract; r16 has 2 planned slack slots and this
+# takes the second). Driver-gate-compared at two SFs by
+# tests/test_ann_staged.py until the window slot opens.
+# ---------------------------------------------------------------------------
+
+_IVF_BEAM_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id >= 495),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round({_COS_SQL.format(a="q.q_emb", b="e.emb")}, 6) DESC,
+                 e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 3
+    ),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.q_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round({_COS_SQL.format(a="q.q_emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM q JOIN c ON true
+      ) WHERE rn <= 3
+    ),
+    beam AS (
+      SELECT q_id, neighbor_id, n_candidates FROM (
+        SELECT p.q_id, a.vec_id AS neighbor_id,
+               count(*) OVER (PARTITION BY p.q_id) AS n_candidates,
+               row_number() OVER (PARTITION BY p.q_id ORDER BY
+                 round({_COS_SQL.format(a="qq.q_emb", b="e.emb")}, 6) DESC,
+                 a.vec_id) AS rn
+        FROM probes p
+        JOIN q qq ON qq.q_id = p.q_id
+        JOIN assign a ON a.centroid_id = p.centroid_id
+                     AND a.vec_id <> p.q_id
+        JOIN e ON e.vec_id = a.vec_id
+      ) WHERE rn <= 3
+    )
+    SELECT b.q_id,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(x.neighbor_id) / 3.0, 4) AS recall_at_3,
+           CAST(max(b.n_candidates) AS BIGINT) AS n_candidates
+    FROM beam b LEFT JOIN exact x
+      ON x.q_id = b.q_id AND x.neighbor_id = b.neighbor_id
+    GROUP BY b.q_id
+    ORDER BY b.q_id
+"""
+
+
+def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search ANN quality/cost contract — the nprobe knob of the
+    IVF ladder made oracle-checkable (operators/similarity.py::
+    ivf_beam_topk): rank all coarse centroids per query, probe the top
+    THREE partitions (vs ann_recall_contract's single probe), exact-rank
+    only their members, and report recall@3 against the brute-force
+    top-3 PLUS n_candidates, the number of vectors the beam actually
+    scanned — so the recall-vs-cost tradeoff is a measured pair, not a
+    claim. Same deterministic protocol as ann_recall_contract
+    (centroids = vec_id < 10, queries = vec_id >= 495, cosine rounded
+    to 6 before ranking with id tie-breaks, both engines compute both
+    sides). Aggregation runs FROM the beam side so both engines drop a
+    (theoretical) zero-candidate query identically."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        assign_centroids,
+        brute_force_topk,
+        ivf_beam_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") >= 495)
+    centroids = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    beam = ivf_beam_topk(
+        e, centroids, assignments, queries.select("vec_id"),
+        "vec_id", "embedding", k=3, nprobe=3,
+    )
+    return (
+        beam.join(exact, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
+            F.max("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id")
+    )
