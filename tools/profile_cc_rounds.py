@@ -21,7 +21,12 @@ What it measures, at $SPARK_GRAFT_AUDIT_SF_DIR (default sf0.1):
      (halves diff jobs, may overshoot one alternation pair);
    - "coalesce-1": round state coalesced to 1 partition before the
      checkpoint (AQE already coalesces post-shuffle partitions on
-     tiny data; this additionally collapses the materialized RDD).
+     tiny data; this additionally collapses the materialized RDD);
+   - "aqe-off": adaptive execution disabled inside the fixpoint loop,
+     so each round's materialization plans as ONE job instead of one
+     job per query stage — the direct test of the barrier-count
+     hypothesis, and the measured basis for any future in-window
+     adoption (the real operator would need a re-bless).
 
 Host probes (pre/post, sc+mc) bracket every section so a reading is
 adjudicable on its own. Pure profiling tool: nothing here feeds the
@@ -115,7 +120,14 @@ def main() -> int:
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
 
-    def run_replica(tag: str, check_every: int = 1, coalesce_to: int = 0):
+    def run_replica(tag: str, check_every: int = 1, coalesce_to: int = 0,
+                    aqe: bool = True):
+        # AQE-off inside the fixpoint: each round's materialization plans
+        # as ONE job instead of one job per query stage — the measured
+        # form of SCALE.md lever (b); the real operator would need a
+        # re-bless to adopt it, so it is only ever measured here
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
         sc.setJobGroup(tag, tag)
         t_start = time.time()
         e = edges_df()
@@ -167,6 +179,7 @@ def main() -> int:
         wall = time.time() - t_start
         jobs = _jobs_in_group(sc, tag)
         sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         print(f"\n[{tag}] wall={wall:.2f}s (setup {t_setup:.2f}s) "
               f"jobs={jobs} rounds={len(rounds)} rows={len(out)}")
         for i, t_mat, t_chk, nparts, diff in rounds:
@@ -183,6 +196,8 @@ def main() -> int:
     assert sorted(map(tuple, every2)) == sorted(map(tuple, real))
     coal, _ = run_replica("cc_coalesce1", coalesce_to=1)
     assert sorted(map(tuple, coal)) == sorted(map(tuple, real))
+    noaqe, _ = run_replica("cc_aqe_off", aqe=False)
+    assert sorted(map(tuple, noaqe)) == sorted(map(tuple, real))
 
     print(f"\nprobes post: sc={host_probe_sec()} mc={host_probe_mc_sec()}")
     return 0
