@@ -76,78 +76,78 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-15 window, per VERDICT r14 ask #1:
-# the full 49-query r9-stale mandatory drain (oldest hot cohort — they
-# fail the age-6 invariant at r16 if not re-signalled now; exact set and
-# order from `rotation_report --plan-next` at r15 open, oldest-first with
-# name tie-break), then the single slack slot spent per VERDICT r14 ask #2:
-# t_closeness_audit (+5 redundant scans, analytics_ops2.py), the LAST item
-# in the r13 plan-recompute queue (tools/audit_reuse.py), rewritten THIS
-# round while inside this window, strict-re-blessed at 3 SFs + bare,
-# digest regenerated, scan bound added to test_plans.py. With its landing
-# the recompute queue is empty. log_odds_ratio_terms (r14 oracle-only
-# change, VERDICT r14 ask #7) last signalled r13 and is not yet
-# age-critical; it enters mechanically with the r13 cohort drain at r16 —
-# rotation_report --plan-next confirms the r16 window owes exactly that
-# cohort. Queries frozen under tools/registry_freeze.json are excluded
-# from the age invariant (their staleness witness is the committed plan
-# digest — see rotation_report --help). Planned against
+# ordering is signal allocation. Round-16 window, per VERDICT r15 ask #1/#2:
+# the full 48-query r10-stale mandatory drain (oldest hot cohort — they
+# fail the age-6 invariant at r17 if not re-signalled now; exact set from
+# `rotation_report --plan-next` at r15 close, name-ordered), then the 2
+# slack slots spent exactly as VERDICT r15 ask #2 prescribes: registering
+# the two queries STAGED during r15 — hll_union_contract (sketch_ops.py,
+# completing the CM/Bloom/KMV/AMS/quantile mergeable-sketch family) and
+# ivf_beam_recall_contract (llm_ops.py, the ANN ladder's nprobe rung) —
+# both already driver-gate-proven green at two SFs by
+# tests/test_sketch_staged.py and tests/test_ann_staged.py during r15,
+# strict-blessed at 3 SFs + bare at r16 open, digests recorded. New
+# registrations MUST sit inside the window (the never-checked guard).
+# log_odds_ratio_terms (r14 oracle-only change) last signalled r13 and
+# enters mechanically with the r13 cohort drain (~r17). Queries frozen
+# under tools/registry_freeze.json are excluded from the age invariant
+# (their staleness witness is the committed plan digest). Planned against
 # tools/rotation_report.py: after this window the oldest HOT signal
-# registry-wide becomes r10.
+# registry-wide becomes r11.
 _CHECK_PRIORITY = (
-    # --- round-15 window (driver checks the FIRST 50) ---
-    # (1) the full r9-stale cohort: 49 mandatory drains
-    "auc_exact_rank",
-    "benford_first_digit",
-    "bradley_terry_scores",
-    "bucketed_join_audit",
-    "calibration_reliability_bins",
-    "cdc_merge_apply",
-    "changepoint_cusum",
-    "char_class_profile",
-    "chi_square_priority_status",
-    "daily_anomaly_zscore",
-    "dynamic_partition_prune_audit",
-    "entropy_event_type_buckets",
-    "equi_depth_price_deciles",
-    "feature_hashing_collisions",
-    "filter_funnel_attribution",
-    "gini_customer_spend",
-    "halflife_decay_scores",
-    "hybrid_retrieval_eval",
-    "incremental_agg_maintenance",
-    "interarrival_gap_stats",
-    "ivm_batch_replay",
-    "kcore_peel_audit",
-    "late_dim_backfill_audit",
-    "mad_outlier_counts",
-    "markov_next_event_accuracy",
-    "multimodal_payload_dedup",
-    "multimodal_storage_tiering",
-    "ndcg_fused_eval",
-    "partition_restatement_audit",
-    "partitioned_write_prune_audit",
-    "pretraining_mix_plan",
-    "rag_chunk_emit_audit",
-    "rag_chunk_plan",
-    "rag_corpus_pipeline",
-    "rerank_eval_lift",
-    "retention_matrix",
-    "schema_evolution_read_audit",
-    "sessionize_events",
-    "signup_conversion_cohorts",
-    "skew_salted_join_audit",
-    "storage_layout_inventory_audit",
-    "supplier_authority_rank",
-    "target_encoding_smoothed",
-    "tokenizer_fertility_by_source",
-    "tpch_q10_returned_items",
-    "tpch_q19_discounted_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "user_ltv_deciles",
-    # (2) 1 slack slot: the last recompute-queue fix (see comment above)
-    "t_closeness_audit",
+    # --- round-16 window (driver checks the FIRST 50) ---
+    # (1) the full r10-stale cohort: 48 mandatory drains
+    "activity_streaks",
+    "ann_recall_contract",
+    "avro_roundtrip_scan",
+    "bm25_query_scores",
+    "boilerplate_chunks",
+    "cdc_chunk_dedup",
+    "cluster_survivor_selection",
+    "column_fill_rates",
+    "contamination_check",
+    "decimal_money_totals",
+    "embedding_dedup_clusters",
+    "embedding_lsh_buckets",
+    "embedding_quantization_params",
+    "entity_resolution_profiles",
+    "fixed_size_stratum_sample",
+    "fleiss_kappa_raters",
+    "hapax_ratio_by_source",
+    "heavy_hitters_verified",
+    "kcore_fixpoint_audit",
+    "kmv_intersection_estimate",
+    "lang_confusion_matrix",
+    "majority_vote_accuracy",
+    "minhash_lsh_buckets",
+    "multimodal_format_profile",
+    "mv_rewrite_audit",
+    "pareto_frontier_parts",
+    "passk_estimator",
+    "pca_power_iteration",
+    "pii_scan_redact",
+    "poisson_bootstrap_ci",
+    "repetition_profile",
+    "sequence_packing_windows",
+    "shapley_attribution_exact",
+    "star_join_topk",
+    "surrogate_key_assignment",
+    "time_in_state_twa",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q20_dominant_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit",
+    "tree_subtree_cost_rollup",
+    "type_token_ratio",
+    "unigram_logprob_docs",
+    "user_value_trend",
+    "weighted_median_price",
+    "zipf_slope_top_terms",
+    # (2) 2 slack slots: the r15-staged registrations (VERDICT r15 ask #2)
+    "hll_union_contract",
+    "ivf_beam_recall_contract",
 )
 
 

@@ -1436,10 +1436,9 @@ def embedding_dot_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r16 (not yet @register'ed — same rotation-contract reason as
-# sketch_ops.hll_union_contract; r16 has 2 planned slack slots and this
-# takes the second). Driver-gate-compared at two SFs by
-# tests/test_ann_staged.py until the window slot opens.
+# Registered at r16 in the window's second slack slot (staged + gate-proven
+# during r15 by tests/test_ann_staged.py, which keeps running the driver-gate
+# compare at two SFs as the always-on regression harness).
 # ---------------------------------------------------------------------------
 
 _IVF_BEAM_ORACLE = f"""
@@ -1498,6 +1497,11 @@ _IVF_BEAM_ORACLE = f"""
 """
 
 
+@register(
+    "ivf_beam_recall_contract",
+    _IVF_BEAM_ORACLE,
+    doc="IVF nprobe=3 beam-search ANN recall/cost contract vs brute force",
+)
 def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search ANN quality/cost contract — the nprobe knob of the
     IVF ladder made oracle-checkable (operators/similarity.py::

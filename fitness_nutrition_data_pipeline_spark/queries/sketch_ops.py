@@ -771,13 +771,10 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r16 (not yet @register'ed): the rotation contract requires new
-# registrations to sit inside the driver's 50-slot check window, and the r15
-# window is fully owed to the r9-stale drain + the t_closeness slack fix
-# (see queries/__init__._CHECK_PRIORITY). r16 has 2 planned slack slots
-# (rotation_report --plan-next); this entry takes one. Until then it is
-# pytest-covered by tests/test_sketch_staged.py, which runs the EXACT
-# driver-gate compare (verify_queries' fetch/norm/hash) on the pair below.
+# Registered at r16 in one of the window's 2 slack slots (staged + gate-proven
+# during r15 by tests/test_sketch_staged.py, which runs the EXACT driver-gate
+# compare — verify_queries' fetch/norm/hash — on the pair at two SFs; that
+# test stays as the always-on regression harness for this entry).
 # ---------------------------------------------------------------------------
 
 # HLL constants, precomputed once in Python and embedded as literals in BOTH
@@ -848,6 +845,11 @@ _HLL_ORACLE = """
 """
 
 
+@register(
+    "hll_union_contract",
+    _HLL_ORACLE,
+    doc="HLL p=8 distinct sketch + register-wise union-merge contract",
+)
 def hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct sketch with its UNION-MERGE contract
     (Flajolet et al. 2007, the mergeable-register formulation every

@@ -51,6 +51,8 @@ def test_beam_dominates_single_probe(spark):
     from fitness_nutrition_data_pipeline_spark.queries import all_specs
 
     sf_dir = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
     single = {
         r["q_id"]: r["recall_at_3"]
         for r in all_specs()["ann_recall_contract"]
