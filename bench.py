@@ -261,6 +261,29 @@ def main() -> None:
             "probe_sec": host_probe_sec(),
             "probe_mc_sec": host_probe_mc_sec(),
         }
+        # per-family plan witness (VERDICT r15 ask #5): the headline
+        # digest above witnesses only the 18 headline plans, so an
+        # extended family re-blessed between rounds could inherit stale
+        # wall-clock priors in bench_trend. Embed each extended query's
+        # own digest from the suite-gated committed map
+        # (tools/registry_digests.json — guaranteed == HEAD by
+        # tests/test_registry_digest.py), so trend comparisons can key
+        # comparability per family. Committed-map lookup, not a live
+        # explain(): the live plan here is sf0.1/execution-history-
+        # sensitive; the canonical map is the stable code witness.
+        try:
+            from tools.registry_digest import (
+                NORMALIZER_VERSION,
+                load_committed,
+            )
+
+            _dig = load_committed()
+            extended["digests"] = {
+                q: _dig[q] for q in EXTENDED if q in _dig
+            }
+            extended["digest_normalizer"] = NORMALIZER_VERSION
+        except Exception:  # noqa: BLE001 — witness is optional, bench must emit
+            pass
         if ext_errors:
             extended["errors"] = ext_errors
             extended["partial_total"] = round(sum(ext_timings.values()), 3)

@@ -109,6 +109,63 @@ def test_bench_trend_probe_comparability_rule():
     assert noise == [], "contended-side 3x reading must not flag"
 
 
+def test_bench_trend_family_digest_rule():
+    """VERDICT r15 ask #5: extended-family comparability keys on each
+    family's OWN registry digest when both artifacts carry one. A prior
+    whose digest for the family differs from the latest round's is
+    excluded from the comparable set (so a re-blessed family cannot
+    inherit stale wall-clock priors), while digest-less priors stay
+    comparable under the headline rule."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.bench_trend import _trend_block
+
+    quiet = {"probe_sec": 0.80, "probe_mc_sec": 0.95}
+
+    def ext(t, dig):
+        block = {"queries": {"q": t}, **quiet}
+        if dig:
+            block["digests"] = {"q": dig}
+        return {"plan_digest": "h", **quiet, "extended": block}
+
+    # prior digest differs -> excluded -> 'q' has no comparable prior
+    changed = [(1, ext(1.0, "old")), (2, ext(3.0, "new"))]
+    # prior digest matches -> 3x regression flags
+    same = [(1, ext(1.0, "new")), (2, ext(3.0, "new"))]
+    # prior carries no digest (pre-r16 artifact) -> headline rule keeps
+    # it comparable -> still flags
+    legacy = [(1, ext(1.0, None)), (2, ext(3.0, "new"))]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert _trend_block(changed, "extended", 1.5) == []
+        assert _trend_block(same, "extended", 1.5) == ["q"]
+        assert _trend_block(legacy, "extended", 1.5) == ["q"]
+    assert "family digest changed" in buf.getvalue()
+
+
+def test_bench_trend_probe_failed_annotation():
+    """ADVICE r15 #3: the -1.0 fork-timeout sentinel must print as
+    'probe FAILED' (fail-open visibility) rather than blending into the
+    contended/regime-noise annotation, and still must not flag."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.bench_trend import _trend_block
+
+    rounds = [
+        (1, {"plan_digest": "d", "probe_sec": 0.72, "queries": {"q": 1.0}}),
+        (2, {"plan_digest": "d", "probe_sec": 0.80, "probe_mc_sec": -1.0,
+             "queries": {"q": 3.0}}),
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        flagged = _trend_block(rounds, "queries", 1.5)
+    assert flagged == []
+    assert "probe FAILED" in buf.getvalue()
+    assert "fail-open" in buf.getvalue()
+
+
 def test_suite_trend_parse_and_flag(tmp_path):
     """tools/suite_trend.py (VERDICT r14 ask #6): parses pytest
     --durations tables + embedded probe lines; flags a probe-sane

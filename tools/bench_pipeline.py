@@ -112,6 +112,15 @@ def main() -> None:
     pipe.extract()
     t_extract = time.time() - t1
 
+    # mid-run probe pair #1 (VERDICT r15 ask #6): the r15 artifacts
+    # showed a 13% spread between two readings whose ENDPOINT probes
+    # were all sane — endpoint brackets don't witness mid-run regime.
+    # Probes sit BETWEEN timed phases, so their wall-clock lands in no
+    # phase timing; with pre/mid1/mid2/post the artifact carries four
+    # regime samples across the run instead of two.
+    probe_mid1 = host_probe_sec()
+    probe_mc_mid1 = host_probe_mc_sec()
+
     # transform() declares the lazy warehouse DAG; load() is the ONE
     # materialization (parquet write ≙ the reference's eager in-memory
     # DataFrames + MySQL append). Timing them together against the pandas
@@ -121,6 +130,11 @@ def main() -> None:
     pipe.transform()
     pipe.load()
     t_build = time.time() - t2
+
+    # mid-run probe pair #2: after the anchor-compared section, before
+    # the digest walk + validate
+    probe_mid2 = host_probe_sec()
+    probe_mc_mid2 = host_probe_mc_sec()
 
     # drift witness over the 18 declared warehouse DAGs: normalized
     # formatted plans, hashed in table-name order (same normalizer as
@@ -145,6 +159,13 @@ def main() -> None:
             "unit": "sec",
             "probe_sec_pre": probe_pre,
             "probe_mc_sec_pre": probe_mc_pre,
+            # mid-run pairs (ask r15 #6): #1 after extract, #2 after
+            # transform+load — the anchor-compared section is bracketed
+            # by (mid1, mid2), so its regime is witnessed directly
+            "probe_sec_mid1": probe_mid1,
+            "probe_mc_sec_mid1": probe_mc_mid1,
+            "probe_sec_mid2": probe_mid2,
+            "probe_mc_sec_mid2": probe_mc_mid2,
             "probe_sec": host_probe_sec(),
             # 8-way forked spin: effective-parallelism witness; the
             # single-core probe proved blind to r13's multi-core-only

@@ -53,11 +53,27 @@ def _probe_sane(*dicts: dict) -> bool:
                 continue
             if v < 0:  # bench.py's "probe failed" sentinel (fork timeout)
                 return False
-            if k in ("probe_sec", "probe_sec_pre") and v > PROBE_SC_MAX:
+            # prefix-matched so the _pre/_mid1/_mid2/_post variants all
+            # adjudicate (bench_pipeline r16 adds mid-run pairs)
+            if k.startswith("probe_mc_sec") and v > PROBE_MC_MAX:
                 return False
-            if k in ("probe_mc_sec", "probe_mc_sec_pre") and v > PROBE_MC_MAX:
+            if k.startswith("probe_sec") and v > PROBE_SC_MAX:
                 return False
     return True
+
+
+def _probe_failed(*dicts: dict) -> bool:
+    """True when any probe field carries the -1.0 fork-timeout sentinel.
+    Kept distinct from contention-insanity so a host whose mc probe
+    chronically times out prints as 'probe FAILED' instead of blending
+    into the regime-noise annotation — a persistently failing probe
+    silently fail-opens the regression gate and must stay visible."""
+    return any(
+        isinstance(v, (int, float)) and v < 0
+        for d in dicts
+        for k, v in d.items()
+        if k.startswith("probe_")
+    )
 
 
 def _rounds(pattern: str) -> list[tuple[int, dict]]:
@@ -104,6 +120,13 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
         if d.get("plan_digest") == latest_digest and latest_digest
     }
     sane: dict[int, bool] = {}
+    failed: dict[int, bool] = {}
+    # per-family digest witness (VERDICT r15 ask #5): artifacts from
+    # r16+ embed each extended query's own registry digest
+    # (extended.digests, from the suite-gated committed map), so a
+    # family re-blessed between rounds is excluded from comparison
+    # instead of inheriting stale priors under the headline-only rule.
+    digests: dict[int, dict] = {}
     for r, d in rounds:
         if r not in comparable:
             continue
@@ -113,6 +136,8 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
         # post-probe immediately precedes the extended section, so it is
         # effectively that section's pre-probe
         sane[r] = _probe_sane(d, block)
+        failed[r] = _probe_failed(d, block)
+        digests[r] = block.get("digests") or {}
         for q, t in (block.get("queries") or {}).items():
             series.setdefault(q, []).append((r, t))
     if not series:
@@ -124,10 +149,25 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
               " plans; an extended family whose own registry digest changed"
               " between the compared rounds (tools/registry_digests.json"
               " history) may compare across a plan change")
+    latest_q_digests = digests.get(latest_round, {})
     for q in sorted(series):
         pts = series[q]
         cur = [t for r, t in pts if r == latest_round]
         prior = [(r, t) for r, t in pts if r != latest_round]
+        # exclude priors whose OWN family digest differs from the
+        # latest round's: both sides must carry a digest for q to
+        # adjudicate; digest-less (pre-r16) priors stay comparable
+        # under the headline rule, covered by the printed note
+        cur_dig = latest_q_digests.get(q)
+        if cur_dig:
+            dropped = [
+                r for r, _ in prior
+                if digests.get(r, {}).get(q) not in (None, cur_dig)
+            ]
+            if dropped:
+                print(f"  {q:38s} note: r{dropped} excluded — family "
+                      f"digest changed since those readings")
+                prior = [(r, t) for r, t in prior if r not in dropped]
         if not cur or not prior:
             status = "new" if cur else "absent-latest"
             print(f"  {q:38s} {status}")
@@ -140,6 +180,12 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
                 mark = f"  <-- FLAG >{flag_ratio}x best (r{best_r} "
                 mark += f"{probes[best_r]})"
                 flagged.append(q)
+            elif failed.get(latest_round) or failed.get(best_r):
+                which_side = "latest" if failed.get(latest_round) else f"r{best_r}"
+                mark = (f"  <-- >{flag_ratio}x best (r{best_r} "
+                        f"{probes[best_r]}) but probe FAILED on {which_side} "
+                        f"(fork-timeout sentinel): gate fail-open, "
+                        f"investigate the probe, not flagged")
             else:
                 mark = (f"  <-- >{flag_ratio}x best (r{best_r} "
                         f"{probes[best_r]}) but a probe-insane side: "

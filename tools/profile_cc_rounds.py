@@ -128,6 +128,15 @@ def main() -> int:
         # re-bless to adopt it, so it is only ever measured here
         prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
         spark.conf.set("spark.sql.adaptive.enabled", str(aqe).lower())
+        try:
+            return _run_replica_body(tag, check_every, coalesce_to)
+        finally:
+            # restore on EVERY exit: an exception mid-run (e.g. in the
+            # aqe=False section) must not leave AQE off for the session
+            sc.setJobGroup("", "")
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def _run_replica_body(tag: str, check_every: int, coalesce_to: int):
         sc.setJobGroup(tag, tag)
         t_start = time.time()
         e = edges_df()
@@ -178,8 +187,6 @@ def main() -> int:
         ).collect()
         wall = time.time() - t_start
         jobs = _jobs_in_group(sc, tag)
-        sc.setJobGroup("", "")
-        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         print(f"\n[{tag}] wall={wall:.2f}s (setup {t_setup:.2f}s) "
               f"jobs={jobs} rounds={len(rounds)} rows={len(out)}")
         for i, t_mat, t_chk, nparts, diff in rounds:

@@ -25,10 +25,11 @@ Usage: python tools/suite_trend.py OLD.txt NEW.txt [--flag-ratio R]
 
 from __future__ import annotations
 
+import os
 import re
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.bench_trend import PROBE_MC_MAX, PROBE_SC_MAX  # noqa: E402
 
