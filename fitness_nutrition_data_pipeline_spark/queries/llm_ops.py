@@ -1543,3 +1543,68 @@ def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r17 (not yet @register'ed — the rotation contract requires new
+# registrations to sit inside the driver's 50-slot window; the r16 window's
+# 2 slack slots went to the r15-staged hll/ivf_beam pair, and r17 plans 1+
+# slack slot per rotation_report --plan-next). Driver-gate-compared at two
+# SFs by tests/test_lsh_bridge_staged.py until then; the REAL engine's
+# batch-split invariance is pinned by tests/test_lsh_bridge_property.py.
+# ---------------------------------------------------------------------------
+
+_LSH_REPLAY_ORACLE = (
+    _bands_cte()
+    + """
+    , pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             CAST(greatest(a.doc_id % 3, b.doc_id % 3) AS INT)
+                 AS discovered_batch,
+             CAST(count(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands
+      FROM bands a JOIN bands b
+        ON b.band_id = a.band_id AND b.band_key = a.band_key
+       AND b.doc_id > a.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id_a, doc_id_b, discovered_batch, n_shared_bands
+    FROM pairs
+    ORDER BY doc_id_a, doc_id_b
+"""
+)
+
+
+def lsh_dedup_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest near-dup bridge under the value oracle: the REAL
+    incremental engine (streaming/lsh_bridge.py::LshDedupBridge — LSH
+    band buckets maintained as foreachBatch state, pairs emitted when a
+    doc's later half arrives) replays the documents table in three
+    deterministic batches (doc_id % 3, processed 0→1→2), and the
+    emitted (pair, discovered_batch, n_shared_bands) set must equal the
+    closed form a single global batch computes: every band-colliding
+    pair tagged by greatest(batch(a), batch(b)) — the IVM contract
+    (incremental == batch) applied to the dedup ladder. Per batch the
+    engine's work is batch-bands + matching state rows (band-key hash
+    join), never history²; the oracle rebuilds the bands from scratch,
+    so the hash equality also re-proves the signature algebra end to
+    end. Batches here are modulo-split so every batch surfaces both
+    cross-batch and within-batch pairs (151/417/573 at sf0.01)."""
+    from fitness_nutrition_data_pipeline_spark.streaming.lsh_bridge import (
+        LshDedupBridge,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bridge = LshDedupBridge(spark)
+    out = None
+    for b in range(3):
+        pairs = bridge.process_batch(
+            docs.where(F.col("doc_id") % 3 == b), b
+        ).withColumn("discovered_batch", F.lit(b).cast("int"))
+        out = pairs if out is None else out.unionByName(pairs)
+    return (
+        out.select(
+            "doc_id_a", "doc_id_b", "discovered_batch", "n_shared_bands"
+        )
+        .repartition(1)
+        .sortWithinPartitions("doc_id_a", "doc_id_b")
+    )

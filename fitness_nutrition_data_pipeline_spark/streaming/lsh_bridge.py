@@ -1,0 +1,216 @@
+"""Streaming-ingest NEAR-dup bridge: LSH band buckets maintained
+incrementally across micro-batches, marrying the dedup ladder
+(operators/dedup.py: minhash_signatures → lsh_bands) to the IVM family
+(streaming/ivm.py's foreachBatch state protocol).
+
+The batch dedup ladder answers "which docs in THIS corpus are near-dups
+of each other"; an ingest pipeline needs the ONLINE form — "is this
+arriving doc a near-dup of anything seen before" — without rescanning
+history per batch. The bridge keeps the (doc_id, band_id, band_key)
+relation of every document seen so far as its state; a new batch's
+bands join that state (plus themselves) on the band key, so per batch
+the work is |batch bands| + matching state rows, never |history|².
+
+Exactly-once WITHOUT a batch-id watermark (contrast
+streaming/ivm.py::IncrementalAggMaintainer, which needs one): the state
+here is APPEND-ONLY and keyed by doc identity, so idempotence falls out
+of the algebra —
+
+- new bands are anti-joined against the state before anything else, so
+  a redelivered batch (foreachBatch is at-least-once) contributes ZERO
+  new bands, emits ZERO pairs, and leaves the state fixed;
+- a pair (a, b) is emitted exactly when the LATER of its two docs first
+  arrives: cross pairs need one state side and one genuinely-new side,
+  within-batch pairs need both new. No pair can be emitted twice
+  because after its batch commits, both docs are state-side forever.
+
+Crash windows: pairs are computed and returned BEFORE the state swap,
+so a crash between the caller's pair sink and the swap re-delivers the
+batch against the OLD state and recomputes the identical pairs — the
+caller's sink must be idempotent per batch_id (overwrite-by-batch-id
+parquet, the standard foreachBatch discipline); a crash after the swap
+re-delivers a batch whose docs are all state-side, which is a no-op.
+
+Replay contract (the §2.8 streaming-family discipline): processing a
+corpus in ANY batch split emits the same pair SET as one global batch
+computation, with each pair tagged by the batch where its later doc
+arrived. tests/test_lsh_bridge_property.py pins this against drawn
+splits; queries/llm_ops.py::lsh_dedup_batch_replay (staged for r17)
+runs the REAL engine under the DuckDB value oracle.
+
+State durability mirrors operators/kcore.py::_pin's two-tier rule: in
+memory (localCheckpoint) for bounded/test corpora, a parquet state dir
+with write-new-then-swap (ivm.py's ._next/._old protocol, simplified —
+append-only state needs no applied-batch sidecar) for the 100 TB
+ingest path where state must survive executor loss and restarts.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fitness_nutrition_data_pipeline_spark.operators.dedup import (
+    lsh_bands,
+    minhash_signatures,
+)
+
+_BAND_SCHEMA = "doc_id long, band_id int, band_key string"
+
+
+def _empty_bands(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], _BAND_SCHEMA)
+
+
+class LshDedupBridge:
+    """foreachBatch-shaped incremental near-dup candidate detector.
+
+    Usage (batch replay or inside ``writeStream.foreachBatch``)::
+
+        bridge = LshDedupBridge(spark)           # or state_dir="/state"
+        pairs = bridge.process_batch(batch_df)   # new candidate pairs
+        # sink `pairs` idempotently (overwrite by batch_id), THEN the
+        # state is already swapped — see the crash-window note above.
+
+    ``process_batch`` returns the NEW candidate pairs this batch
+    surfaced: (doc_id_a < doc_id_b, n_shared_bands), where
+    n_shared_bands counts the distinct LSH bands in which the two docs
+    collide (1..n_bands; higher ≈ more similar, the band-collision
+    probability curve). The returned DataFrame is already materialized
+    (localCheckpoint) so it stays valid after the state advances.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        *,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_hashes: int = 8,
+        n_bands: int = 4,
+        state_dir: str | None = None,
+    ) -> None:
+        if state_dir is not None and "://" in state_dir:
+            # same loud refusal as IncrementalAggMaintainer: the swap
+            # protocol is POSIX renames; a scheme'd URI would silently
+            # resume from empty state (every doc re-reported as novel)
+            raise ValueError(
+                "LshDedupBridge state_dir must be a local filesystem "
+                f"path (got URI {state_dir!r})"
+            )
+        self.spark = spark
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_hashes = n_hashes
+        self.n_bands = n_bands
+        self.state_dir = state_dir
+        self._mem_state: DataFrame | None = None
+
+    # ---- state tier ----------------------------------------------------
+    def read_state(self) -> DataFrame:
+        """(doc_id, band_id, band_key) of every document seen so far."""
+        if self.state_dir is None:
+            return (
+                self._mem_state
+                if self._mem_state is not None
+                else _empty_bands(self.spark)
+            )
+        self._recover()
+        if os.path.isdir(self.state_dir):
+            return self.spark.read.parquet(self.state_dir)
+        return _empty_bands(self.spark)
+
+    def _recover(self) -> None:
+        """Repair the one crash window of the simplified swap: a whole
+        ._next left behind by a crash between the aside-rename and the
+        swap-in is rolled forward; anything else is discarded (the
+        batch re-delivers and the append-only algebra absorbs it)."""
+        nxt, old = self.state_dir + "._next", self.state_dir + "._old"
+        if os.path.isdir(self.state_dir):
+            shutil.rmtree(nxt, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.isfile(os.path.join(nxt, "_SUCCESS")):
+            os.replace(nxt, self.state_dir)
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.isdir(old):
+            os.replace(old, self.state_dir)
+            shutil.rmtree(nxt, ignore_errors=True)
+
+    def _write_state(self, merged: DataFrame) -> None:
+        if self.state_dir is None:
+            # memory tier: pin so the lineage does not re-derive every
+            # prior batch's signatures on the next join (the iterative-
+            # loop lineage rule; state is band-grain, bounded by corpus
+            # bands, and the test/bounded tier by contract)
+            self._mem_state = merged.localCheckpoint()
+            return
+        nxt, old = self.state_dir + "._next", self.state_dir + "._old"
+        shutil.rmtree(nxt, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.state_dir):
+            os.replace(self.state_dir, old)
+        os.replace(nxt, self.state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    # ---- the operator ---------------------------------------------------
+    def bands_of(self, docs: DataFrame) -> DataFrame:
+        sigs = minhash_signatures(
+            docs.where(F.col(self.text_col).isNotNull()),
+            self.id_col,
+            self.text_col,
+            n_hashes=self.n_hashes,
+        )
+        return lsh_bands(sigs, self.id_col, n_bands=self.n_bands).select(
+            F.col(self.id_col).cast("long").alias("doc_id"),
+            F.col("band_id").cast("int").alias("band_id"),
+            "band_key",
+        )
+
+    def process_batch(self, docs: DataFrame, batch_id: int = -1) -> DataFrame:
+        """Fold one micro-batch in; return its NEW candidate pairs.
+
+        ``batch_id`` is accepted for foreachBatch signature parity but
+        unused — idempotence is algebraic (see module docstring), not
+        watermark-based.
+        """
+        state = self.read_state()
+        # anti-join by doc identity: redelivered docs contribute nothing
+        seen = state.select("doc_id").distinct()
+        new_bands = self.bands_of(docs).join(seen, "doc_id", "left_anti")
+        # pin: consumed by BOTH pair branches and the state merge, and
+        # the pair result must outlive the state swap (diamond policy;
+        # band-grain = batch-sized, never history-sized)
+        new_bands = new_bands.localCheckpoint()
+
+        cross = (
+            new_bands.alias("n")
+            .join(state.alias("o"), ["band_id", "band_key"])
+            .select(
+                "band_id",
+                F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id_a"),
+                F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id_b"),
+            )
+        )
+        within = (
+            new_bands.alias("x")
+            .join(new_bands.alias("y"), ["band_id", "band_key"])
+            .where(F.col("x.doc_id") < F.col("y.doc_id"))
+            .select(
+                "band_id",
+                F.col("x.doc_id").alias("doc_id_a"),
+                F.col("y.doc_id").alias("doc_id_b"),
+            )
+        )
+        pairs = (
+            cross.unionByName(within)
+            .groupBy("doc_id_a", "doc_id_b")
+            .agg(F.countDistinct("band_id").cast("long").alias("n_shared_bands"))
+            .localCheckpoint()
+        )
+        self._write_state(state.unionByName(new_bands))
+        return pairs
