@@ -352,3 +352,134 @@ def ivf_beam_topk(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def knn_graph_edges(
+    corpus: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 8,
+) -> DataFrame:
+    """Partition-local kNN graph — the NSW/HNSW base-layer build step,
+    IVF-blocked so the pair stage is per-partition quadratic, never
+    global: each vector links to its k nearest neighbors among vectors
+    sharing its coarse (IVF) partition. Returns directed (src, dst,
+    edge_sim) rows, k per src. At 100 TB the self-join shuffles on the
+    centroid id (bucketed layout co-locates it) and the per-partition
+    pair mass is bounded by the centroid count chosen at index build —
+    the standard sqrt(n)-centroids rule keeps it linear-ish overall."""
+    v = _as_double(corpus, id_col, vec_col)
+    tagged = v.join(assignments.select(id_col, "centroid_id"), id_col)
+    a = tagged.select(
+        F.col(id_col).alias("src"),
+        F.col("centroid_id").alias("_part"),
+        F.col(vec_col).alias("_src_vec"),
+    )
+    b = tagged.select(
+        F.col(id_col).alias("dst"),
+        F.col("centroid_id").alias("_part"),
+        F.col(vec_col).alias("_dst_vec"),
+    )
+    scored = (
+        a.join(b, "_part")
+        .where(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.round(cosine(F.col("_src_vec"), F.col("_dst_vec")), 6).alias(
+                "edge_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("edge_sim"), "dst")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def graph_beam_search(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    edges: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    k: int = 3,
+    n_entry: int = 2,
+    hops: int = 3,
+) -> DataFrame:
+    """Greedy-frontier ANN over a kNN graph (the navigable-small-world
+    search HNSW runs per layer, unrolled to a fixed hop budget so the
+    plan is a bounded join chain, not a driver loop): per query, enter
+    at the ``n_entry`` nearest coarse centroids (which are corpus nodes
+    themselves), expand the frontier ``hops`` times along graph edges
+    (frontier = frontier ∪ out-neighbors, set semantics), then
+    exact-rank the final candidate set. Output: (q_id, neighbor_id,
+    cosine_sim, n_candidates) — top-k rows per query with the measured
+    scan cost beside them.
+
+    The scale contract vs partition probing (ivf_probe_topk /
+    ivf_beam_topk): a probe scans EVERY member of the probed partition,
+    so its cost grows with partition size; the graph walk touches at
+    most n_entry * (degree ** hops) nodes NO MATTER how big partitions
+    get — the knob that keeps per-query latency flat as the corpus
+    grows, at the price of graph-build cost and bounded recall."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    qv = corpus.join(queries.select(id_col), id_col).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    wp = W.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
+    frontier = (
+        qv.crossJoin(F.broadcast(c))
+        .select(
+            "q_id",
+            "centroid_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= n_entry)
+        .select("q_id", F.col("centroid_id").alias("node"))
+    )
+    out_nbrs = edges.select(F.col("src").alias("node"), "dst")
+    for _ in range(hops):
+        frontier = (
+            frontier.unionByName(
+                frontier.join(out_nbrs, "node").select(
+                    "q_id", F.col("dst").alias("node")
+                )
+            )
+            .distinct()
+        )
+    nv = corpus.select(
+        F.col(id_col).alias("node"),
+        F.col(vec_col).cast("array<double>").alias("n_vec"),
+    )
+    scored = (
+        frontier.where(F.col("node") != F.col("q_id"))
+        .join(nv, "node")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            F.col("node").alias("neighbor_id"),
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    wr = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    wc = W.partitionBy("q_id")
+    return (
+        scored.withColumn("n_candidates", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -1608,3 +1608,144 @@ def lsh_dedup_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("doc_id_a", "doc_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r17+ (same rotation-contract reason as lsh_dedup_batch_replay
+# above; registration takes whichever slack slot the r17/r18 window opens).
+# Driver-gate-compared at two SFs by tests/test_graph_ann_staged.py.
+# ---------------------------------------------------------------------------
+
+_GRAPH_K_EDGE = 8  # kNN-graph out-degree
+_GRAPH_N_ENTRY = 2  # entry centroids per query
+_GRAPH_HOPS = 3  # frontier expansions
+
+_GRAPH_ANN_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    q AS (SELECT vec_id AS q_id, emb AS q_emb FROM e WHERE vec_id >= 495),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                 round({_COS_SQL.format(a="ea.emb", b="eb.emb")}, 6) DESC,
+                 b.vec_id) AS rn
+        FROM assign a
+        JOIN assign b ON b.centroid_id = a.centroid_id
+                     AND b.vec_id <> a.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+      ) WHERE rn <= {_GRAPH_K_EDGE}
+    ),
+    entry AS (
+      SELECT q_id, centroid_id AS node FROM (
+        SELECT q.q_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round({_COS_SQL.format(a="q.q_emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM q JOIN c ON true
+      ) WHERE rn <= {_GRAPH_N_ENTRY}
+    ),
+    f1 AS (
+      SELECT q_id, node FROM entry
+      UNION
+      SELECT en.q_id, ed.dst FROM entry en JOIN edges ed ON ed.src = en.node
+    ),
+    f2 AS (
+      SELECT q_id, node FROM f1
+      UNION
+      SELECT f.q_id, ed.dst FROM f1 f JOIN edges ed ON ed.src = f.node
+    ),
+    f3 AS (
+      SELECT q_id, node FROM f2
+      UNION
+      SELECT f.q_id, ed.dst FROM f2 f JOIN edges ed ON ed.src = f.node
+    ),
+    ranked AS (
+      SELECT cd.q_id, cd.node,
+             count(*) OVER (PARTITION BY cd.q_id) AS n_candidates,
+             row_number() OVER (PARTITION BY cd.q_id ORDER BY
+               round({_COS_SQL.format(a="qq.q_emb", b="ee.emb")}, 6) DESC,
+               cd.node) AS rn
+      FROM (SELECT q_id, node FROM f3 WHERE node <> q_id) cd
+      JOIN q qq ON qq.q_id = cd.q_id
+      JOIN e ee ON ee.vec_id = cd.node
+    ),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.q_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.q_id ORDER BY
+                 round({_COS_SQL.format(a="q.q_emb", b="e.emb")}, 6) DESC,
+                 e.vec_id) AS rn
+        FROM q JOIN e ON e.vec_id <> q.q_id
+      ) WHERE rn <= 3
+    )
+    SELECT r.q_id,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(x.neighbor_id) / 3.0, 4) AS recall_at_3,
+           CAST(max(r.n_candidates) AS BIGINT) AS n_candidates
+    FROM ranked r LEFT JOIN exact x
+      ON x.q_id = r.q_id AND x.neighbor_id = r.node
+    WHERE r.rn <= 3
+    GROUP BY r.q_id
+    ORDER BY r.q_id
+"""
+
+
+def graph_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN recall/cost contract — the NSW/HNSW-style rung above
+    ivf_beam_recall_contract on the ANN ladder (operators/similarity.py
+    ::knn_graph_edges + graph_beam_search): build a partition-local kNN
+    graph (out-degree 8, IVF-blocked so the pair stage never goes
+    globally quadratic), enter at each query's 2 nearest centroids, and
+    expand the frontier 3 hops before exact-ranking the candidate set.
+    recall@3 is judged against the brute-force top-3 with n_candidates
+    (nodes actually scored) beside it — the recall-vs-cost pair again,
+    now for the search strategy whose per-query cost is bounded by
+    entries × degree^hops INDEPENDENT of partition size (a probe scans
+    whole partitions; the walk does not). Same deterministic protocol
+    as the other ANN contracts: centroids = vec_id < 10, queries =
+    vec_id >= 495, cosine rounded to 6dp before every ranking with id
+    tie-breaks, both engines compute both sides."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        assign_centroids,
+        brute_force_topk,
+        graph_beam_search,
+        knn_graph_edges,
+    )
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") >= 495)
+    centroids = e.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    edges = knn_graph_edges(
+        e, assignments, "vec_id", "embedding", k=_GRAPH_K_EDGE
+    )
+    walked = graph_beam_search(
+        e, centroids, edges, queries.select("vec_id"),
+        "vec_id", "embedding",
+        k=3, n_entry=_GRAPH_N_ENTRY, hops=_GRAPH_HOPS,
+    )
+    return (
+        walked.join(exact, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
+            F.max("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id")
+    )
