@@ -174,3 +174,42 @@ def test_bridge_durable_state_and_crash_recovery(spark):
 def test_bridge_rejects_remote_state_uri(spark):
     with pytest.raises(ValueError, match="local filesystem"):
         LshDedupBridge(spark, state_dir="s3a://bucket/state")
+
+
+def test_bridge_under_real_stream(spark):
+    """§2.8 parity: the bridge driven by the REAL Structured Streaming
+    runtime (file source, maxFilesPerTrigger=1, availableNow drain,
+    foreachBatch sink) emits exactly the global pair set, each pair
+    surfacing in the micro-batch where its later doc arrived."""
+    from fitness_nutrition_data_pipeline_spark.streaming.lsh_bridge import (
+        run_lsh_bridge_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="lsh_bridge_stream_")
+    try:
+        docs = _mk_docs([0, 1, 0, 0, 1, 0, 1, 1, 0])
+        expected = _global_pairs(spark, docs)
+        # three files -> three micro-batches, arrival order = file order
+        in_dir = os.path.join(base, "in")
+        os.makedirs(in_dir)
+        batch_of = {}
+        for b in range(3):
+            chunk = [d for i, d in enumerate(docs) if i % 3 == b]
+            for doc_id, _ in chunk:
+                batch_of[doc_id] = b
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.parquet(os.path.join(in_dir, f"b{b}.parquet"))
+        emitted = {}
+        out = run_lsh_bridge_stream(
+            spark,
+            in_dir + "/*/",
+            state_dir=os.path.join(base, "state"),
+        )
+        for r in out.collect():
+            key = (r["doc_id_a"], r["doc_id_b"])
+            assert key not in emitted
+            emitted[key] = r["n_shared_bands"]
+        assert emitted == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
