@@ -891,7 +891,18 @@ def hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(49) - F.length(F.bin(v)))
         .alias("rho"),
     )
-    base_regs = hashed.groupBy("base_set", "reg").agg(F.max("rho").alias("r"))
+    # pinned: base_regs feeds BOTH the per-set register relation and the
+    # register-wise-max merge below; unpinned, the union plans the whole
+    # scan→hash→aggregate chain once per branch (audit_reuse read 6 fact
+    # scans where the two-consumer design intends 4). Bounded at
+    # 2 sets × 256 registers = 512 rows at ANY scale — admissible under
+    # the answer-sized localCheckpoint rule. The pin is also what keeps
+    # the merge route honest: merged registers really are computed FROM
+    # THE TWO SKETCHES (the mergeability contract), not re-derived from
+    # raw rows the way the oracle's rehash route is.
+    base_regs = hashed.groupBy("base_set", "reg").agg(
+        F.max("rho").alias("r")
+    ).localCheckpoint()
     merged_regs = (
         base_regs.groupBy("reg")
         .agg(F.max("r").alias("r"))

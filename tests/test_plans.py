@@ -798,6 +798,12 @@ def test_fixed_recompute_sites_stay_fixed(registry_plans):
                                           # the pin, so the final plan
                                           # reads only the ~50-row grain
                                           # (was 5 extra scans)
+        # r16 fix (caught by audit_reuse at registration time)
+        "hll_union_contract": 2,          # 512-row register relation
+                                          # pinned: 1 scan of events + 1
+                                          # of orders for the exact side;
+                                          # the sketch side reads the pin
+                                          # (was 3 scans per fact table)
     }
     for name, bound in bounds.items():
         scans = registry_plans[name]["formatted"].count("Scan parquet") // 2
