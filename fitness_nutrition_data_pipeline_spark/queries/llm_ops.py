@@ -1749,3 +1749,38 @@ def graph_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_id")
     )
+
+
+def incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED FOR r17+ (same rotation-contract note as
+    lsh_dedup_batch_replay above). Incrementally-maintained duplicate
+    clusters: the LshDedupBridge streams candidate pairs per micro-batch
+    (documents in three doc_id % 3 batches) and
+    streaming/lsh_bridge.py::IncrementalComponents folds each delta into
+    a star-forest component labeling — per batch the CC re-converges in
+    ~2 alternations because the state is height-1, so cost is
+    O(|clustered docs| + |delta|) per batch, never a recompute over
+    historical pairs. The final labeling must equal the GLOBAL exact
+    transitive closure over every band-colliding pair — the same oracle
+    dedup_clusters_exact answers in one batch shot (band-pair
+    connectivity ≡ the doc↔bucket-min star connectivity it uses, so the
+    two routes share one truth). This is the IVM contract for the dedup
+    ladder's cluster stage: incremental == batch, under the hard value
+    oracle."""
+    from fitness_nutrition_data_pipeline_spark.streaming.lsh_bridge import (
+        IncrementalComponents,
+        LshDedupBridge,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bridge = LshDedupBridge(spark)
+    cc = IncrementalComponents(spark)
+    labels = None
+    for b in range(3):
+        pairs = bridge.process_batch(docs.where(F.col("doc_id") % 3 == b), b)
+        labels = cc.fold_pairs(pairs)
+    return (
+        labels.select("doc_id", F.col("component").cast("bigint").alias("cluster_id"))
+        .repartition(1)
+        .sortWithinPartitions("doc_id")
+    )
