@@ -282,8 +282,13 @@ def main() -> None:
                 q: _dig[q] for q in EXTENDED if q in _dig
             }
             extended["digest_normalizer"] = NORMALIZER_VERSION
-        except Exception:  # noqa: BLE001 — witness is optional, bench must emit
-            pass
+        except Exception as e:  # noqa: BLE001 — bench must still emit JSON
+            # a dropped witness must be VISIBLE, not a silent revert to
+            # the stale-prior headline rule this field exists to fix:
+            # record the failure in the artifact and warn on stderr
+            extended["digests_error"] = str(e).split("\n", 1)[0][:200]
+            print(f"BENCH WARNING: extended digest witness dropped: "
+                  f"{extended['digests_error']}", file=sys.stderr)
         if ext_errors:
             extended["errors"] = ext_errors
             extended["partial_total"] = round(sum(ext_timings.values()), 3)

@@ -426,9 +426,10 @@ def graph_beam_search(
     The scale contract vs partition probing (ivf_probe_topk /
     ivf_beam_topk): a probe scans EVERY member of the probed partition,
     so its cost grows with partition size; the graph walk touches at
-    most n_entry * (degree ** hops) nodes NO MATTER how big partitions
-    get — the knob that keeps per-query latency flat as the corpus
-    grows, at the price of graph-build cost and bounded recall."""
+    most n_entry * sum(degree**h for h in 0..hops) nodes NO MATTER how
+    big partitions get (the bound tests/test_graph_ann_staged.py
+    enforces) — the knob that keeps per-query latency flat as the
+    corpus grows, at the price of graph-build cost and bounded recall."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
@@ -451,6 +452,13 @@ def graph_beam_search(
     )
     out_nbrs = edges.select(F.col("src").alias("node"), "dst")
     for _ in range(hops):
+        # pin per hop: the union references `frontier` twice (identity
+        # branch + expansion branch), so unpinned the subplan doubles
+        # per hop — 2^hops copies of the entry window and the kNN-graph
+        # self-join in one action (the repo's union recompute class).
+        # The frontier is answer-sized (≤ queries × the walk bound), so
+        # the localCheckpoint pin is admissible.
+        frontier = frontier.localCheckpoint()
         frontier = (
             frontier.unionByName(
                 frontier.join(out_nbrs, "node").select(

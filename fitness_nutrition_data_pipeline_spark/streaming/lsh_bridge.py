@@ -24,12 +24,18 @@ of the algebra —
   within-batch pairs need both new. No pair can be emitted twice
   because after its batch commits, both docs are state-side forever.
 
-Crash windows: pairs are computed and returned BEFORE the state swap,
-so a crash between the caller's pair sink and the swap re-delivers the
-batch against the OLD state and recomputes the identical pairs — the
-caller's sink must be idempotent per batch_id (overwrite-by-batch-id
-parquet, the standard foreachBatch discipline); a crash after the swap
-re-delivers a batch whose docs are all state-side, which is a no-op.
+Crash windows: the pair SINK must run BEFORE the state swap — once the
+swap lands, a redelivered batch is algebraically a no-op and its pairs
+can never be recomputed. ``process_batch`` therefore takes the sink as
+a callback and invokes it on the materialized pairs before advancing
+the state: a crash inside (or before) the sink re-delivers the batch
+against the OLD state and recomputes the identical pairs (the sink
+must be idempotent per batch_id — overwrite-by-batch-id parquet, the
+standard foreachBatch discipline); a crash after the swap re-delivers
+a batch whose docs are all state-side, whose pairs the sink already
+durably holds. Collecting the RETURNED pairs instead of passing a sink
+is only exactly-once for the in-memory tier (where state dies with the
+process anyway) — the durable tier should always pass ``sink``.
 
 Replay contract (the §2.8 streaming-family discipline): processing a
 corpus in ANY batch split emits the same pair SET as one global batch
@@ -70,10 +76,15 @@ class LshDedupBridge:
 
     Usage (batch replay or inside ``writeStream.foreachBatch``)::
 
-        bridge = LshDedupBridge(spark)           # or state_dir="/state"
-        pairs = bridge.process_batch(batch_df)   # new candidate pairs
-        # sink `pairs` idempotently (overwrite by batch_id), THEN the
-        # state is already swapped — see the crash-window note above.
+        bridge = LshDedupBridge(spark, state_dir="/state")
+        bridge.process_batch(
+            batch_df, batch_id,
+            sink=lambda p: p.write.mode("overwrite")
+                            .parquet(f"/pairs/batch={batch_id}"),
+        )
+        # the sink runs BEFORE the state swap — see the crash-window
+        # note above; in-memory/replay callers may skip `sink` and use
+        # the returned DataFrame instead.
 
     ``process_batch`` returns the NEW candidate pairs this batch
     surfaced: (doc_id_a < doc_id_b, n_shared_bands), where
@@ -171,12 +182,22 @@ class LshDedupBridge:
             "band_key",
         )
 
-    def process_batch(self, docs: DataFrame, batch_id: int = -1) -> DataFrame:
+    def process_batch(
+        self,
+        docs: DataFrame,
+        batch_id: int = -1,
+        *,
+        sink=None,
+    ) -> DataFrame:
         """Fold one micro-batch in; return its NEW candidate pairs.
 
         ``batch_id`` is accepted for foreachBatch signature parity but
         unused — idempotence is algebraic (see module docstring), not
-        watermark-based.
+        watermark-based. ``sink`` (callable taking the pairs DataFrame)
+        runs on the materialized pairs BEFORE the state swap — the
+        ordering that makes the durable tier exactly-once (module
+        docstring, crash windows); if it raises, the state does not
+        advance and the batch re-delivers cleanly.
         """
         state = self.read_state()
         # anti-join by doc identity: redelivered docs contribute nothing
@@ -212,6 +233,8 @@ class LshDedupBridge:
             .agg(F.countDistinct("band_id").cast("long").alias("n_shared_bands"))
             .localCheckpoint()
         )
+        if sink is not None:
+            sink(pairs)
         self._write_state(state.unionByName(new_bands))
         return pairs
 
@@ -241,10 +264,16 @@ def run_lsh_bridge_stream(
     emitted: list = []
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        for r in bridge.process_batch(batch_df, batch_id).collect():
-            emitted.append(
-                (r["doc_id_a"], r["doc_id_b"], r["n_shared_bands"], batch_id)
-            )
+        def emit(pairs: DataFrame) -> None:
+            for r in pairs.collect():
+                emitted.append(
+                    (r["doc_id_a"], r["doc_id_b"], r["n_shared_bands"],
+                     batch_id)
+                )
+
+        # pair sink passed INTO process_batch so it runs before the
+        # state swap (the exactly-once ordering the module documents)
+        bridge.process_batch(batch_df, batch_id, sink=emit)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

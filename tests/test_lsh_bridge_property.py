@@ -210,6 +210,14 @@ def test_bridge_under_real_stream(spark):
             key = (r["doc_id_a"], r["doc_id_b"])
             assert key not in emitted
             emitted[key] = r["n_shared_bands"]
+            # the batch-tagging contract must hold under the REAL
+            # scheduler too: a pair surfaces in the micro-batch where
+            # its LATER doc arrived (file order = batch order here —
+            # the source lists by modification time and the three
+            # files were written sequentially)
+            assert r["batch_id"] == max(
+                batch_of[key[0]], batch_of[key[1]]
+            ), f"pair {key} surfaced in micro-batch {r['batch_id']}"
         assert emitted == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
@@ -261,3 +269,40 @@ def test_incremental_components_split_invariant(spark, case):
             )
         prev = dict(labels)
     assert labels == expected
+
+
+def test_sink_failure_does_not_advance_state(spark):
+    """The exactly-once ordering (code-review r16): the pair sink runs
+    BEFORE the state swap, so a sink crash leaves the state untouched
+    and the redelivered batch recomputes the identical pairs — with the
+    old (post-swap) ordering those pairs would have been lost forever."""
+    base = tempfile.mkdtemp(prefix="lsh_bridge_sinkfail_")
+    try:
+        docs = _mk_docs([0] * 6)
+        bridge = LshDedupBridge(
+            spark, state_dir=os.path.join(base, "state")
+        )
+        b0 = spark.createDataFrame(docs, "doc_id long, text string")
+
+        class Boom(Exception):
+            pass
+
+        def failing_sink(pairs):
+            raise Boom()
+
+        with pytest.raises(Boom):
+            bridge.process_batch(b0, 0, sink=failing_sink)
+        assert bridge.read_state().count() == 0, (
+            "state advanced past a failed sink — the redelivered batch "
+            "would emit zero pairs and the batch's output is lost"
+        )
+        # redelivery after the crash recomputes the full pair set
+        got = []
+        bridge.process_batch(b0, 0, sink=lambda p: got.extend(p.collect()))
+        assert len(got) > 0
+        assert {(r["doc_id_a"], r["doc_id_b"]): r["n_shared_bands"]
+                for r in got} == _global_pairs(spark, docs)
+        # and now the state HAS advanced: a second delivery is a no-op
+        assert bridge.process_batch(b0, 0).count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

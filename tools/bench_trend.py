@@ -149,6 +149,12 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
               " plans; an extended family whose own registry digest changed"
               " between the compared rounds (tools/registry_digests.json"
               " history) may compare across a plan change")
+        for r, d in rounds:
+            err = (d.get("extended") or {}).get("digests_error")
+            if err:
+                print(f"  WARNING: r{r} artifact dropped its per-family "
+                      f"digest witness ({err}) — its rows compare under "
+                      f"the headline rule only")
     latest_q_digests = digests.get(latest_round, {})
     for q in sorted(series):
         pts = series[q]
