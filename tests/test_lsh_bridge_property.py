@@ -306,3 +306,55 @@ def test_sink_failure_does_not_advance_state(spark):
         assert bridge.process_batch(b0, 0).count() == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_bridge_restart_catchup_without_engine_checkpoint(spark):
+    """Restart semantics the durable state buys on its own: a FRESH
+    streaming query (no checkpointLocation) re-reads every input file,
+    but the redelivered docs are state-side and emit nothing — only
+    files that arrived since the last run surface pairs. Exactly-once
+    across restarts without engine-checkpoint coupling."""
+    from fitness_nutrition_data_pipeline_spark.streaming.lsh_bridge import (
+        run_lsh_bridge_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="lsh_bridge_restart_")
+    try:
+        docs = _mk_docs([0] * 9)
+        expected = _global_pairs(spark, docs)
+        in_dir = os.path.join(base, "in")
+        state_dir = os.path.join(base, "state")
+        os.makedirs(in_dir)
+
+        def write(b, chunk):
+            spark.createDataFrame(
+                chunk, "doc_id long, text string"
+            ).coalesce(1).write.parquet(os.path.join(in_dir, f"b{b}.parquet"))
+
+        write(0, docs[:3])
+        write(1, docs[3:6])
+        first = run_lsh_bridge_stream(
+            spark, in_dir + "/*/", state_dir=state_dir
+        ).collect()
+        assert len(first) > 0
+
+        # "restart": new query, same input glob (both old files re-read),
+        # plus one new arrival
+        write(2, docs[6:])
+        second = run_lsh_bridge_stream(
+            spark, in_dir + "/*/", state_dir=state_dir
+        ).collect()
+        new_docs = {d for d, _ in docs[6:]}
+        for r in second:
+            assert r["doc_id_a"] in new_docs or r["doc_id_b"] in new_docs, (
+                f"pair ({r['doc_id_a']},{r['doc_id_b']}) re-emitted on "
+                f"restart despite both docs predating it"
+            )
+        got = {
+            (r["doc_id_a"], r["doc_id_b"]): r["n_shared_bands"]
+            for r in [*first, *second]
+        }
+        assert len(got) == len(first) + len(second), "a pair emitted twice"
+        assert got == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
