@@ -76,78 +76,84 @@ def register(
 
 
 # The driver's correctness harness samples the FIRST 50 registrations, so
-# ordering is signal allocation. Round-16 window, per VERDICT r15 ask #1/#2:
-# the full 48-query r10-stale mandatory drain (oldest hot cohort — they
-# fail the age-6 invariant at r17 if not re-signalled now; exact set from
-# `rotation_report --plan-next` at r15 close, name-ordered), then the 2
-# slack slots spent exactly as VERDICT r15 ask #2 prescribes: registering
-# the two queries STAGED during r15 — hll_union_contract (sketch_ops.py,
-# completing the CM/Bloom/KMV/AMS/quantile mergeable-sketch family) and
-# ivf_beam_recall_contract (llm_ops.py, the ANN ladder's nprobe rung) —
-# both already driver-gate-proven green at two SFs by
-# tests/test_sketch_staged.py and tests/test_ann_staged.py during r15,
-# strict-blessed at 3 SFs + bare at r16 open, digests recorded. New
-# registrations MUST sit inside the window (the never-checked guard).
-# log_odds_ratio_terms (r14 oracle-only change) last signalled r13 and
-# enters mechanically with the r13 cohort drain (~r17). Queries frozen
+# ordering is signal allocation. Round-17 window, per VERDICT r16 ask #1/#2:
+# the full 49-query r11-stale mandatory drain (oldest hot cohort — their
+# signals hit age 7 at r18 if not re-signalled now; exact set from
+# `rotation_report --plan-next` at r16 close, name-ordered), then the ONE
+# slack slot spent exactly as VERDICT r16 ask #2 prescribes: registering
+# lsh_dedup_batch_replay (llm_ops.py — the r16-staged streaming LSH dedup
+# bridge replay, putting streaming/lsh_bridge.py::LshDedupBridge's
+# incremental==batch contract under the driver's hard value oracle).
+# Already driver-gate-proven green at two SFs by
+# tests/test_lsh_bridge_staged.py during r16, strict-blessed at 3 SFs +
+# bare at r17 open, digest recorded. The r11 cohort could not free slack
+# by freezing: its signals predate the r12 digest map (no evidence chain),
+# which is exactly why it is the mandatory drain. The remaining three
+# staged queries (incremental_dedup_clusters, rerank_cascade_eval,
+# graph_ann_recall_contract) wait for r18's slack (15 r12-hot mandatory
+# drains + 35 slack per rotation_report --plan-next at r17 open), along
+# with the log_odds_ratio_terms re-signal (r13 cohort) and the
+# dedup_clusters_exact coalesce(1) lever (r12 cohort). New registrations
+# MUST sit inside the window (the never-checked guard). Queries frozen
 # under tools/registry_freeze.json are excluded from the age invariant
-# (their staleness witness is the committed plan digest). Planned against
-# tools/rotation_report.py: after this window the oldest HOT signal
-# registry-wide becomes r11.
+# (their staleness witness is the committed plan digest; 113 frozen after
+# the r17-open freeze of the 27 newly-eligible r16-drained queries).
+# Planned against tools/rotation_report.py: after this window the oldest
+# HOT signal registry-wide becomes r12.
 _CHECK_PRIORITY = (
-    # --- round-16 window (driver checks the FIRST 50) ---
-    # (1) the full r10-stale cohort: 48 mandatory drains
-    "activity_streaks",
-    "ann_recall_contract",
-    "avro_roundtrip_scan",
-    "bm25_query_scores",
-    "boilerplate_chunks",
-    "cdc_chunk_dedup",
-    "cluster_survivor_selection",
-    "column_fill_rates",
-    "contamination_check",
-    "decimal_money_totals",
-    "embedding_dedup_clusters",
-    "embedding_lsh_buckets",
-    "embedding_quantization_params",
-    "entity_resolution_profiles",
-    "fixed_size_stratum_sample",
-    "fleiss_kappa_raters",
-    "hapax_ratio_by_source",
-    "heavy_hitters_verified",
-    "kcore_fixpoint_audit",
-    "kmv_intersection_estimate",
-    "lang_confusion_matrix",
-    "majority_vote_accuracy",
-    "minhash_lsh_buckets",
-    "multimodal_format_profile",
-    "mv_rewrite_audit",
-    "pareto_frontier_parts",
-    "passk_estimator",
-    "pca_power_iteration",
-    "pii_scan_redact",
-    "poisson_bootstrap_ci",
-    "repetition_profile",
-    "sequence_packing_windows",
-    "shapley_attribution_exact",
-    "star_join_topk",
-    "surrogate_key_assignment",
-    "time_in_state_twa",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q20_dominant_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_profit",
-    "tree_subtree_cost_rollup",
-    "type_token_ratio",
-    "unigram_logprob_docs",
-    "user_value_trend",
-    "weighted_median_price",
-    "zipf_slope_top_terms",
-    # (2) 2 slack slots: the r15-staged registrations (VERDICT r15 ask #2)
-    "hll_union_contract",
-    "ivf_beam_recall_contract",
+    # --- round-17 window (driver checks the FIRST 50) ---
+    # (1) the full r11-stale cohort: 49 mandatory drains
+    "acf_daily_revenue",
+    "attribution_batch_replay",
+    "avro_split_scan",
+    "bigram_pmi_collocations",
+    "bpe_merge_candidates",
+    "churn_hazard_curve",
+    "column_profile_orders",
+    "composite_pk_check",
+    "concurrent_sessions_peak",
+    "corpus_datacard",
+    "cross_source_dup_leakage",
+    "date_dimension",
+    "dau_wau_stickiness",
+    "dedup_cluster_size_histogram",
+    "dedup_exact_summary",
+    "embedding_coverage_check",
+    "embedding_dim_variance",
+    "event_transition_matrix",
+    "event_type_cooccurrence",
+    "ewma_daily_value",
+    "functional_dependency_audit",
+    "gini_split_gain",
+    "grouping_sets_distinct_users",
+    "hopping_window_rollup",
+    "interval_union_coverage",
+    "inverted_index_postings",
+    "join_key_skew_profile",
+    "k_anonymity_audit",
+    "lang_id_kappa",
+    "minhash_jaccard_calibration",
+    "mmr_diversified_topk",
+    "mutual_information_features",
+    "prefix_dup_groups",
+    "regression_slope_by_group",
+    "selfjoin_blowup_estimate",
+    "sessionize_native_window",
+    "shingle_containment_pairs",
+    "sliding_distinct_users_7d",
+    "source_length_drift",
+    "sql_script_replay",
+    "strict_funnel_3step",
+    "tree_subtree_cost_rollup_native",
+    "two_source_reconciliation",
+    "watermark_late_drop_replay",
+    "weekday_adjusted_spikes",
+    "weekday_bitmask_histogram",
+    "weekday_seasonality",
+    "wilson_interval_priorities",
+    "winnowing_cross_matches",
+    # (2) 1 slack slot: the r16-staged registration (VERDICT r16 ask #2)
+    "lsh_dedup_batch_replay",
 )
 
 

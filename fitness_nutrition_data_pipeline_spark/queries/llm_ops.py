@@ -1546,12 +1546,12 @@ def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# STAGED FOR r17 (not yet @register'ed — the rotation contract requires new
-# registrations to sit inside the driver's 50-slot window; the r16 window's
-# 2 slack slots went to the r15-staged hll/ivf_beam pair, and r17 plans 1+
-# slack slot per rotation_report --plan-next). Driver-gate-compared at two
-# SFs by tests/test_lsh_bridge_staged.py until then; the REAL engine's
-# batch-split invariance is pinned by tests/test_lsh_bridge_property.py.
+# REGISTERED r17 (the window's one slack slot, per VERDICT r16 ask #2; it
+# was staged through r16 because the rotation contract requires new
+# registrations to sit inside the driver's 50-slot window). The REAL
+# engine's batch-split invariance stays pinned by
+# tests/test_lsh_bridge_property.py, and tests/test_lsh_bridge_staged.py
+# keeps the two-SF driver-gate comparison green.
 # ---------------------------------------------------------------------------
 
 _LSH_REPLAY_ORACLE = (
@@ -1574,6 +1574,11 @@ _LSH_REPLAY_ORACLE = (
 )
 
 
+@register(
+    "lsh_dedup_batch_replay",
+    _LSH_REPLAY_ORACLE,
+    doc="streaming LSH dedup bridge 3-batch replay == single-batch closed form",
+)
 def lsh_dedup_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest near-dup bridge under the value oracle: the REAL
     incremental engine (streaming/lsh_bridge.py::LshDedupBridge — LSH
