@@ -282,6 +282,27 @@ def main() -> None:
                 q: _dig[q] for q in EXTENDED if q in _dig
             }
             extended["digest_normalizer"] = NORMALIZER_VERSION
+            # the committed map is only guaranteed == HEAD on a CLEAN
+            # checkout (the suite gate runs against the working tree);
+            # a dirty-tree bench may measure plans the committed digests
+            # don't describe. Record the indicator so bench_trend can
+            # demote such artifacts to the headline-only rule instead of
+            # silently trusting a possibly-stale witness (ADVICE r16 #3).
+            try:
+                import subprocess
+
+                _porcelain = subprocess.run(
+                    ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+                     "status", "--porcelain"],
+                    capture_output=True, text=True, timeout=30,
+                ).stdout.strip()
+                extended["digests_dirty_tree"] = bool(_porcelain)
+            except Exception:  # noqa: BLE001 — no git = no indicator
+                extended["digests_dirty_tree"] = None
+            if extended["digests_dirty_tree"]:
+                print("BENCH WARNING: working tree dirty — embedded "
+                      "per-family digests may not describe the measured "
+                      "plans", file=sys.stderr)
         except Exception as e:  # noqa: BLE001 — bench must still emit JSON
             # a dropped witness must be VISIBLE, not a silent revert to
             # the stale-prior headline rule this field exists to fix:

@@ -429,7 +429,16 @@ def graph_beam_search(
     most n_entry * sum(degree**h for h in 0..hops) nodes NO MATTER how
     big partitions get (the bound tests/test_graph_ann_staged.py
     enforces) — the knob that keeps per-query latency flat as the
-    corpus grows, at the price of graph-build cost and bounded recall."""
+    corpus grows, at the price of graph-build cost and bounded recall.
+
+    Caller contract (ADVICE r16 #2): pass ``edges`` MATERIALIZED. The
+    per-hop frontier pin is eager, so a lazily-derived edges relation
+    (e.g. knn_graph_edges straight off the corpus) re-executes its
+    self-join + window once per hop — ~hops+1 graph builds in one call.
+    A kNN graph is an offline-built index: at production scale write it
+    to parquet once and pass the scan; at contract/test scale a
+    localCheckpoint pin of the (corpus × k)-row edge list is the same
+    materialize-once semantics."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),

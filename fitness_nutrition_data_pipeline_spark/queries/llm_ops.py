@@ -1735,9 +1735,15 @@ def graph_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
     assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    # materialize the graph once before the walk (graph_beam_search's
+    # caller contract, ADVICE r16 #2): the per-hop frontier pins are
+    # eager, so an unpinned edges relation would re-run the kNN-graph
+    # self-join + window once per hop (~hops+1 builds). The edge list
+    # is corpus × k rows of (src, dst, sim) — bounded at contract
+    # scale; a production index build writes it to parquet instead.
     edges = knn_graph_edges(
         e, assignments, "vec_id", "embedding", k=_GRAPH_K_EDGE
-    )
+    ).localCheckpoint()
     walked = graph_beam_search(
         e, centroids, edges, queries.select("vec_id"),
         "vec_id", "embedding",

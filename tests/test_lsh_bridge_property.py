@@ -20,6 +20,7 @@ import os
 import shutil
 import sys
 import tempfile
+import time
 
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -193,13 +194,23 @@ def test_bridge_under_real_stream(spark):
         in_dir = os.path.join(base, "in")
         os.makedirs(in_dir)
         batch_of = {}
+        base_mtime = int(time.time())
         for b in range(3):
             chunk = [d for i, d in enumerate(docs) if i % 3 == b]
             for doc_id, _ in chunk:
                 batch_of[doc_id] = b
+            out_dir = os.path.join(in_dir, f"b{b}.parquet")
             spark.createDataFrame(
                 chunk, "doc_id long, text string"
-            ).coalesce(1).write.parquet(os.path.join(in_dir, f"b{b}.parquet"))
+            ).coalesce(1).write.parquet(out_dir)
+            # FileStreamSource orders micro-batches by data-file mtime;
+            # three dirs written back-to-back can TIE on coarse-mtime
+            # filesystems, making batch order flaky (ADVICE r16 #1).
+            # Pin strictly increasing mtimes so arrival order == b.
+            for root, _dirs, files in os.walk(out_dir):
+                for f in files:
+                    os.utime(os.path.join(root, f),
+                             (base_mtime + b, base_mtime + b))
         emitted = {}
         out = run_lsh_bridge_stream(
             spark,

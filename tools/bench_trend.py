@@ -137,7 +137,14 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
         # effectively that section's pre-probe
         sane[r] = _probe_sane(d, block)
         failed[r] = _probe_failed(d, block)
-        digests[r] = block.get("digests") or {}
+        # a dirty-tree artifact's embedded digests may not describe the
+        # plans it measured (bench.py records the indicator, ADVICE r16
+        # #3) — drop its per-family witness so its rows compare under
+        # the headline rule only, loudly (warning printed below)
+        if block.get("digests_dirty_tree"):
+            digests[r] = {}
+        else:
+            digests[r] = block.get("digests") or {}
         for q, t in (block.get("queries") or {}).items():
             series.setdefault(q, []).append((r, t))
     if not series:
@@ -155,6 +162,11 @@ def _trend_block(rounds: list[tuple[int, dict]], which: str,
                 print(f"  WARNING: r{r} artifact dropped its per-family "
                       f"digest witness ({err}) — its rows compare under "
                       f"the headline rule only")
+            if (d.get("extended") or {}).get("digests_dirty_tree"):
+                print(f"  WARNING: r{r} artifact was benched on a DIRTY "
+                      f"working tree — its embedded per-family digests "
+                      f"may not describe the measured plans; its rows "
+                      f"compare under the headline rule only")
     latest_q_digests = digests.get(latest_round, {})
     for q in sorted(series):
         pts = series[q]
