@@ -500,3 +500,61 @@ def graph_beam_search(
         .where(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """In-order fold squared-L2 of two array<double> columns — the
+    deterministic-accumulation twin of :func:`cosine` (same
+    oracle-verifiable shape: one IEEE op per element, folded in index
+    order, so the double is bit-identical cross-engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int = 8,
+    sub_dim: int = 8,
+) -> DataFrame:
+    """Product-quantization subspace split: (id, j, sub) — each vector
+    as its ``m`` contiguous ``sub_dim``-dim slices (one posexplode pass,
+    no shuffle). The PQ decomposition step shared by codebook building,
+    encoding, and the ADC query tables."""
+    v = _as_double(vectors, id_col, vec_col)
+    slices = F.array(
+        *[F.slice(F.col(vec_col), j * sub_dim + 1, sub_dim) for j in range(m)]
+    )
+    return v.select(F.col(id_col), F.posexplode(slices).alias("j", "sub"))
+
+
+def pq_encode(
+    sub_vectors: DataFrame, code_sub: DataFrame, id_col: str
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace) the nearest codebook entry —
+    (id, j, code_id), the 100 TB-scale compressed index (m small code
+    ids per vector instead of the full float payload; with m=8 and 16
+    codes that is 4 bits/subspace = 4 bytes vs 512).
+
+    ``code_sub`` is the codebook in subvector form (code_id, j, cs) —
+    m × n_codes rows, broadcast; encoding is therefore one map-side
+    pass over the corpus subvectors. Distances are squared-L2 in
+    INTEGER MICRO-UNITS (round(d2 × 1e6) as BIGINT): the per-subspace
+    fold is the bit-identical in-order shape, and everything summed or
+    ranked after it is integer math — order-free across engines (the
+    serving_ops ppm discipline applied to the ANN ladder)."""
+    d2u = F.round(sq_dist(F.col("sub"), F.col("cs")) * 1e6, 0).cast("long")
+    scored = sub_vectors.join(F.broadcast(code_sub), "j").select(
+        id_col, "j", "code_id", d2u.alias("d2_micro")
+    )
+    w = W.partitionBy(id_col, "j").orderBy("d2_micro", "code_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(id_col, "j", "code_id")
+    )

@@ -18,6 +18,7 @@ driver-side loops, no UDFs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from fitness_nutrition_data_pipeline_spark.operators.dedup import (
@@ -1794,4 +1795,254 @@ def incremental_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.select("doc_id", F.col("component").cast("bigint").alias("cluster_id"))
         .repartition(1)
         .sortWithinPartitions("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r18 (not yet @register'ed — rotation contract: new entries must
+# sit inside the driver's 50-slot window; r17's one slack slot went to the
+# r16-staged lsh_dedup_batch_replay, and rotation_report --plan-next shows
+# 35 r18 slack slots). Driver-gate-compared at two SFs by
+# tests/test_pq_staged.py / tests/test_graph_bridge_staged.py until then.
+#
+# pq_recall_contract: the ANN ladder's MEMORY-BUDGET rung (VERDICT r16
+# ask #8) — embedding_quantization_params proved the scalar int8 story;
+# product quantization is the vector-codebook form the big ANN systems
+# actually serve from (the FAISS IVF-PQ shape, implemented from the
+# public algorithm: subspace decomposition -> per-subspace codebooks ->
+# asymmetric-distance search over code ids).
+#
+# graph_ingest_batch_replay: the streaming graph-ANN ingest bridge
+# (streaming/graph_bridge.py) under the hard value oracle — the IVM
+# contract (incremental == batch) applied to the kNN-graph index the
+# graph_ann_recall_contract walk searches.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUB = 8  # dims per subspace (8 x 8 = the 64-dim embedding)
+_PQ_NCODES = 16  # codebook entries per subspace (vec_id < 16)
+_PQ_K = 3  # recall cutoff
+
+# per-subspace squared-L2 in integer micro-units: the in-order fold is
+# the bit-identical cross-engine shape (the _COS_SQL precedent), and
+# round(d2 * 1e6) AS BIGINT makes every SUM/rank after it integer math
+# — order-free, so the ADC accumulation over subspaces cannot drift
+# between engines (the serving_ops ppm discipline on the ANN ladder)
+_SQ8U_SQL = (
+    "CAST(round(list_sum(list_transform(range(1, 9), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0) AS BIGINT)"
+)
+_SQ64U_SQL = (
+    "CAST(round(list_sum(list_transform(range(1, 65), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000.0) AS BIGINT)"
+)
+
+_PQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(t.j AS INT) AS j,
+             list_slice(emb, CAST(t.j * 8 + 1 AS INT),
+                             CAST(t.j * 8 + 8 AS INT)) AS s
+      FROM e, range(0, {_PQ_M}) t(j)
+    ),
+    codes AS (
+      SELECT vec_id AS code_id, j, s AS cs FROM sub
+      WHERE vec_id < {_PQ_NCODES}
+    ),
+    encd AS (
+      SELECT vec_id, j, code_id FROM (
+        SELECT d.vec_id, d.j, d.code_id,
+               row_number() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY d.d2u, d.code_id) AS rn
+        FROM (
+          SELECT s.vec_id, s.j, c.code_id,
+                 {_SQ8U_SQL.format(a="s.s", b="c.cs")} AS d2u
+          FROM sub s JOIN codes c USING (j)
+        ) d
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT s.vec_id AS q_id, s.j, c.code_id,
+             {_SQ8U_SQL.format(a="s.s", b="c.cs")} AS d2u
+      FROM sub s JOIN codes c USING (j)
+      WHERE s.vec_id >= 495
+    ),
+    adc AS (
+      SELECT q.q_id, en.vec_id, sum(q.d2u) AS adc_u
+      FROM encd en JOIN qtab q ON q.j = en.j AND q.code_id = en.code_id
+      WHERE en.vec_id <> q.q_id
+      GROUP BY q.q_id, en.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_scored,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_u, vec_id) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQ64U_SQL.format(a="q.emb", b="x.emb")}, x.vec_id) AS rn
+        FROM e q JOIN e x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id >= 495
+      ) WHERE rn <= {_PQ_K}
+    )
+    SELECT r.q_id,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(x.neighbor_id) / 3.0, 4) AS recall_at_3,
+           max(r.n_scored) AS n_scored
+    FROM ranked r LEFT JOIN exact x
+      ON x.q_id = r.q_id AND x.neighbor_id = r.vec_id
+    WHERE r.rn <= {_PQ_K}
+    GROUP BY r.q_id
+    ORDER BY r.q_id
+"""
+
+
+def pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN recall/cost contract — the memory-budget
+    rung of the ANN ladder (operators/similarity.py::pq_subvectors /
+    pq_encode): split the 64-dim embedding into 8 contiguous 8-dim
+    subspaces, take the sub-vectors of vec_id < 16 as each subspace's
+    16-entry codebook (4-bit codes: 8 x 4 bits = 4 bytes/vector vs 512
+    raw — the 128x compression that lets a 100 TB vector corpus serve
+    from RAM), encode every vector as its per-subspace nearest code, and
+    answer queries by ASYMMETRIC DISTANCE: per query, a 128-row lookup
+    table (subspace x code -> exact query-to-code distance) is broadcast
+    and the corpus is scanned over CODE IDS ONLY — the full float vector
+    is never touched at query time. recall@3 is judged against the
+    exact squared-L2 top-3 with n_scored beside it (PQ-ADC scans the
+    whole corpus — honest: its saving is bytes-per-candidate, not
+    candidate count; IVF's partition pruning composes on top). All
+    distances are integer micro-units over bit-identical in-order folds
+    (round(d2*1e6) as BIGINT), so the cross-subspace ADC sum is
+    order-free integer math in both engines. Deterministic protocol:
+    queries = vec_id >= 495, ranking ties break by id, both engines
+    compute both sides."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_subvectors,
+        sq_dist,
+    )
+
+    e = _emb(spark, sf_dir)
+    sub = pq_subvectors(e, "vec_id", "embedding", m=_PQ_M, sub_dim=_PQ_SUB)
+    codes = sub.where(F.col("vec_id") < _PQ_NCODES).select(
+        F.col("vec_id").alias("code_id"), "j", F.col("sub").alias("cs")
+    )
+    enc = pq_encode(sub, codes, "vec_id")
+    qd2u = F.round(sq_dist(F.col("sub"), F.col("cs")) * 1e6, 0).cast("long")
+    qtab = (
+        sub.where(F.col("vec_id") >= 495)
+        .join(F.broadcast(codes), "j")
+        .select(
+            F.col("vec_id").alias("q_id"), "j", "code_id",
+            qd2u.alias("d2_micro"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(qtab), ["j", "code_id"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_u"))
+    )
+    wc = W.partitionBy("q_id")
+    wr = W.partitionBy("q_id").orderBy("adc_u", "vec_id")
+    ranked = adc.select(
+        "q_id",
+        "vec_id",
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_scored"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") <= _PQ_K)
+    v = e.select("vec_id", F.col("embedding").cast("array<double>").alias("vec"))
+    q = v.where(F.col("vec_id") >= 495).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    l2u = F.round(sq_dist(F.col("vec"), F.col("q_vec")) * 1e6, 0).cast("long")
+    we = W.partitionBy("q_id").orderBy("l2u", "vec_id")
+    exact = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", l2u.alias("l2u"))
+        .withColumn("ern", F.row_number().over(we))
+        .where(F.col("ern") <= _PQ_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ranked.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
+            F.max("n_scored").alias("n_scored"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id")
+    )
+
+
+_GRAPH_INGEST_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    )
+    SELECT src, dst, edge_sim FROM (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round({_COS_SQL.format(a="ea.emb", b="eb.emb")}, 6) AS edge_sim,
+             row_number() OVER (PARTITION BY a.vec_id ORDER BY
+               round({_COS_SQL.format(a="ea.emb", b="eb.emb")}, 6) DESC,
+               b.vec_id) AS rn
+      FROM assign a
+      JOIN assign b ON b.centroid_id = a.centroid_id
+                   AND b.vec_id <> a.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+    ) WHERE rn <= {_GRAPH_K_EDGE}
+    ORDER BY src, dst
+"""
+
+
+def graph_ingest_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN-graph ingest bridge under the value oracle: the
+    REAL incremental engine (streaming/graph_bridge.py::
+    GraphIngestBridge — the graph-ANN index maintained as foreachBatch
+    state via the insert-only top-k IVM fold) ingests the embeddings
+    table in three deterministic batches (vec_id % 3, processed 0-1-2),
+    and the FINAL edge relation must equal the closed form one global
+    knn_graph_edges build computes: per node, the top-8 same-IVF-
+    partition neighbors by 6dp-rounded cosine with id tie-breaks. Per
+    batch the engine's work is |batch| x touched-partition members plus
+    a re-rank of affected srcs only, never |history|^2; the oracle
+    rebuilds the whole graph from scratch, so the hash equality re-
+    proves the assignment + ranking algebra end to end. The final
+    relation (not per-batch tags) is the checkable output because top-k
+    maintenance EVICTS: an edge discovered in batch 0 can be legally
+    displaced by a better batch-2 neighbor, so only the converged state
+    is split-invariant (tests/test_graph_bridge_staged.py pins the
+    split-invariance property against drawn batch assignments)."""
+    from fitness_nutrition_data_pipeline_spark.streaming.graph_bridge import (
+        GraphIngestBridge,
+    )
+
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < 10)
+    bridge = GraphIngestBridge(
+        spark, centroids, id_col="vec_id", vec_col="embedding",
+        k=_GRAPH_K_EDGE,
+    )
+    for b in range(3):
+        bridge.process_batch(e.where(F.col("vec_id") % 3 == b), b)
+    return (
+        bridge.read_edges()
+        .select("src", "dst", "edge_sim")
+        .repartition(1)
+        .sortWithinPartitions("src", "dst")
     )

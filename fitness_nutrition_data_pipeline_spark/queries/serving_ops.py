@@ -660,3 +660,160 @@ def rerank_cascade_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("q_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r18 (same rotation-contract reason as rerank_cascade_eval
+# above; r17's one slack slot was owed to the r16-staged bridge replay).
+# Driver-gate-compared at two SFs by tests/test_distill_staged.py.
+#
+# The training-data CONSUMER of the cascade (VERDICT r16 ask #8's
+# "cross-encoder distillation-pair miner"): the standard way a cheap
+# bi-encoder gets better is distillation from the expensive
+# cross-encoder — mine (query, positive, hard-negative) triples where
+# the two stages DISAGREE, weighted by the teacher's score margin.
+# ---------------------------------------------------------------------------
+
+_POS_K = 3  # cross-encoder top-P: the teacher's positives
+_NEG_K = 3  # hardest demoted candidates kept as negatives per query
+
+_DISTILL_ORACLE = f"""
+    WITH {_PAIRS_CTES},
+    l1 AS (
+      SELECT q_id, doc_id, is_rel, cos, jacc_ppm,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY jacc_ppm DESC, doc_id) AS lex_rank
+      FROM pairs WHERE overlap >= 1
+      QUALIFY lex_rank <= {_L1_K}
+    ),
+    l2 AS (
+      SELECT q_id, doc_id, is_rel, cos, jacc_ppm,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY round(cos, 6) DESC, doc_id) AS bi_rank
+      FROM l1
+      QUALIFY bi_rank <= {_L2_K}
+    ),
+    l3 AS (
+      SELECT q_id, doc_id, is_rel, bi_rank,
+             {_CROSS_SCORE_SQL} AS cscore,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY {_CROSS_SCORE_SQL} DESC, doc_id) AS cross_rank
+      FROM l2
+    ),
+    pos AS (SELECT * FROM l3 WHERE cross_rank <= {_POS_K}),
+    neg AS (
+      SELECT *, row_number() OVER (PARTITION BY q_id
+                 ORDER BY bi_rank) AS neg_rank
+      FROM l3 WHERE cross_rank > {_POS_K}
+      QUALIFY neg_rank <= {_NEG_K}
+    )
+    SELECT p.q_id, p.doc_id AS pos_doc, n.doc_id AS neg_doc,
+           CAST(round(p.cscore - n.cscore) AS BIGINT) AS margin,
+           p.is_rel AS pos_is_rel, n.is_rel AS neg_is_rel
+    FROM pos p JOIN neg n USING (q_id)
+    ORDER BY q_id, pos_doc, neg_doc
+"""
+
+
+def distillation_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder distillation-pair miner — the training-data
+    consumer of rerank_cascade_eval's frontier: run the identical
+    3-stage cascade (lexical top-50 -> bi-encoder top-15 ->
+    cross-encoder), take the cross-encoder's top-3 per query as TEACHER
+    POSITIVES, and as HARD NEGATIVES the demoted survivors (passed the
+    bi-encoder, rejected by the cross-encoder) that the bi-encoder
+    ranked HIGHEST — exactly the pairs the student is most wrong about,
+    which is what makes them worth a training label. Emit every
+    (positive, negative) pair with the teacher's score margin (the
+    distillation weight) and both docs' ground-truth relevance riding
+    along, so the mined set is itself auditable (a negative with
+    neg_is_rel=1 is a teacher mistake the audit can count). margin is a
+    single IEEE subtract of two exactly-representable cross scores,
+    rounded to integer — bit-stable cross-engine; >= 0 by construction
+    since positives outrank negatives under the cross ordering. 100 TB
+    shape: identical to the cascade (corpus pass is stage 1 only); the
+    mining itself touches <= (3+3) x queries rows and emits <= 9 x
+    queries triples."""
+    pairs = _pairs(spark, sf_dir)
+    l1 = (
+        pairs.where(F.col("overlap") >= 1)
+        .select(
+            "q_id",
+            "doc_id",
+            "is_rel",
+            "cos",
+            "jacc_ppm",
+            F.row_number()
+            .over(W.partitionBy("q_id").orderBy(F.desc("jacc_ppm"), "doc_id"))
+            .alias("lex_rank"),
+        )
+        .where(F.col("lex_rank") <= _L1_K)
+    )
+    l2 = (
+        l1.select(
+            "q_id",
+            "doc_id",
+            "is_rel",
+            "cos",
+            "jacc_ppm",
+            F.row_number()
+            .over(
+                W.partitionBy("q_id").orderBy(
+                    F.desc(F.round(F.col("cos"), 6)), "doc_id"
+                )
+            )
+            .alias("bi_rank"),
+        )
+        .where(F.col("bi_rank") <= _L2_K)
+    )
+    cscore = F.round(F.col("cos"), 6) * (F.lit(1000000) + F.col("jacc_ppm"))
+    l3 = l2.select(
+        "q_id",
+        "doc_id",
+        "is_rel",
+        "bi_rank",
+        cscore.alias("cscore"),
+        F.row_number()
+        .over(W.partitionBy("q_id").orderBy(cscore.desc(), "doc_id"))
+        .alias("cross_rank"),
+    )
+    pos = l3.where(F.col("cross_rank") <= _POS_K).select(
+        "q_id",
+        F.col("doc_id").alias("pos_doc"),
+        F.col("cscore").alias("p_score"),
+        F.col("is_rel").alias("pos_is_rel"),
+    )
+    neg = (
+        l3.where(F.col("cross_rank") > _POS_K)
+        .select(
+            "q_id",
+            "doc_id",
+            "is_rel",
+            "cscore",
+            F.row_number()
+            .over(W.partitionBy("q_id").orderBy("bi_rank"))
+            .alias("neg_rank"),
+        )
+        .where(F.col("neg_rank") <= _NEG_K)
+        .select(
+            "q_id",
+            F.col("doc_id").alias("neg_doc"),
+            F.col("cscore").alias("n_score"),
+            F.col("is_rel").alias("neg_is_rel"),
+        )
+    )
+    return (
+        pos.join(neg, "q_id")
+        .select(
+            "q_id",
+            "pos_doc",
+            "neg_doc",
+            F.round(F.col("p_score") - F.col("n_score"), 0)
+            .cast("long")
+            .alias("margin"),
+            "pos_is_rel",
+            "neg_is_rel",
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id", "pos_doc", "neg_doc")
+    )
