@@ -158,9 +158,10 @@ def test_graph_bridge_durable_state_and_sink_order(spark):
         sunk: list[int] = []
 
         def sink(delta):
-            # at sink time the durable state must still be the OLD one
+            # sink-before-swap ordering: at sink time the durable state
+            # must still be the OLD one (here: absent — first batch)
             sunk.append(delta.count())
-            assert not os.path.isdir(os.path.join(state_dir, "edges")) or True
+            assert not os.path.isdir(state_dir)
 
         b0 = e.where(F.col("vec_id") % 2 == 0)
         bridge.process_batch(b0, 0, sink=sink)

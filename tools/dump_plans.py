@@ -141,6 +141,8 @@ SHOWCASE = [
     # r16 additions (the two slack-slot registrations)
     ("hll_union_contract", "HLL p=8: one union'd key scan -> 256-row register relations; the merge is a register-grain MAX — the whole sketch algebra is answer-sized"),
     ("ivf_beam_recall_contract", "IVF beam nprobe=3: centroid relation broadcast twice (assign + probe-rank); exact ranking only inside probed partitions, never the corpus"),
+    # r17 addition (the slack-slot registration)
+    ("lsh_dedup_batch_replay", "streaming LSH bridge replay: per batch a band-key hash join of batch bands vs pinned state (Scan ExistingRDD = the bridge's state pins), never history²; union of 3 batch deltas -> pair groupBy"),
 ]
 
 
