@@ -2046,3 +2046,271 @@ def graph_ingest_batch_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .sortWithinPartitions("src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# STAGED FOR r18 (rotation contract, same as the PQ/graph entries above).
+# Driver-gate-compared at two SFs by tests/test_ivfpq_staged.py and
+# tests/test_graph_bridge_staged.py.
+#
+# ivfpq_recall_contract: the ladder-COMPOSITION rung — IVF's partition
+# pruning multiplied by PQ's compressed scan (the full IVF-PQ serving
+# shape the big ANN systems deploy): n_scored shrinks to the probed
+# partitions AND each candidate is scored from 4-byte codes.
+#
+# graph_bridge_search_contract: ingest-then-search == index-then-search —
+# the beam walk run over the STREAMING bridge's incrementally-built graph
+# must reproduce graph_ann_recall_contract's readout exactly (same
+# oracle), proving the online index is search-equivalent, not just
+# edge-set-equal.
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NPROBE = 3
+
+_IVFPQ_ORACLE = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    sub AS (
+      SELECT vec_id, CAST(t.j AS INT) AS j,
+             list_slice(emb, CAST(t.j * 8 + 1 AS INT),
+                             CAST(t.j * 8 + 8 AS INT)) AS s
+      FROM e, range(0, {_PQ_M}) t(j)
+    ),
+    codes AS (
+      SELECT vec_id AS code_id, j, s AS cs FROM sub
+      WHERE vec_id < {_PQ_NCODES}
+    ),
+    encd AS (
+      SELECT vec_id, j, code_id FROM (
+        SELECT d.vec_id, d.j, d.code_id,
+               row_number() OVER (PARTITION BY d.vec_id, d.j
+                 ORDER BY d.d2u, d.code_id) AS rn
+        FROM (
+          SELECT s.vec_id, s.j, c.code_id,
+                 {_SQ8U_SQL.format(a="s.s", b="c.cs")} AS d2u
+          FROM sub s JOIN codes c USING (j)
+        ) d
+      ) WHERE rn = 1
+    ),
+    qtab AS (
+      SELECT s.vec_id AS q_id, s.j, c.code_id,
+             {_SQ8U_SQL.format(a="s.s", b="c.cs")} AS d2u
+      FROM sub s JOIN codes c USING (j)
+      WHERE s.vec_id >= 495
+    ),
+    c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e WHERE vec_id < 10),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 round({_COS_SQL.format(a="e.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e JOIN c ON true
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT q_id, centroid_id FROM (
+        SELECT q.vec_id AS q_id, c.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round({_COS_SQL.format(a="q.emb", b="c.c_emb")}, 6) DESC,
+                 c.centroid_id) AS rn
+        FROM e q JOIN c ON true
+        WHERE q.vec_id >= 495
+      ) WHERE rn <= {_IVFPQ_NPROBE}
+    ),
+    cand AS (
+      SELECT p.q_id, a.vec_id
+      FROM probes p JOIN assign a USING (centroid_id)
+      WHERE a.vec_id <> p.q_id
+    ),
+    adc AS (
+      SELECT cd.q_id, cd.vec_id, sum(q.d2u) AS adc_u
+      FROM cand cd
+      JOIN encd en ON en.vec_id = cd.vec_id
+      JOIN qtab q ON q.q_id = cd.q_id AND q.j = en.j
+                 AND q.code_id = en.code_id
+      GROUP BY cd.q_id, cd.vec_id
+    ),
+    ranked AS (
+      SELECT q_id, vec_id,
+             CAST(count(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_scored,
+             row_number() OVER (PARTITION BY q_id
+               ORDER BY adc_u, vec_id) AS rn
+      FROM adc
+    ),
+    exact AS (
+      SELECT q_id, neighbor_id FROM (
+        SELECT q.vec_id AS q_id, x.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQ64U_SQL.format(a="q.emb", b="x.emb")}, x.vec_id) AS rn
+        FROM e q JOIN e x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id >= 495
+      ) WHERE rn <= {_PQ_K}
+    )
+    SELECT r.q_id,
+           CAST(count(x.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(x.neighbor_id) / 3.0, 4) AS recall_at_3,
+           max(r.n_scored) AS n_scored
+    FROM ranked r LEFT JOIN exact x
+      ON x.q_id = r.q_id AND x.neighbor_id = r.vec_id
+    WHERE r.rn <= {_PQ_K}
+    GROUP BY r.q_id
+    ORDER BY r.q_id
+"""
+
+
+def ivfpq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ recall/cost contract — the COMPOSITION of the ladder's two
+    cost knobs, which is the shape production ANN systems actually
+    deploy (the public FAISS IVFPQ algorithm, implemented from scratch):
+    the coarse quantizer prunes the corpus to nprobe=3 partitions
+    (ivf_beam's knob — n_scored shrinks from the whole corpus to the
+    probed members), and within the probed partitions candidates are
+    scored by PQ ASYMMETRIC DISTANCE over 4-byte code ids (pq_recall's
+    knob — bytes-per-candidate shrinks 128x). recall@3 is judged
+    against the exact full-width squared-L2 top-3 with n_scored beside
+    it, so the contract measures what the composition COSTS next to
+    what the single-knob rungs cost (pq_recall_contract scans
+    corpus-1; this scans the probed partitions only). Deterministic
+    protocol shared with the whole ANN family: centroids = vec_id < 10
+    (cosine coarse ranking — the quantizer metric need not match the
+    ADC metric, as in production systems), codebooks = sub-vectors of
+    vec_id < 16, queries = vec_id >= 495, integer micro-unit distances
+    over bit-identical in-order folds, id tie-breaks everywhere."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        assign_centroids,
+        cosine,
+        pq_encode,
+        pq_subvectors,
+        sq_dist,
+    )
+
+    e = _emb(spark, sf_dir)
+    sub = pq_subvectors(e, "vec_id", "embedding", m=_PQ_M, sub_dim=_PQ_SUB)
+    codes = sub.where(F.col("vec_id") < _PQ_NCODES).select(
+        F.col("vec_id").alias("code_id"), "j", F.col("sub").alias("cs")
+    )
+    enc = pq_encode(sub, codes, "vec_id")
+    centroids = e.where(F.col("vec_id") < 10)
+    assignments = assign_centroids(
+        e, centroids, "vec_id", "embedding"
+    ).select("vec_id", "centroid_id")
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    v = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = v.where(F.col("vec_id") >= 495).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    wp = W.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(c))
+        .select(
+            "q_id",
+            "centroid_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= _IVFPQ_NPROBE)
+        .select("q_id", "centroid_id")
+    )
+    qd2u = F.round(sq_dist(F.col("sub"), F.col("cs")) * 1e6, 0).cast("long")
+    qtab = (
+        sub.where(F.col("vec_id") >= 495)
+        .join(F.broadcast(codes), "j")
+        .select(
+            F.col("vec_id").alias("q_id"), "j", "code_id",
+            qd2u.alias("d2_micro"),
+        )
+    )
+    cand = assignments.join(F.broadcast(probes), "centroid_id").where(
+        F.col("vec_id") != F.col("q_id")
+    ).select("q_id", "vec_id")
+    adc = (
+        cand.join(enc, "vec_id")
+        .join(F.broadcast(qtab), ["q_id", "j", "code_id"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2_micro").alias("adc_u"))
+    )
+    wc = W.partitionBy("q_id")
+    wr = W.partitionBy("q_id").orderBy("adc_u", "vec_id")
+    ranked = adc.select(
+        "q_id",
+        "vec_id",
+        F.count(F.lit(1)).over(wc).cast("long").alias("n_scored"),
+        F.row_number().over(wr).alias("rn"),
+    ).where(F.col("rn") <= _PQ_K)
+    l2u = F.round(sq_dist(F.col("vec"), F.col("q_vec")) * 1e6, 0).cast("long")
+    we = W.partitionBy("q_id").orderBy("l2u", "vec_id")
+    exact = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", l2u.alias("l2u"))
+        .withColumn("ern", F.row_number().over(we))
+        .where(F.col("ern") <= _PQ_K)
+        .select("q_id", "vec_id", F.lit(1).alias("hit"))
+    )
+    return (
+        ranked.join(exact, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
+            F.max("n_scored").alias("n_scored"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id")
+    )
+
+
+def graph_bridge_search_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-then-search == index-then-search: run the SAME beam walk
+    and recall readout as graph_ann_recall_contract, but over the edge
+    relation the STREAMING bridge built incrementally (three vec_id % 3
+    micro-batches through GraphIngestBridge) instead of the one-shot
+    knn_graph_edges build. The oracle is graph_ann_recall_contract's
+    verbatim (_GRAPH_ANN_ORACLE) — hash equality therefore proves the
+    online index is SEARCH-equivalent end to end (entry selection,
+    frontier expansion, exact re-ranking, cost accounting), not merely
+    edge-set-equal; combined with graph_ingest_batch_replay the pair
+    closes the loop: the bridge's state is the index, and the index
+    serves. The bridge's memory-tier state is already pinned
+    (localCheckpoint), satisfying graph_beam_search's materialized-
+    edges caller contract without a second pin."""
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        graph_beam_search,
+    )
+    from fitness_nutrition_data_pipeline_spark.streaming.graph_bridge import (
+        GraphIngestBridge,
+    )
+
+    e = _emb(spark, sf_dir)
+    centroids = e.where(F.col("vec_id") < 10)
+    queries = e.where(F.col("vec_id") >= 495)
+    bridge = GraphIngestBridge(
+        spark, centroids, id_col="vec_id", vec_col="embedding",
+        k=_GRAPH_K_EDGE,
+    )
+    for b in range(3):
+        bridge.process_batch(e.where(F.col("vec_id") % 3 == b), b)
+    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
+        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    walked = graph_beam_search(
+        e, centroids, bridge.read_edges(), queries.select("vec_id"),
+        "vec_id", "embedding",
+        k=3, n_entry=_GRAPH_N_ENTRY, hops=_GRAPH_HOPS,
+    )
+    return (
+        walked.join(exact, ["q_id", "neighbor_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("hit").cast("bigint").alias("n_overlap"),
+            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
+            F.max("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+        .repartition(1)
+        .sortWithinPartitions("q_id")
+    )

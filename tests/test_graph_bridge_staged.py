@@ -247,3 +247,30 @@ def test_graph_bridge_under_real_stream(spark):
         assert _edge_set(final) == _edge_set(_batch_build(spark, e))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_graph_bridge_search_equivalence(spark, sf):
+    """Ingest-then-search == index-then-search: the beam walk over the
+    bridge-built graph reproduces graph_ann_recall_contract's readout
+    under ITS verbatim oracle — the online index serves identically."""
+    from fitness_nutrition_data_pipeline_spark.queries.llm_ops import (
+        _GRAPH_ANN_ORACLE,
+        graph_bridge_search_contract,
+    )
+
+    sf_dir = f"/root/testdata/{sf}"
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} absent")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    o_cols, o_rows = fetch_oracle(con.sql(_GRAPH_ANN_ORACLE))
+    s_cols, s_rows = fetch_spark(graph_bridge_search_contract(spark, sf_dir))
+    assert len(s_rows) == len(o_rows) == 5
+    s_norm = norm_rows(s_cols, s_rows)
+    o_norm = norm_rows(o_cols, o_rows)
+    assert s_norm[0] == o_norm[0], "schema (sorted column names) must match"
+    assert s_norm[1] == o_norm[1], "value lanes diverged"
