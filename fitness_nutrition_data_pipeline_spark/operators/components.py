@@ -93,7 +93,7 @@ def connected_components_star(
     dst: str = "dst",
     *,
     max_rounds: int = 30,
-    check_every: int = 2,
+    check_every: int = 1,
     state_rows_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
@@ -116,31 +116,57 @@ def connected_components_star(
     contract: (vertex, component=min reachable id) for every vertex in
     ``edges``.
 
-    r17 optimization (the SCALE.md r15 measured levers, guide §2.6 —
-    the cost at local/sf-bench size is stage-barrier count, not bytes):
+    r17 optimization (guide §2.4/§2.6 — at bench scale the cost is
+    stage-barrier count, not bytes; every lever below was A/B-measured
+    on the real operator at sf0.1, quiet host, output-equality asserted
+    each time):
 
     - round state is coalesced before each checkpoint to a partition
       count derived from the materialized edge count
       (``state_rows_per_partition``, ~2M edge rows ≈ 32 MB per
-      partition) instead of whatever layout AQE left — measured −21%
+      partition) instead of whatever layout AQE left — measured −20%
       on dedup_clusters_exact at sf0.1 where the state collapses to one
       partition, while a 100 TB edge set still gets thousands of
       partitions (the r15 note that a HARD coalesce(1) would serialize
       real work at scale is why this is size-derived, not constant);
-    - the convergence diff runs every ``check_every`` rounds (measured
-      −12% at check_every=2). Star alternations on an already-converged
-      edge set are idempotent, so overshooting the fixpoint by one pair
-      cannot change the output — only the stopping round. Labels and
-      components are identical for any check_every >= 1.
+    - ONE distinct per alternation pair instead of two: the large-star
+      output feeds small-star un-deduplicated (groupBy-min and the
+      phase filters are multiplicity-insensitive, and the intermediate
+      is bounded by 2(|E|+|V|) — no compounding), the pair's final
+      distinct restores the canonical edge set, so the per-round state
+      sequence is identical. 94 → 83 Spark jobs, ~−8%;
+    - setup distinct runs on the orientation-NORMALIZED half
+      (least/greatest) and the reverse orientation is unioned after —
+      half the rows through the dedup shuffle for the same symmetric
+      edge set (−15%); ``vertices`` is no longer checkpointed (it was
+      materialized eagerly but consumed exactly once, at the end — it
+      now derives lazily from the pinned setup state);
+    - the convergence diff runs every ``check_every`` rounds. Default 1:
+      with 1-partition round state the diff job (~0.2 s) is cheaper
+      than the extra materialization an overshoot costs (~0.7 s), so
+      skipping checks LOST time when measured (8.8 s at check_every=2
+      vs 6.9 s at 1). The knob is kept because the trade reverses when
+      the diff is not answer-sized. Star alternations on a converged
+      edge set are idempotent, so any check_every >= 1 yields identical
+      labels.
+
+    AQE-off inside the loop (fewer jobs: 92 → 29) was measured SLOWER
+    (9.0 s vs 6.9 s even with shuffle.partitions pinned to the state
+    size) — job count is not the cost here, per-stage scheduling with
+    a good layout is; left alone.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    half = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
-    vertices = sym.select(F.col("a").alias("vertex")).distinct().localCheckpoint()
+    sym = half.union(
+        half.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    vertices = sym.select(F.col("a").alias("vertex")).distinct()
     # one cheap count on the pinned state sizes every round's coalesce;
     # edge mass only shrinks across star alternations (dups collapse),
     # so sizing once at entry is conservative for every later round
@@ -148,7 +174,7 @@ def connected_components_star(
         1, min(sym.rdd.getNumPartitions(), -(-sym.count() // state_rows_per_partition))
     )
 
-    def star(adj: DataFrame, large: bool) -> DataFrame:
+    def star(adj: DataFrame, large: bool, dedup: bool) -> DataFrame:
         # m(u) = min(N(u) ∪ {u}); every u also re-links itself to m(u),
         # so connectivity is preserved under both phases
         m = adj.groupBy("a").agg(
@@ -161,8 +187,9 @@ def connected_components_star(
             .select(F.col("b").alias("u"), F.col("m").alias("v"))
             .union(m.select(F.col("a").alias("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
+        if dedup:
+            out = out.distinct()
         return out.union(
             out.select(F.col("v").alias("u"), F.col("u").alias("v"))
         ).select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -173,7 +200,7 @@ def connected_components_star(
         # harmless to groupBy-min, and the convergence check below is
         # multiplicity-insensitive (anti-joins, not exceptAll)
         nxt = (
-            star(star(sym, large=True), large=False)
+            star(star(sym, large=True, dedup=False), large=False, dedup=True)
             .coalesce(n_state_parts)
             .localCheckpoint()
         )
