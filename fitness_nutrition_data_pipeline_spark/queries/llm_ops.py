@@ -1355,7 +1355,11 @@ def dedup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         _docs(spark, sf_dir), "doc_id", "text", n_hashes=N_MINHASH
     )
-    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS)
+    # pin before the stats-join diamond: mins and the join's probe side
+    # read ONE materialized band table instead of re-running the corpus
+    # scan + shingle explode + md5s twice (r17, guide §5; band rows are
+    # metadata-sized and the pin spills rather than OOMs at scale)
+    bands = lsh_bands(sigs, "doc_id", n_bands=N_BANDS).localCheckpoint()
     mins = bands.groupBy("band_id", "band_key").agg(
         F.min("doc_id").alias("bucket_min")
     )
