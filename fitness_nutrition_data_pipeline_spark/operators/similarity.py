@@ -86,11 +86,20 @@ def ivf_probe_topk(
     k: int = 3,
 ) -> DataFrame:
     """ANN via cluster probing (nprobe=1): each query scans only its own
-    centroid's cluster — 1/k_centroids of the corpus per query."""
+    centroid's cluster — 1/k_centroids of the corpus per query.
+
+    ``query_ids`` may carry ``vec_col``; when it does, the query vectors
+    are taken from it directly instead of re-joining the full corpus —
+    callers already hold the (pushdown-filtered) query rows, so the
+    corpus-wide fetch join was a pure extra scan (r17, guide §2.4)."""
     v = _as_double(vectors, id_col, vec_col)
+    q_src = (
+        _as_double(query_ids, id_col, vec_col)
+        if vec_col in query_ids.columns
+        else v.join(query_ids.select(id_col), id_col)
+    )
     q = (
-        v.join(query_ids, id_col)
-        .join(assignments.select(id_col, "centroid_id"), id_col)
+        q_src.join(assignments.select(id_col, "centroid_id"), id_col)
         .select(
             F.col(id_col).alias("q_id"),
             F.col(vec_col).alias("q_vec"),
@@ -264,7 +273,13 @@ def kmeans_lloyd_step(
     result (tiny) into the next round's centroid table; per-round plan is
     identical, so lineage stays flat.
     """
-    assign = assign_centroids(vectors, centroids, id_col, vec_col)
+    # assign feeds TWO consumers (member_dims join + sizes agg); unpinned,
+    # each re-runs the full corpus-scan + broadcast-score + window lineage
+    # (audited 6 embeddings scans for one Lloyd step). The relation is
+    # narrow (id, centroid_id, c_sim) metadata — the bands-pin precedent:
+    # localCheckpoint spills to disk rather than OOMs at scale (r17,
+    # guide §5 caching-when-reused).
+    assign = assign_centroids(vectors, centroids, id_col, vec_col).localCheckpoint()
     v = _as_double(vectors, id_col, vec_col)
     member_dims = v.join(assign.select(id_col, "centroid_id"), id_col).select(
         "centroid_id", F.posexplode(vec_col).alias("i", "x")
@@ -301,7 +316,13 @@ def ivf_beam_topk(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    qv = corpus.join(queries.select(id_col), id_col).select(
+    # queries carrying vec_col skip the corpus-wide vector fetch join —
+    # the caller's (pushdown-filtered) query rows ARE the vectors (r17)
+    q_src = (
+        queries if vec_col in queries.columns
+        else corpus.join(queries.select(id_col), id_col)
+    )
+    qv = q_src.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )
@@ -443,7 +464,12 @@ def graph_beam_search(
         F.col(id_col).alias("centroid_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
-    qv = corpus.join(queries.select(id_col), id_col).select(
+    # same query-vector pass-through as ivf_probe_topk/ivf_beam_topk (r17)
+    q_src = (
+        queries if vec_col in queries.columns
+        else corpus.join(queries.select(id_col), id_col)
+    )
+    qv = q_src.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
     )

@@ -268,6 +268,9 @@ def functional_dependency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "runs on the <=125-cell grid, bounded by construction.",
 )
 def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the ≤125-cell joint grid feeds FOUR consumers (both marginals, the
+    # total, the MI fold); unpinned, each re-ran the customer-grain scan
+    # + shuffle (audited 4 customer scans — now 1). Answer-sized pin.
     joint = (
         _t(spark, sf_dir, "customer")
         .groupBy(
@@ -275,6 +278,7 @@ def mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("nat"),
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     mx = joint.groupBy("seg").agg(F.sum("c").alias("cx"))
     my = joint.groupBy("nat").agg(F.sum("c").alias("cy"))

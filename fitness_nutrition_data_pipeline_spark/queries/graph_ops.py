@@ -643,7 +643,15 @@ def label_propagation_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = li.withColumn(
         "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
     )
-    capped = sized.where(F.col("basket_size") <= 20).drop("basket_size")
+    # the pairing self-join consumes capped TWICE; unpinned, both sides
+    # re-ran the lineitem scan + distinct + basket window (the
+    # association_rules_lift diamond — lineitem scans 2 → 1; the three
+    # remaining part scans are pushdown dimension lookups, left alone)
+    capped = (
+        sized.where(F.col("basket_size") <= 20)
+        .drop("basket_size")
+        .localCheckpoint()
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     half = (

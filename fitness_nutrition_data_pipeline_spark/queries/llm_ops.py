@@ -422,9 +422,18 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_ann_ivf_probe_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     centroids = e.where(F.col("vec_id") < 10)
-    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
-    query_ids = e.where(F.col("vec_id") >= 495).select("vec_id")
-    return ivf_probe_topk(e, assignments, query_ids, "vec_id", "embedding", k=3)
+    # pin: assignments feed the probe's q-build AND candidate side —
+    # unpinned, each re-ran the corpus scan + broadcast-score + window
+    # (audited 7 embeddings scans; now 4: centroids/queries are pushdown-
+    # filtered scans, assignment + neighbor fetch are the two full passes
+    # the algorithm needs). Narrow metadata pin, the bands precedent
+    # (r17, guide §5). Queries pass their vectors through, so the probe
+    # skips the corpus-wide query-vector fetch join (guide §2.4).
+    assignments = assign_centroids(
+        e, centroids, "vec_id", "embedding"
+    ).localCheckpoint()
+    queries = e.where(F.col("vec_id") >= 495)
+    return ivf_probe_topk(e, assignments, queries, "vec_id", "embedding", k=3)
 
 
 @register(
@@ -891,13 +900,22 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     queries = e.where(F.col("vec_id") >= 495)
+    # exact is answer-sized (queries × 3 rows) and feeds TWO consumers
+    # (the q_id spine and the overlap semi-join); unpinned, each re-ran
+    # the ENTIRE brute-force corpus pass (r17, guide §5)
     exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
         "q_id", "neighbor_id"
-    )
+    ).localCheckpoint()
     centroids = e.where(F.col("vec_id") < 10)
-    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    # pinned + query-vector pass-through, the embedding_ann_ivf_probe
+    # treatment (r17, guide §5/§2.4): 11 embeddings scans → 6 (the brute
+    # side's full pass + the IVF side's assignment and neighbor passes,
+    # plus pushdown-filtered centroid/query scans)
+    assignments = assign_centroids(
+        e, centroids, "vec_id", "embedding"
+    ).localCheckpoint()
     ivf = ivf_probe_topk(
-        e, assignments, queries.select("vec_id"), "vec_id", "embedding", k=3
+        e, assignments, queries, "vec_id", "embedding", k=3
     ).select("q_id", "neighbor_id")
     overlap = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi")
     return (
@@ -987,10 +1005,14 @@ def pca_power_iteration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum(F.col("x") * F.col("v0")).alias("dot"))
     )
+    # s is 64 rows (answer-sized) and feeds TWO consumers (the norm and
+    # the final projection); unpinned, each re-ran BOTH X^T(Xv) corpus
+    # passes (audited 4 embeddings scans — now the documented 2)
     s = (
         vecs.join(xv, "vec_id")
         .groupBy("i")
         .agg(F.sum(F.col("x") * F.col("dot")).alias("sd"))
+        .localCheckpoint()
     )
     nrm = s.agg(F.sqrt(F.sum(F.col("sd") * F.col("sd"))).alias("n"))
     return s.crossJoin(F.broadcast(nrm)).select(
@@ -1532,9 +1554,13 @@ def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
         "q_id", "neighbor_id", F.lit(1).alias("hit")
     )
-    assignments = assign_centroids(e, centroids, "vec_id", "embedding")
+    # pinned + query-vector pass-through (r17, guide §5/§2.4 — the
+    # ann_recall_contract treatment): 8 embeddings scans → 5
+    assignments = assign_centroids(
+        e, centroids, "vec_id", "embedding"
+    ).localCheckpoint()
     beam = ivf_beam_topk(
-        e, centroids, assignments, queries.select("vec_id"),
+        e, centroids, assignments, queries,
         "vec_id", "embedding", k=3, nprobe=3,
     )
     return (
@@ -1750,7 +1776,7 @@ def graph_ann_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, assignments, "vec_id", "embedding", k=_GRAPH_K_EDGE
     ).localCheckpoint()
     walked = graph_beam_search(
-        e, centroids, edges, queries.select("vec_id"),
+        e, centroids, edges, queries,
         "vec_id", "embedding",
         k=3, n_entry=_GRAPH_N_ENTRY, hops=_GRAPH_HOPS,
     )

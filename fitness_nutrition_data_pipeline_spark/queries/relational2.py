@@ -921,9 +921,15 @@ def deletion_propagation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_to_delete"),
     )
+    # o_flag feeds TWO consumers (the orders rollup and the cascaded
+    # lineitem key set); unpinned, each re-ran the orders scan + the
+    # tombstone join — and with it a second customer scan (audited 3
+    # customer / 2 orders scans, now 2 / 1). Narrow (key, bool) pin.
     o_flag = orders.join(
         tomb, orders.o_custkey == tomb.c_custkey, "left"
-    ).select("o_orderkey", F.col("c_custkey").isNotNull().alias("hit"))
+    ).select(
+        "o_orderkey", F.col("c_custkey").isNotNull().alias("hit")
+    ).localCheckpoint()
     o = o_flag.agg(
         F.lit("orders").alias("tbl"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),

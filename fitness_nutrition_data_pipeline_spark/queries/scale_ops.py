@@ -911,9 +911,23 @@ def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = li.withColumn(
         "basket_size", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
     )
-    capped = sized.where(F.col("basket_size") <= 20).drop("basket_size")
+    # capped feeds FOUR consumers (order total, item counts, both sides
+    # of the pairing self-join); unpinned, each re-ran the lineitem scan
+    # + distinct + basket window (audited 5 lineitem scans — the biggest
+    # table — now 1). Two-long rows, the narrow-metadata pin class (r17,
+    # guide §5); item_cnt (distinct parts, answer-sized) is read by both
+    # rule directions and pinned for the same reason.
+    capped = (
+        sized.where(F.col("basket_size") <= 20)
+        .drop("basket_size")
+        .localCheckpoint()
+    )
     n = capped.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    item_cnt = capped.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ic"))
+    item_cnt = (
+        capped.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("ic"))
+        .localCheckpoint()
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (

@@ -234,10 +234,14 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .select("doc_id", "lang", hash_bucket(F.col("tok"), 1024).alias("bucket"))
     )
+    # stats is ≤1024 rows (answer-sized) and feeds TWO consumers (the
+    # totals agg and the weight projection); unpinned, each re-ran the
+    # corpus scan + token explode + md5 bucketing (audited 3 documents
+    # scans — now 2: one stats pass + one scoring pass, the DSIR shape)
     stats = toks.groupBy("bucket").agg(
         F.count("*").alias("ccnt"),
         F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tcnt"),
-    )
+    ).localCheckpoint()
     tot = stats.agg(
         F.sum("ccnt").alias("c_total"), F.sum("tcnt").alias("t_total")
     )
