@@ -97,6 +97,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_scan(df: DataFrame, key: str) -> DataFrame:
+    """Per-query opt-in of the single-file scan fix above, for call
+    sites where the loader-level gate measured as a family regression
+    but a SPECIFIC query's (filtered) probe side still bottlenecks on
+    the one-task scan (r17: tpch_q3's lineitem side, −25%). Same
+    semantics: hash-repartition on the query's join key to
+    spark.sql.shuffle.partitions, self-disabling when the scan is
+    already at least that parallel (real multi-file tables at scale)."""
+    n_target = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    if df.rdd.getNumPartitions() < n_target:
+        df = df.repartition(n_target, F.col(key))
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
