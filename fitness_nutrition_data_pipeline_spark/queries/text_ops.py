@@ -40,8 +40,10 @@ _LANG_MARKERS = {
 _STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "to", "in")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents")
+def _docs(
+    spark: SparkSession, sf_dir: str, *, parallelize: bool = True
+) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", parallelize=parallelize)
 
 
 @register(
@@ -64,7 +66,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "473-482; F1/A3) as split+explode+groupBy.",
 )
 def vocab_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    # parallelize=False (r18, VERDICT r17 fix #2): this query's first
+    # operation collapses rows map-side (tokenize → partial (word, doc_id)
+    # aggregate), so the loader's doc_id exchange shipped the FULL TEXT
+    # payload to buy map parallelism the partial aggregate doesn't need —
+    # the one structurally-changed r17 headline regression (0.585→0.883 s
+    # driver; interleaved A/B r18: raw med 0.905 s vs repartitioned 1.18 s).
+    # At cluster scale the gate self-disables anyway (multi-file scans).
+    d = _docs(spark, sf_dir, parallelize=False)
     # two-level aggregation instead of count(DISTINCT doc_id): the per-
     # (word, doc) pre-aggregate replaces Spark's Expand-based distinct with
     # two ordinary partial-agg shuffles — cheaper and skew-tolerant at scale
