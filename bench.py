@@ -239,13 +239,31 @@ def main() -> None:
     if "--no-extended" not in sys.argv:
         ext_timings: dict[str, float] = {}
         ext_errors: dict[str, str] = {}
+        # second rep + inline mini-probes (r18, VERDICT r17 ask #1): the
+        # single-shot × 1 protocol could not distinguish a 2× code
+        # regression from this host's measured 1.8× identical-code swing
+        # (r17 ext 73.3 s at 32c vs 41.1 s at 8c). ADDITIVE only: the
+        # original single-shot first-rep stays the `queries`/`value`
+        # fields (byte-compatible contract, round-over-round comparable);
+        # the second rep and a short spin probe bracketing each query land
+        # in new fields so regressions can be adjudicated per query
+        # (rep2 << rep1 = cold-path/contention artifact, rep2 ≈ rep1 =
+        # believable).
+        ext_rep2: dict[str, float] = {}
+        ext_probes: dict[str, float] = {}
         for name in EXTENDED:
             try:
+                ext_probes[name] = host_probe_sec(5_000_000)
                 t0 = time.time()
                 specs[name].builder(spark, sf_dir).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 ext_timings[name] = round(time.time() - t0, 3)
+                t0 = time.time()
+                specs[name].builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                ext_rep2[name] = round(time.time() - t0, 3)
             except Exception as e:  # noqa: BLE001
                 ext_errors[name] = str(e).split("\n", 1)[0][:200]
                 print(f"BENCH ERROR {name}: {ext_errors[name]}", file=sys.stderr)
@@ -258,6 +276,19 @@ def main() -> None:
             "n_queries": len(EXTENDED),
             "complete": not ext_errors,
             "reps": 1,
+            "queries_rep2": ext_rep2,
+            "value_rep2": round(sum(ext_rep2.values()), 3)
+            if ext_rep2 and not ext_errors
+            else None,
+            "value_min_of_2": round(
+                sum(min(v, ext_rep2.get(k, v)) for k, v in ext_timings.items()), 3
+            )
+            if not ext_errors
+            else None,
+            # 5M-add spin (~0.2 s quiet) taken immediately BEFORE each
+            # query's first rep: a per-query regime witness the section
+            # probes can't give (they sample only the section's ends)
+            "probes_inline": ext_probes,
             "probe_sec": host_probe_sec(),
             "probe_mc_sec": host_probe_mc_sec(),
         }
@@ -291,9 +322,14 @@ def main() -> None:
             try:
                 import subprocess
 
+                # --untracked-files=no (r18, VERDICT r17 "what's wrong"
+                # #6): the witness exists to catch MODIFIED tracked code
+                # whose plans the committed digests don't describe; the
+                # driver's own untracked artifact JSONs made every r17
+                # bench read dirty on a clean code tree.
                 _porcelain = subprocess.run(
                     ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-                     "status", "--porcelain"],
+                     "status", "--porcelain", "--untracked-files=no"],
                     capture_output=True, text=True, timeout=30,
                 ).stdout.strip()
                 extended["digests_dirty_tree"] = bool(_porcelain)
