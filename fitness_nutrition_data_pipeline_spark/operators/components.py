@@ -87,6 +87,54 @@ def near_dup_components(bands: DataFrame, id_col: str) -> DataFrame:
     return connected_components(edges).withColumnRenamed("vertex", id_col)
 
 
+def _union_find_labels(sym: DataFrame) -> DataFrame:
+    """Single-task exact union-find over a (pinned, answer-sized) edge
+    state: (vertex, component=min reachable id) for every vertex in
+    ``sym``. The small-state finish of ``connected_components_star`` —
+    executor-side via ``mapInPandas`` (never a driver collect), one
+    linear pass, zero shuffles, zero rounds.
+
+    Ordering note: roots are kept at the set minimum under Python ``<``,
+    which matches Spark's ``least`` for numerics and for strings (UTF-8
+    byte order preserves code-point order), so labels are bit-identical
+    to the distributed alternation's.
+    """
+    from pyspark.sql import types as T
+
+    vt = sym.schema["a"].dataType
+    out_schema = T.StructType(
+        [T.StructField("vertex", vt), T.StructField("component", vt)]
+    )
+
+    def labels(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+        verts = sorted(parent)
+        yield pd.DataFrame(
+            {"vertex": verts, "component": [find(v) for v in verts]}
+        )
+
+    return sym.coalesce(1).mapInPandas(labels, out_schema)
+
+
 def connected_components_star(
     edges: DataFrame,
     src: str = "src",
@@ -95,6 +143,7 @@ def connected_components_star(
     max_rounds: int = 30,
     check_every: int = 1,
     state_rows_per_partition: int = 2_000_000,
+    local_finish_rows: int = 2_000_000,
 ) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) — the
@@ -154,6 +203,14 @@ def connected_components_star(
     (9.0 s vs 6.9 s even with shuffle.partitions pinned to the state
     size) — job count is not the cost here, per-stage scheduling with
     a good layout is; left alone.
+
+    r18 optimization: when the materialized edge state is at most
+    ``local_finish_rows`` (default = the same 2M-row bound that sizes
+    round-state partitions), the alternation loop is skipped entirely in
+    favor of a single-task executor-side union-find
+    (``_union_find_labels``) — identical labels, one job instead of
+    rounds × ~8 stages of scheduling latency. Pass ``local_finish_rows=0``
+    to force the distributed loop (the equivalence tests do).
     """
     half = (
         edges.select(
@@ -170,8 +227,25 @@ def connected_components_star(
     # one cheap count on the pinned state sizes every round's coalesce;
     # edge mass only shrinks across star alternations (dups collapse),
     # so sizing once at entry is conservative for every later round
+    n_edges = sym.count()
+    # small-state finish (r18, guide §1.2 "fix the distributed algorithm"):
+    # when the pinned edge state fits one task (same ~2M-row bound that
+    # sizes the round state), every star alternation is pure stage-
+    # scheduling latency — at sf0.1 the 22k-row state spent 5 rounds ×
+    # ~8 stages ≈ all of dedup_clusters_exact's CC time. A single-task
+    # union-find pass computes the identical labels (property-tested
+    # against the alternation AND the fixpoint in tests/test_components)
+    # in one job. At 100 TB the distributed alternations run unchanged —
+    # this is the standard finish-small step of cluster CC jobs, gated on
+    # measured state size, not a local-mode constant.
+    if n_edges <= local_finish_rows:
+        return _union_find_labels(sym)
     n_state_parts = max(
-        1, min(sym.rdd.getNumPartitions(), -(-sym.count() // state_rows_per_partition))
+        1,
+        min(
+            sym.rdd.getNumPartitions(),
+            -(-n_edges // state_rows_per_partition),
+        ),
     )
 
     def star(adj: DataFrame, large: bool, dedup: bool) -> DataFrame:

@@ -898,40 +898,90 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift after each quantizer retrain.",
 )
 def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
     e = _emb(spark, sf_dir)
     queries = e.where(F.col("vec_id") >= 495)
-    # exact is answer-sized (queries × 3 rows) and feeds TWO consumers
-    # (the q_id spine and the overlap semi-join); unpinned, each re-ran
-    # the ENTIRE brute-force corpus pass (r17, guide §5)
-    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
-        "q_id", "neighbor_id"
-    ).localCheckpoint()
     centroids = e.where(F.col("vec_id") < 10)
-    # pinned + query-vector pass-through, the embedding_ann_ivf_probe
-    # treatment (r17, guide §5/§2.4): 11 embeddings scans → 6 (the brute
-    # side's full pass + the IVF side's assignment and neighbor passes,
-    # plus pushdown-filtered centroid/query scans)
+    # SINGLE-PASS formulation (r18, the ivf_beam_recall_contract
+    # treatment): the r17 shape ran the brute-force pass AND an IVF
+    # branch whose neighbor-vector fetch re-scanned the corpus to
+    # recompute cosines the brute pass had already computed, then
+    # semi-joined ivf-top-3 against exact-top-3. Here every (neighbor,
+    # query) pair is scored ONCE, carrying an is_cand flag (neighbor
+    # shares the query's own centroid — nprobe=1 — attached by metadata
+    # joins BEFORE the vectors are touched); exact rank and in-probe
+    # rank are two window functions over the same q_id-clustered
+    # pipeline and the overlap is counted per row — no self-join, no
+    # pins beyond the shared assignment relation, one corpus-vector
+    # pass plus the assignment pass.
     assignments = assign_centroids(
         e, centroids, "vec_id", "embedding"
     ).localCheckpoint()
-    ivf = ivf_probe_topk(
-        e, assignments, queries, "vec_id", "embedding", k=3
-    ).select("q_id", "neighbor_id")
-    overlap = exact.join(ivf, ["q_id", "neighbor_id"], "left_semi")
-    return (
-        exact.select("q_id")
-        .distinct()
+    q = (
+        queries.select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").cast("array<double>").alias("q_vec"),
+        )
+        # nprobe=1: the query's own centroid IS its probe
         .join(
-            overlap.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_overlap")),
+            assignments.select(
+                F.col("vec_id").alias("q_id"),
+                F.col("centroid_id").alias("q_centroid"),
+            ),
             "q_id",
-            "left",
+        )
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    ).join(
+        assignments.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").alias("n_centroid"),
+        ),
+        "neighbor_id",
+    )
+    scored = nv.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("q_id")
+    ).select(
+        "q_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine_sim"),
+        (F.col("n_centroid") == F.col("q_centroid")).alias("is_cand"),
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    wc = W.partitionBy("q_id", "is_cand").orderBy(
+        F.desc("cosine_sim"), "neighbor_id"
+    )
+    ranked = scored.select(
+        "q_id",
+        "is_cand",
+        F.row_number().over(wk).alias("rn_all"),
+        F.row_number().over(wc).alias("rn_grp"),
+    )
+    return (
+        ranked.groupBy("q_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("is_cand")
+                    & (F.col("rn_grp") <= 3)
+                    & (F.col("rn_all") <= 3),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_overlap")
         )
         .select(
             "q_id",
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(F.coalesce("n_overlap", F.lit(0)) / F.lit(3.0), 4).alias(
-                "recall_at_3"
-            ),
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(3.0), 4).alias("recall_at_3"),
         )
     )
 
@@ -1531,45 +1581,128 @@ _IVF_BEAM_ORACLE = f"""
 )
 def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search ANN quality/cost contract — the nprobe knob of the
-    IVF ladder made oracle-checkable (operators/similarity.py::
-    ivf_beam_topk): rank all coarse centroids per query, probe the top
-    THREE partitions (vs ann_recall_contract's single probe), exact-rank
-    only their members, and report recall@3 against the brute-force
-    top-3 PLUS n_candidates, the number of vectors the beam actually
-    scanned — so the recall-vs-cost tradeoff is a measured pair, not a
-    claim. Same deterministic protocol as ann_recall_contract
+    IVF ladder made oracle-checkable (the beam protocol of
+    operators/similarity.py::ivf_beam_topk, inlined here since r18 so
+    its candidate ranking reuses the brute-force side's scored relation
+    instead of re-fetching corpus vectors): rank all coarse centroids
+    per query, probe the top THREE partitions (vs ann_recall_contract's
+    single probe), exact-rank only their members, and report recall@3
+    against the brute-force top-3 PLUS n_candidates, the number of
+    vectors the beam actually scanned — so the recall-vs-cost tradeoff
+    is a measured pair, not a claim. Same deterministic protocol as ann_recall_contract
     (centroids = vec_id < 10, queries = vec_id >= 495, cosine rounded
     to 6 before ranking with id tie-breaks, both engines compute both
     sides). Aggregation runs FROM the beam side so both engines drop a
     (theoretical) zero-candidate query identically."""
+    from pyspark.sql import Window as W
+
     from fitness_nutrition_data_pipeline_spark.operators.similarity import (
         assign_centroids,
-        brute_force_topk,
-        ivf_beam_topk,
+        cosine,
     )
 
     e = _emb(spark, sf_dir)
     queries = e.where(F.col("vec_id") >= 495)
     centroids = e.where(F.col("vec_id") < 10)
-    exact = brute_force_topk(e, queries, "vec_id", "embedding", k=3).select(
-        "q_id", "neighbor_id", F.lit(1).alias("hit")
+    # SINGLE-PASS formulation (r18, VERDICT r17 ask #7: 5 scans → 4, and
+    # then some). The r17 shape ran the brute-force pass AND a separate
+    # beam branch whose neighbor-vector fetch re-scanned the corpus to
+    # recompute cosines the brute pass had already computed, then joined
+    # beam-top-3 against exact-top-3. Here every (neighbor, query) pair
+    # is scored ONCE, carrying an is_candidate flag (neighbor's centroid
+    # ∈ the query's top-nprobe probes, attached by metadata joins BEFORE
+    # the vectors are touched); exact rank and in-beam rank are two
+    # window functions over the same q_id-clustered pipeline, and the
+    # overlap is counted per row (in exact top-3 AND in beam top-3) — no
+    # self-join, no scored-relation pin, one corpus-vector pass plus the
+    # assignment pass.
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
     )
-    # pinned + query-vector pass-through (r17, guide §5/§2.4 — the
-    # ann_recall_contract treatment): 8 embeddings scans → 5
     assignments = assign_centroids(
         e, centroids, "vec_id", "embedding"
     ).localCheckpoint()
-    beam = ivf_beam_topk(
-        e, centroids, assignments, queries,
-        "vec_id", "embedding", k=3, nprobe=3,
+    # probes: rank ALL centroids per query (tiny broadcast), keep 3
+    cvec = centroids.select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("c_vec"),
+    )
+    wp = W.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
+    probes = (
+        q.crossJoin(F.broadcast(cvec))
+        .select(
+            "q_id",
+            "centroid_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("q_id").alias("p_q_id"),
+            F.col("centroid_id").alias("p_centroid"),
+        )
+    )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    ).join(
+        assignments.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").alias("n_centroid"),
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        nv.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .join(
+            F.broadcast(probes),
+            (F.col("p_q_id") == F.col("q_id"))
+            & (F.col("p_centroid") == F.col("n_centroid")),
+            "left",
+        )
+        .select(
+            F.col("q_id"),
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias(
+                "cosine_sim"
+            ),
+            F.col("p_centroid").isNotNull().alias("is_cand"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    wc = W.partitionBy("q_id", "is_cand").orderBy(
+        F.desc("cosine_sim"), "neighbor_id"
+    )
+    ranked = scored.select(
+        "q_id",
+        "is_cand",
+        F.row_number().over(wk).alias("rn_all"),
+        F.row_number().over(wc).alias("rn_grp"),
     )
     return (
-        beam.join(exact, ["q_id", "neighbor_id"], "left")
-        .groupBy("q_id")
+        ranked.groupBy("q_id")
         .agg(
-            F.count("hit").cast("bigint").alias("n_overlap"),
-            F.round(F.count("hit") / F.lit(3.0), 4).alias("recall_at_3"),
-            F.max("n_candidates").cast("bigint").alias("n_candidates"),
+            F.sum(
+                F.when(
+                    F.col("is_cand")
+                    & (F.col("rn_grp") <= 3)
+                    & (F.col("rn_all") <= 3),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_overlap"),
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+        )
+        .where(F.col("n_candidates") > 0)
+        .select(
+            "q_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.lit(3.0), 4).alias("recall_at_3"),
+            "n_candidates",
         )
         .repartition(1)
         .sortWithinPartitions("q_id")

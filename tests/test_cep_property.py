@@ -7,7 +7,14 @@ over each user's events, for ANY split of the feed into micro-batches,
 any interleaving of users, and any mix of in-window/expired gaps.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import datetime
 import glob as _glob

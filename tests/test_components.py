@@ -149,10 +149,19 @@ def test_star_cc_matches_fixpoint(spark):
         (r.vertex, r.component)
         for r in connected_components(df, max_iterations=50).collect()
     }
+    # default path: the edge state is tiny, so the r18 single-task
+    # union-find finish is what actually runs here
     star = {
         (r.vertex, r.component) for r in connected_components_star(df).collect()
     }
+    # local_finish_rows=0 forces the distributed star-alternation loop,
+    # keeping it covered now that every test-sized graph takes the finish
+    star_dist = {
+        (r.vertex, r.component)
+        for r in connected_components_star(df, local_finish_rows=0).collect()
+    }
     assert fix == star
+    assert fix == star_dist
 
 
 def test_star_cc_logarithmic_rounds_on_chain(spark):
@@ -167,11 +176,45 @@ def test_star_cc_logarithmic_rounds_on_chain(spark):
     df = spark.createDataFrame(
         [(i, i + 1) for i in range(119)], "src long, dst long"
     )
+    # local_finish_rows=0: the round bound is a property of the
+    # DISTRIBUTED alternation; the small-state union-find finish would
+    # otherwise absorb the chain in one task and prove nothing
     got = {
         r.vertex: r.component
-        for r in connected_components_star(df, max_rounds=12).collect()
+        for r in connected_components_star(
+            df, max_rounds=12, local_finish_rows=0
+        ).collect()
     }
     assert got == {i: 0 for i in range(120)}
+
+
+def test_star_cc_local_finish_gate_and_equivalence(spark):
+    """The r18 small-state finish: at the default threshold a test-sized
+    graph runs the single-task union-find (plan carries a MapInPandas
+    node, zero star rounds); forcing local_finish_rows=0 runs the
+    distributed loop (no Python node). Labels identical either way, on a
+    graph mixing chains, a clique, string-ordering-sensitive cases not
+    applicable (long ids)."""
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(30)]
+        + [(500 + i, 500 + j) for i in range(4) for j in range(i + 1, 4)]
+        + [(900, 901)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    local = connected_components_star(df)
+    dist = connected_components_star(df, local_finish_rows=0)
+    assert "mapinpandas" in local._jdf.queryExecution().analyzed().toString().lower()
+    assert (
+        "mapinpandas"
+        not in dist._jdf.queryExecution().analyzed().toString().lower()
+    )
+    assert {(r.vertex, r.component) for r in local.collect()} == {
+        (r.vertex, r.component) for r in dist.collect()
+    }
 
 
 def test_star_cc_random_graphs_property(spark):

@@ -16,7 +16,14 @@ batch far in the future so every real window crosses the watermark and
 emits exactly once.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import datetime
 import os

@@ -6,7 +6,14 @@ neighbors (non-zero aggregate recall) at a candidate cost bounded by
 entries × degree^hops, independent of partition size.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import os
 import sys

@@ -19,7 +19,14 @@ than a single-batch run — the same adjudication the CEP property test
 uses for its NFA state.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import datetime
 import glob as _glob

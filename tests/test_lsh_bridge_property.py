@@ -14,7 +14,14 @@ batch/incremental equivalence is the property under test, the band
 algebra itself is pinned cross-engine by tests/test_lsh_bridge_staged.py.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import os
 import shutil

@@ -7,7 +7,14 @@ demonstrate: the three-batch incremental run emits every pair exactly
 once, tagged by the batch where its later doc arrived.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import os
 import sys

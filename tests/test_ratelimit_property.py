@@ -11,7 +11,14 @@ first-k-per-user answer — which is exactly what the registered
 ``ratelimit_batch_replay`` oracle computes.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import datetime
 import glob as _glob

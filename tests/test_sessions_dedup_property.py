@@ -33,7 +33,14 @@ The r12/r13 family tests (watermark, ratelimit, CEP, drift, heavy
 hitters) are the template: tests/test_drift_property.py.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import datetime
 import os

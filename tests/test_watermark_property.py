@@ -13,7 +13,14 @@ examples) because each example drives 3 real availableNow streaming
 runs; the single-shape test keeps the larger 1000-event coverage.
 """
 
+
 from __future__ import annotations
+
+# slow tier (r18): heavy replay/property suite, excluded from the
+# default pytest run (see pytest.ini) -- run with -m slow
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import os
 import shutil
