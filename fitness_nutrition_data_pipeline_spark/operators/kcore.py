@@ -87,6 +87,77 @@ def _drop_stale(
             )
 
 
+def _local_peel(
+    cur: DataFrame,
+    k: int,
+    state_dir: str | None,
+    tag: str,
+    budget: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Single-task exact peel of a small (≤ ~2M-row) pinned edge state —
+    the r18 finish of ``kcore_peel``: once the surviving edge mass fits
+    one task, every remaining distributed round is pure stage-scheduling
+    latency (degree pin + two-long action + two semi-joins + state pin,
+    ~3 jobs per round). The simulation replays the IDENTICAL round
+    semantics (drop ALL vertices with out-degree < k simultaneously;
+    count only rounds that dropped something; stop at fixpoint or empty
+    keep-set), executor-side via ``mapInPandas`` — never a driver
+    collect. Returns (core_edges, extra_rounds). A marker row (null src)
+    carries the round count out of the task; it is filtered off the
+    returned relation and exists only inside the pinned state."""
+    from pyspark.sql import types as T
+
+    st = cur.schema["src"].dataType
+    dt = cur.schema["dst"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("src", st, True),
+            T.StructField("dst", dt, True),
+            T.StructField("_r", T.LongType(), True),
+        ]
+    )
+
+    def peel(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        srcs: list = []
+        dsts: list = []
+        for pdf in batches:
+            srcs.extend(pdf["src"].tolist())
+            dsts.extend(pdf["dst"].tolist())
+        edges = list(zip(srcs, dsts))
+        r = 0
+        while budget is None or r < budget:
+            deg = Counter(s for s, _ in edges)
+            keep = {v for v, c in deg.items() if c >= k}
+            if len(keep) == len(deg):
+                break
+            edges = [e for e in edges if e[0] in keep and e[1] in keep]
+            r += 1
+            if not keep:
+                break
+        yield pd.DataFrame(
+            {
+                "src": [s for s, _ in edges] + [None],
+                "dst": [d for _, d in edges] + [None],
+                "_r": [r] * (len(edges) + 1),
+            }
+        )
+
+    out = _pin(cur.coalesce(1).mapInPandas(peel, schema), state_dir, tag, 1)
+    extra = out.select("_r").first()["_r"]
+    core = out.where(F.col("src").isNotNull()).select("src", "dst")
+    return core, int(extra)
+
+
+# edge-state size (rows) below which the remaining peel runs as ONE
+# single-task simulation — the same ~2M-row bound that sizes round-state
+# partitions, so "fits one partition" and "finish locally" coincide
+_LOCAL_PEEL_ROWS = 2_000_000
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int,
@@ -95,6 +166,7 @@ def kcore_peel(
     dst: str = "dst",
     max_rounds: int | None = None,
     state_dir: str | None = None,
+    local_peel_rows: int = _LOCAL_PEEL_ROWS,
 ) -> tuple[DataFrame, int]:
     """Peel ``edges`` to its k-core fixpoint; return (core_edges, rounds).
 
@@ -124,18 +196,36 @@ def kcore_peel(
     # sizes the round-state parquet files (guide §6). A lazy-pin
     # variant (localCheckpoint(eager=False), fewer jobs) was measured
     # SLOWER (2.7 s vs 2.2 s) and rejected.
+    n_edges = cur.count()
     n_parts = max(
-        1, min(cur.rdd.getNumPartitions(), -(-cur.count() // 2_000_000))
+        1, min(cur.rdd.getNumPartitions(), -(-n_edges // 2_000_000))
     )
     rounds = 0
     prev_tags: list[str] = []
     while max_rounds is None or rounds < max_rounds:
+        # small-state finish (r18): once the surviving edge mass fits one
+        # task, run the remaining peel as a single simulation instead of
+        # ~3 jobs per round — at sf0.1 the whole peel takes this exit on
+        # round 0; at 100 TB the long small-tail rounds of a deep
+        # degeneracy peel collapse into one task once they shrink under
+        # the bound. Entry check uses the pin-sizing count; later rounds
+        # use the degree-sum the per-round stat action already computes.
+        if n_edges <= local_peel_rows:
+            budget = None if max_rounds is None else max_rounds - rounds
+            core, extra = _local_peel(
+                cur, k, state_dir, f"edges_local_r{rounds}", budget
+            )
+            _drop_stale(
+                spark, state_dir, [*prev_tags, f"edges_r{rounds}"]
+            )
+            return core, rounds + extra
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         deg = _pin(deg, state_dir, f"deg_r{rounds}", n_parts)
-        # one action, two longs: current vertex count + survivors
+        # one action, three longs: vertex count + survivors + edge mass
         stat = deg.agg(
             F.count(F.lit(1)).alias("n"),
             F.count(F.when(F.col("_d") >= k, 1)).alias("n_keep"),
+            F.coalesce(F.sum("_d"), F.lit(0)).alias("n_edges"),
         ).first()
         if stat["n_keep"] == stat["n"]:
             # no vertex drops — fixpoint (also the empty-graph case).
@@ -152,6 +242,9 @@ def kcore_peel(
         )
         rounds += 1
         cur = _pin(cur, state_dir, f"edges_r{rounds}", n_parts)
+        # the pre-drop degree sum upper-bounds the new state's edge mass,
+        # so the next iteration's small-state check costs zero extra jobs
+        n_edges = int(stat["n_edges"])
         # round n is durable -> everything before round n-1 is garbage
         _drop_stale(spark, state_dir, prev_tags)
         prev_tags = [f"edges_r{rounds - 1}", f"deg_r{rounds - 1}"]

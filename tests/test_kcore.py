@@ -75,10 +75,15 @@ def test_peels_to_empty_and_k1(spark):
 
 
 def test_max_rounds_reproduces_bounded_audit_semantics(spark):
-    # stopping after 1 round must leave the partially-peeled graph
-    core, rounds = kcore_peel(_sym(spark, _TRIANGLE_TAIL), 2, max_rounds=1)
-    assert rounds == 1
-    assert _vertices(core) == {1, 2, 3, 4, 5, 6}  # only 7 dropped so far
+    # stopping after 1 round must leave the partially-peeled graph —
+    # on BOTH the r18 single-task local finish (default at test scale)
+    # and the distributed loop (local_peel_rows=0 forces it)
+    for lpr in (2_000_000, 0):
+        core, rounds = kcore_peel(
+            _sym(spark, _TRIANGLE_TAIL), 2, max_rounds=1, local_peel_rows=lpr
+        )
+        assert rounds == 1, lpr
+        assert _vertices(core) == {1, 2, 3, 4, 5, 6}, lpr  # only 7 dropped
 
 
 def test_matches_python_reference_on_seeded_graphs(spark):
@@ -96,6 +101,13 @@ def test_matches_python_reference_on_seeded_graphs(spark):
             core, rounds = kcore_peel(_sym(spark, pairs), k)
             assert _vertices(core) == want_vertices, (trial, k)
             assert rounds == want_rounds, (trial, k)
+        # distributed loop (r18 local finish bypassed) must agree too;
+        # once per seeded graph keeps the loop covered without tripling
+        # the suite time
+        want_vertices, want_rounds = _py_kcore(pairs, 2)
+        core, rounds = kcore_peel(_sym(spark, pairs), 2, local_peel_rows=0)
+        assert _vertices(core) == want_vertices, trial
+        assert rounds == want_rounds, trial
 
 
 def test_parquet_round_state_equals_localcheckpoint(spark, tmp_path_factory):
@@ -107,13 +119,23 @@ def test_parquet_round_state_equals_localcheckpoint(spark, tmp_path_factory):
     core_pq, rounds_pq = kcore_peel(edges, 2, state_dir=state)
     assert rounds_pq == rounds_lc == 4
     assert _vertices(core_pq) == _vertices(core_lc) == {1, 2, 3}
-    # the returned DataFrame stays readable AFTER stale-round cleanup —
-    # only the final round's edge state (and at most the previous
-    # round's, kept for safety) may remain on disk
+    # default path at test scale is the r18 single-task finish: exactly
+    # one durable state (backing the returned DataFrame) remains
     leftover = {d for d in os.listdir(state) if d.startswith("edges_")}
-    assert "edges_r4" in leftover
-    assert len(leftover) <= 2
+    assert leftover == {"edges_local_r0"}, leftover
     assert core_pq.count() == 6  # 3 undirected edges, both orientations
+
+    # distributed loop (local_peel_rows=0): the original per-round
+    # state contract — readable after cleanup, only the final round's
+    # edge state (at most plus the previous round's) remains
+    state2 = str(tmp_path_factory.mktemp("kcore_state_dist"))
+    core_d, rounds_d = kcore_peel(edges, 2, state_dir=state2, local_peel_rows=0)
+    assert rounds_d == 4
+    assert _vertices(core_d) == {1, 2, 3}
+    leftover2 = {d for d in os.listdir(state2) if d.startswith("edges_")}
+    assert "edges_r4" in leftover2
+    assert len(leftover2) <= 2
+    assert core_d.count() == 6
 
 
 def test_core_numbers(spark, tmp_path_factory):
@@ -133,11 +155,21 @@ def test_round_state_cleanup(spark, tmp_path):
     import os
 
     sd = str(tmp_path / "peel_state")
-    core, rounds = kcore_peel(_sym(spark, _TRIANGLE_TAIL), 2, state_dir=sd)
+    # distributed loop (local_peel_rows=0): the original cleanup contract
+    core, rounds = kcore_peel(
+        _sym(spark, _TRIANGLE_TAIL), 2, state_dir=sd, local_peel_rows=0
+    )
     assert rounds == 4
     assert _vertices(core) == {1, 2, 3}
     leftover = sorted(os.listdir(sd))
     assert leftover == [f"edges_r{rounds}"], leftover
+
+    sd_local = str(tmp_path / "peel_state_local")
+    # default path (r18 local finish): the round-0 pin is superseded by
+    # the local-finish state and must be cleaned up
+    core_l, rounds_l = kcore_peel(_sym(spark, _TRIANGLE_TAIL), 2, state_dir=sd_local)
+    assert rounds_l == 4 and _vertices(core_l) == {1, 2, 3}
+    assert sorted(os.listdir(sd_local)) == ["edges_local_r0"]
 
     sd2 = str(tmp_path / "core_state")
     out = core_numbers(_sym(spark, _TRIANGLE_TAIL), 3, state_dir=sd2)
