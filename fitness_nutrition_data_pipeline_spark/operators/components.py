@@ -107,12 +107,30 @@ def _union_find_labels(sym: DataFrame) -> DataFrame:
     )
 
     def labels(batches):
+        import numpy as np
         import pandas as pd
 
-        parent: dict = {}
+        # factorized union-find: endpoints are mapped to integer codes
+        # (pd.factorize) and the parent table is one int64 array — tens
+        # of MB at the 2M-row bound where a Python dict of boxed values
+        # costs hundreds; `uniq` keeps the ORIGINAL values (exact dtype,
+        # no None mixed in, so no float64 inference corrupting ids
+        # above 2^53) for both the min-root comparisons and the output.
+        a_chunks, b_chunks = [], []
+        for pdf in batches:
+            a_chunks.append(pdf["a"].to_numpy())
+            b_chunks.append(pdf["b"].to_numpy())
+        if not a_chunks:
+            yield pd.DataFrame({"vertex": [], "component": []})
+            return
+        a = np.concatenate(a_chunks)
+        b = np.concatenate(b_chunks)
+        codes, uniques = pd.factorize(np.concatenate([a, b]))
+        uniq = np.asarray(uniques)
+        ca, cb = codes[: a.size], codes[a.size :]
+        parent = np.arange(uniq.size, dtype=np.int64)
 
         def find(x):
-            parent.setdefault(x, x)
             root = x
             while parent[root] != root:
                 root = parent[root]
@@ -120,16 +138,18 @@ def _union_find_labels(sym: DataFrame) -> DataFrame:
                 parent[x], x = root, parent[x]
             return root
 
-        for pdf in batches:
-            for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
-                ra, rb = find(a), find(b)
-                if ra != rb:
-                    if rb < ra:
-                        ra, rb = rb, ra
-                    parent[rb] = ra
-        verts = sorted(parent)
+        for i in range(a.size):
+            ra, rb = find(ca[i]), find(cb[i])
+            if ra != rb:
+                # attach the larger-valued root under the smaller, so a
+                # set's root IS its minimum original value throughout
+                if uniq[rb] < uniq[ra]:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        roots = np.array([find(i) for i in range(uniq.size)], dtype=np.int64)
+        order = np.argsort(uniq, kind="stable")
         yield pd.DataFrame(
-            {"vertex": verts, "component": [find(v) for v in verts]}
+            {"vertex": uniq[order], "component": uniq[roots][order]}
         )
 
     return sym.coalesce(1).mapInPandas(labels, out_schema)

@@ -118,33 +118,42 @@ def _local_peel(
     )
 
     def peel(batches):
-        from collections import Counter
-
+        import numpy as np
         import pandas as pd
 
-        srcs: list = []
-        dsts: list = []
+        # keep the state in numpy arrays (the input columns' own dtypes),
+        # not Python object lists: at the 2M-row bound object tuples cost
+        # ~0.5-1 GB of worker memory where arrays cost tens of MB, and —
+        # critically — mixing a None marker into an int list would make
+        # pandas infer float64 and silently round ids above 2^53 (the
+        # repo's xxhash64-derived ids exceed that); the marker therefore
+        # travels on its own all-null row yielded as a SEPARATE frame, so
+        # the edge frame keeps the exact input dtype end to end.
+        chunks_s, chunks_d = [], []
         for pdf in batches:
-            srcs.extend(pdf["src"].tolist())
-            dsts.extend(pdf["dst"].tolist())
-        edges = list(zip(srcs, dsts))
+            chunks_s.append(pdf["src"].to_numpy())
+            chunks_d.append(pdf["dst"].to_numpy())
+        src = np.concatenate(chunks_s) if chunks_s else np.array([])
+        dst = np.concatenate(chunks_d) if chunks_d else np.array([])
         r = 0
-        while budget is None or r < budget:
-            deg = Counter(s for s, _ in edges)
-            keep = {v for v, c in deg.items() if c >= k}
-            if len(keep) == len(deg):
+        while (budget is None or r < budget) and src.size:
+            vals, counts = np.unique(src, return_counts=True)
+            keep = vals[counts >= k]
+            if keep.size == vals.size:
                 break
-            edges = [e for e in edges if e[0] in keep and e[1] in keep]
+            mask = np.isin(src, keep) & np.isin(dst, keep)
+            src, dst = src[mask], dst[mask]
             r += 1
-            if not keep:
+            if keep.size == 0:
                 break
         yield pd.DataFrame(
             {
-                "src": [s for s, _ in edges] + [None],
-                "dst": [d for _, d in edges] + [None],
-                "_r": [r] * (len(edges) + 1),
+                "src": src,
+                "dst": dst,
+                "_r": np.full(src.size, r, dtype="int64"),
             }
         )
+        yield pd.DataFrame({"src": [None], "dst": [None], "_r": [r]})
 
     out = _pin(cur.coalesce(1).mapInPandas(peel, schema), state_dir, tag, 1)
     extra = out.select("_r").first()["_r"]

@@ -81,12 +81,17 @@ def register(
 # (1) the full r12-hot cohort, 24 mandatory drains — their signals reach
 #     age 7 at r19, and r19 also owes the 34-query r13 cohort, so
 #     skipping any of them now makes the r19 window infeasible (59 > 50);
-# (2) the 8 queries whose plans this optimization round deliberately
-#     changed and whose digests therefore drifted (dedup_clusters_exact /
-#     kcore local finish, the single-pass ANN contracts, the salted
-#     day-partitioned writes) — all oracle-verified locally at 3 SFs this
-#     round, windowed so the driver re-blesses the new digests and they
-#     become freeze-eligible again. vocab_inventory and
+# (2) the 8 queries whose behavior this optimization round deliberately
+#     changed (dedup_clusters_exact / kcore local finish, the single-pass
+#     ANN contracts, the salted day-partitioned writes) — 4 of them with
+#     drifted digests (dedup_clusters_exact, ann_recall_contract,
+#     ivf_beam_recall_contract, kcore_fixpoint_audit); the three write
+#     audits' RETURNED plans are digest-identical (the salted write is a
+#     build-time side effect) but their execution changed, so they are
+#     windowed for fresh signals too, plus kcore_peel_audit as the
+#     bounded-unroll sibling of the changed fixpoint operator (its own
+#     inline unroll is untouched). All oracle-verified locally at 3 SFs
+#     this round. vocab_inventory and
 #     tpch_q3_shipping_priority also changed this round but by REVERTING
 #     to their frozen-blessed plans (the r17 repartitions failed
 #     re-validation), so their freeze-time digests match the committed
@@ -95,10 +100,9 @@ def register(
 #     loader-repartition digest drift (VERDICT r17 ask #8) — fresh green
 #     signals at the current digests make them re-freeze-eligible. The 7
 #     promoted entries that don't fit (zipf_slope_top_terms,
-#     fixed_size_stratum_sample, type_token_ratio, unigram_logprob_docs,
-#     hapax_ratio_by_source, sequence_packing_windows, repetition_profile,
-#     lang_confusion_matrix minus the two re-added) carry r16 signals
-#     (age 2) and rotate in r19+'s slack.
+#     fixed_size_stratum_sample, type_token_ratio, hapax_ratio_by_source,
+#     sequence_packing_windows, repetition_profile, lang_confusion_matrix)
+#     carry r16 signals (age 2) and rotate in r19+'s slack.
 # After this window lands green the oldest HOT signal registry-wide is
 # r13; r19's plan is that 34-query cohort + 16 slack. The staged queries
 # (incremental_dedup_clusters, rerank_cascade_eval,

@@ -844,6 +844,129 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _ann_recall_single_pass(
+    spark: SparkSession, sf_dir: str, *, nprobe: int, k: int = 3
+) -> DataFrame:
+    """Shared SINGLE-PASS body of ann_recall_contract (nprobe=1) and
+    ivf_beam_recall_contract (nprobe=3) — r18 reformulation. The r17
+    shapes ran the brute-force pass AND a probe branch whose
+    neighbor-vector fetch re-scanned the corpus to recompute cosines the
+    brute pass had already computed, then joined probe-top-k against
+    exact-top-k. Here every (neighbor, query) pair is scored ONCE,
+    carrying an is_cand flag (neighbor's centroid ∈ the query's
+    top-nprobe probes, attached by metadata joins BEFORE the vectors are
+    touched; at nprobe=1 the query's own assignment IS its top-1 probe —
+    identical ranking expression, rounding, and tie-break); exact rank
+    and in-probe rank are two window functions over one q_id-clustered
+    pipeline (hashpartitioning(q_id) satisfies both windows' clustering;
+    the in-group rank costs one extra local sort, no exchange), and the
+    overlap is counted per row — no exact/probe self-join, no pins
+    beyond the shared assignment relation, one corpus-vector pass plus
+    the assignment pass. Returns (q_id, n_overlap, n_candidates) at
+    query grain, one row per query with >= 1 scored neighbor.
+    """
+    from pyspark.sql import Window as W
+
+    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") >= 495)
+    centroids = e.where(F.col("vec_id") < 10)
+    assignments = assign_centroids(
+        e, centroids, "vec_id", "embedding"
+    ).localCheckpoint()
+    q = queries.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("q_vec"),
+    )
+    if nprobe == 1:
+        # the query's own (pinned) assignment is its top-1 probe
+        probes = assignments.select(
+            F.col("vec_id").alias("p_q_id"),
+            F.col("centroid_id").alias("p_centroid"),
+        ).join(
+            q.select(F.col("q_id").alias("p_q_id")), "p_q_id", "left_semi"
+        )
+    else:
+        # rank ALL centroids per query (tiny broadcast), keep nprobe
+        cvec = centroids.select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").cast("array<double>").alias("c_vec"),
+        )
+        wp = W.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
+        probes = (
+            q.crossJoin(F.broadcast(cvec))
+            .select(
+                "q_id",
+                "centroid_id",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias(
+                    "c_sim"
+                ),
+            )
+            .withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") <= nprobe)
+            .select(
+                F.col("q_id").alias("p_q_id"),
+                F.col("centroid_id").alias("p_centroid"),
+            )
+        )
+    nv = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("n_vec"),
+    ).join(
+        assignments.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("centroid_id").alias("n_centroid"),
+        ),
+        "neighbor_id",
+    )
+    scored = (
+        nv.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
+        .join(
+            F.broadcast(probes),
+            (F.col("p_q_id") == F.col("q_id"))
+            & (F.col("p_centroid") == F.col("n_centroid")),
+            "left",
+        )
+        .select(
+            F.col("q_id"),
+            "neighbor_id",
+            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias(
+                "cosine_sim"
+            ),
+            F.col("p_centroid").isNotNull().alias("is_cand"),
+        )
+    )
+    wk = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
+    wc = W.partitionBy("q_id", "is_cand").orderBy(
+        F.desc("cosine_sim"), "neighbor_id"
+    )
+    ranked = scored.select(
+        "q_id",
+        "is_cand",
+        F.row_number().over(wk).alias("rn_all"),
+        F.row_number().over(wc).alias("rn_grp"),
+    )
+    return ranked.groupBy("q_id").agg(
+        F.sum(
+            F.when(
+                F.col("is_cand")
+                & (F.col("rn_grp") <= k)
+                & (F.col("rn_all") <= k),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_candidates"),
+    )
+
+
+
 @register(
     "ann_recall_contract",
     f"""
@@ -898,91 +1021,12 @@ def embedding_dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "drift after each quantizer retrain.",
 )
 def ann_recall_contract_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
-        cosine,
-    )
-
-    e = _emb(spark, sf_dir)
-    queries = e.where(F.col("vec_id") >= 495)
-    centroids = e.where(F.col("vec_id") < 10)
-    # SINGLE-PASS formulation (r18, the ivf_beam_recall_contract
-    # treatment): the r17 shape ran the brute-force pass AND an IVF
-    # branch whose neighbor-vector fetch re-scanned the corpus to
-    # recompute cosines the brute pass had already computed, then
-    # semi-joined ivf-top-3 against exact-top-3. Here every (neighbor,
-    # query) pair is scored ONCE, carrying an is_cand flag (neighbor
-    # shares the query's own centroid — nprobe=1 — attached by metadata
-    # joins BEFORE the vectors are touched); exact rank and in-probe
-    # rank are two window functions over the same q_id-clustered
-    # pipeline and the overlap is counted per row — no self-join, no
-    # pins beyond the shared assignment relation, one corpus-vector
-    # pass plus the assignment pass.
-    assignments = assign_centroids(
-        e, centroids, "vec_id", "embedding"
-    ).localCheckpoint()
-    q = (
-        queries.select(
-            F.col("vec_id").alias("q_id"),
-            F.col("embedding").cast("array<double>").alias("q_vec"),
-        )
-        # nprobe=1: the query's own centroid IS its probe
-        .join(
-            assignments.select(
-                F.col("vec_id").alias("q_id"),
-                F.col("centroid_id").alias("q_centroid"),
-            ),
-            "q_id",
-        )
-    )
-    nv = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("n_vec"),
-    ).join(
-        assignments.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("centroid_id").alias("n_centroid"),
-        ),
-        "neighbor_id",
-    )
-    scored = nv.join(
-        F.broadcast(q), F.col("neighbor_id") != F.col("q_id")
-    ).select(
+    # every query keeps a row (the r17 shape's exact-side spine covered
+    # all queries); n_candidates is internal here — ann reports recall only
+    return _ann_recall_single_pass(spark, sf_dir, nprobe=1).select(
         "q_id",
-        "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cosine_sim"),
-        (F.col("n_centroid") == F.col("q_centroid")).alias("is_cand"),
-    )
-    wk = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
-    wc = W.partitionBy("q_id", "is_cand").orderBy(
-        F.desc("cosine_sim"), "neighbor_id"
-    )
-    ranked = scored.select(
-        "q_id",
-        "is_cand",
-        F.row_number().over(wk).alias("rn_all"),
-        F.row_number().over(wc).alias("rn_grp"),
-    )
-    return (
-        ranked.groupBy("q_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("is_cand")
-                    & (F.col("rn_grp") <= 3)
-                    & (F.col("rn_all") <= 3),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_overlap")
-        )
-        .select(
-            "q_id",
-            "n_overlap",
-            F.round(F.col("n_overlap") / F.lit(3.0), 4).alias("recall_at_3"),
-        )
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.lit(3.0), 4).alias("recall_at_3"),
     )
 
 
@@ -1582,8 +1626,9 @@ _IVF_BEAM_ORACLE = f"""
 def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search ANN quality/cost contract — the nprobe knob of the
     IVF ladder made oracle-checkable (the beam protocol of
-    operators/similarity.py::ivf_beam_topk, inlined here since r18 so
-    its candidate ranking reuses the brute-force side's scored relation
+    operators/similarity.py::ivf_beam_topk, reformulated since r18 as
+    the shared single-pass body `_ann_recall_single_pass` so its
+    candidate ranking reuses the brute-force side's scored pipeline
     instead of re-fetching corpus vectors): rank all coarse centroids
     per query, probe the top THREE partitions (vs ann_recall_contract's
     single probe), exact-rank only their members, and report recall@3
@@ -1594,109 +1639,12 @@ def ivf_beam_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 6 before ranking with id tie-breaks, both engines compute both
     sides). Aggregation runs FROM the beam side so both engines drop a
     (theoretical) zero-candidate query identically."""
-    from pyspark.sql import Window as W
-
-    from fitness_nutrition_data_pipeline_spark.operators.similarity import (
-        assign_centroids,
-        cosine,
-    )
-
-    e = _emb(spark, sf_dir)
-    queries = e.where(F.col("vec_id") >= 495)
-    centroids = e.where(F.col("vec_id") < 10)
-    # SINGLE-PASS formulation (r18, VERDICT r17 ask #7: 5 scans → 4, and
-    # then some). The r17 shape ran the brute-force pass AND a separate
-    # beam branch whose neighbor-vector fetch re-scanned the corpus to
-    # recompute cosines the brute pass had already computed, then joined
-    # beam-top-3 against exact-top-3. Here every (neighbor, query) pair
-    # is scored ONCE, carrying an is_candidate flag (neighbor's centroid
-    # ∈ the query's top-nprobe probes, attached by metadata joins BEFORE
-    # the vectors are touched); exact rank and in-beam rank are two
-    # window functions over the same q_id-clustered pipeline, and the
-    # overlap is counted per row (in exact top-3 AND in beam top-3) — no
-    # self-join, no scored-relation pin, one corpus-vector pass plus the
-    # assignment pass.
-    q = queries.select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").cast("array<double>").alias("q_vec"),
-    )
-    assignments = assign_centroids(
-        e, centroids, "vec_id", "embedding"
-    ).localCheckpoint()
-    # probes: rank ALL centroids per query (tiny broadcast), keep 3
-    cvec = centroids.select(
-        F.col("vec_id").alias("centroid_id"),
-        F.col("embedding").cast("array<double>").alias("c_vec"),
-    )
-    wp = W.partitionBy("q_id").orderBy(F.desc("c_sim"), "centroid_id")
-    probes = (
-        q.crossJoin(F.broadcast(cvec))
-        .select(
-            "q_id",
-            "centroid_id",
-            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("c_sim"),
-        )
-        .withColumn("rn", F.row_number().over(wp))
-        .where(F.col("rn") <= 3)
-        .select(
-            F.col("q_id").alias("p_q_id"),
-            F.col("centroid_id").alias("p_centroid"),
-        )
-    )
-    nv = e.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("n_vec"),
-    ).join(
-        assignments.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("centroid_id").alias("n_centroid"),
-        ),
-        "neighbor_id",
-    )
-    scored = (
-        nv.join(F.broadcast(q), F.col("neighbor_id") != F.col("q_id"))
-        .join(
-            F.broadcast(probes),
-            (F.col("p_q_id") == F.col("q_id"))
-            & (F.col("p_centroid") == F.col("n_centroid")),
-            "left",
-        )
-        .select(
-            F.col("q_id"),
-            "neighbor_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias(
-                "cosine_sim"
-            ),
-            F.col("p_centroid").isNotNull().alias("is_cand"),
-        )
-    )
-    wk = W.partitionBy("q_id").orderBy(F.desc("cosine_sim"), "neighbor_id")
-    wc = W.partitionBy("q_id", "is_cand").orderBy(
-        F.desc("cosine_sim"), "neighbor_id"
-    )
-    ranked = scored.select(
-        "q_id",
-        "is_cand",
-        F.row_number().over(wk).alias("rn_all"),
-        F.row_number().over(wc).alias("rn_grp"),
-    )
+    # shared single-pass body (see _ann_recall_single_pass — VERDICT r17
+    # ask #7: 5 scans → 4, and faster than the r17 shape locally too);
+    # the beam reports the candidate-scan cost and drops a (theoretical)
+    # zero-candidate query, matching the oracle's beam-side aggregation
     return (
-        ranked.groupBy("q_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("is_cand")
-                    & (F.col("rn_grp") <= 3)
-                    & (F.col("rn_all") <= 3),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_overlap"),
-            F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_candidates"),
-        )
+        _ann_recall_single_pass(spark, sf_dir, nprobe=3)
         .where(F.col("n_candidates") > 0)
         .select(
             "q_id",

@@ -763,9 +763,20 @@ def _write_day_partitioned(ev: DataFrame, path: str) -> None:
         .cast("int")
         .alias("_fgroups")
     )
+    # LEFT join + coalesce(1): an inner join on `day` would silently DROP
+    # rows whose partition value is NULL (SQL null-key semantics — the
+    # groupBy above keeps the null group, but null never equi-joins back),
+    # where the pre-r18 repartition(day) writer preserved them under
+    # __HIVE_DEFAULT_PARTITION__. Null-day rows get one file group.
     (
-        ev.join(F.broadcast(days), "day")
-        .withColumn("_fgrp", F.pmod(F.xxhash64("event_id"), F.col("_fgroups")))
+        ev.join(F.broadcast(days), "day", "left")
+        .withColumn(
+            "_fgrp",
+            F.pmod(
+                F.xxhash64("event_id"),
+                F.coalesce(F.col("_fgroups"), F.lit(1)),
+            ),
+        )
         .repartition(F.col("day"), F.col("_fgrp"))
         .drop("_fgrp", "_fgroups")
         .write.mode("overwrite")

@@ -271,3 +271,32 @@ def test_star_cc_random_graphs_property(spark):
         assert fix == truth
 
     check()
+
+
+def test_star_cc_local_finish_preserves_huge_int64_ids(spark):
+    """Regression (r18 review): vertex ids above 2^53 must survive the
+    single-task finish exactly — a pandas float64 inference anywhere in
+    the Arrow path would silently round them (xxhash64-derived ids live
+    up there). Verified against a driver-side union-find ground truth."""
+    from fitness_nutrition_data_pipeline_spark.operators.components import (
+        connected_components_star,
+    )
+
+    base = 2**62
+    # two components with adjacent huge ids that float64 would collapse
+    edges = [
+        (base + 1, base + 2),
+        (base + 2, base + 3),
+        (base + 10_001, base + 10_002),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.vertex: r.component for r in connected_components_star(df).collect()
+    }
+    assert got == {
+        base + 1: base + 1,
+        base + 2: base + 1,
+        base + 3: base + 1,
+        base + 10_001: base + 10_001,
+        base + 10_002: base + 10_001,
+    }

@@ -179,3 +179,16 @@ def test_round_state_cleanup(spark, tmp_path):
     # plus the final core_r3 pin may remain
     leftover2 = sorted(os.listdir(sd2))
     assert leftover2 == ["core_r3", "k3"], leftover2
+
+
+def test_local_peel_preserves_huge_int64_ids(spark):
+    """Regression (r18 review): the single-task peel must not route ids
+    above 2^53 through float64 (the old None-marker-in-int-column frame
+    made pandas infer float64 and corrupted them); the marker now rides
+    a separate all-null frame and edges keep their exact dtype."""
+    base = 2**62
+    tri = [(base + 1, base + 2), (base + 2, base + 3), (base + 1, base + 3),
+           (base + 1, base + 4)]
+    core, rounds = kcore_peel(_sym(spark, tri), 2)
+    assert rounds == 1
+    assert _vertices(core) == {base + 1, base + 2, base + 3}

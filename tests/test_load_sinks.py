@@ -192,9 +192,12 @@ def test_day_partitioned_write_salts_hot_days(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(warehouse_ops, "_ROWS_PER_DAY_FILE", 100)
     hot = [(i, "2024-01-01") for i in range(1000)]
     cold = [(10_000 + i, "2024-01-02") for i in range(50)]
-    ev = spark.createDataFrame(hot + cold, "event_id long, day_s string").select(
-        "event_id", F.col("day_s").cast("date").alias("day")
-    )
+    # null partition values must survive the write (the per-day sizing
+    # join is LEFT — an inner join would silently drop them)
+    nulls = [(20_000 + i, None) for i in range(3)]
+    ev = spark.createDataFrame(
+        hot + cold + nulls, "event_id long, day_s string"
+    ).select("event_id", F.col("day_s").cast("date").alias("day"))
     path = str(tmp_path / "salted_days")
     # at toy scale AQE's partition coalescing (correctly) merges the tiny
     # salted groups back into one task; disable it here so the test
@@ -217,4 +220,4 @@ def test_day_partitioned_write_salts_hot_days(spark, tmp_path, monkeypatch):
     assert len(cold_files) == 1, cold_files  # groups=1: single file preserved
     back = spark.read.parquet(path)
     counts = {str(r["day"]): r["n"] for r in back.groupBy("day").agg(F.count(F.lit(1)).alias("n")).collect()}
-    assert counts == {"2024-01-01": 1000, "2024-01-02": 50}
+    assert counts == {"2024-01-01": 1000, "2024-01-02": 50, "None": 3}
