@@ -26,9 +26,22 @@ def exact_dedup_summary(df: DataFrame, content_col: str) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, *, n_hashes: int = 8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n_hashes: int = 8,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-document MinHash signature columns sig0..sig{n-1}.
+
+    ``carry_cols`` (r18): additional doc-grain columns of ``df`` carried
+    through the explode → partial-agg pipeline via ``first()`` — so a
+    caller that needs per-doc metadata (precomputed quality flags,
+    lengths) BESIDE the signatures gets both from ONE corpus scan
+    instead of a second scan + doc_id join (cluster_survivor_selection
+    dropped a full documents pass this way). Values ride the exploded
+    rows as narrow columns and collapse map-side; never carry text.
 
     Hash-economical: each md5 yields four 32-bit hex windows, so n_hashes
     signatures cost ceil(n/4) md5 evaluations per shingle (lexicographic
@@ -51,9 +64,11 @@ def minhash_signatures(
     # (set semantics there are load-bearing).
     exploded = df.select(
         id_col,
+        *carry_cols,
         F.explode(word_shingles(text_col, 2, distinct=False)).alias("shingle"),
     ).select(
         id_col,
+        *carry_cols,
         *[
             F.md5(F.concat(F.lit(f"s{s}|"), F.col("shingle"))).alias(f"h{s}")
             for s in range(n_seeds)
@@ -65,6 +80,7 @@ def minhash_signatures(
         aggs.append(
             F.min(F.substring(F.col(f"h{seed}"), window * 8 + 1, 8)).alias(f"sig{k}")
         )
+    aggs.extend(F.first(c).alias(c) for c in carry_cols)
     return exploded.groupBy(id_col).agg(*aggs)
 
 

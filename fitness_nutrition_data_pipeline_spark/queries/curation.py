@@ -193,7 +193,22 @@ def cluster_survivor_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d, "doc_id", "text")
+    # ONE corpus scan (r18): the quality flags are computed per doc row
+    # BEFORE the shingle explode and carried through the minhash partial
+    # aggregation as narrow first() columns, so the signature pass and
+    # the quality pass share a single read of the text. The doc-grain
+    # result (id + 8 sig strings + 2 ints — never text) is pinned once
+    # and feeds both the LSH bands and the survivor-scoring join; the
+    # old shape re-scanned + re-tokenized the whole corpus just to
+    # recompute n_chars/passes_quality for the clustered docs. Docs with
+    # <2 tokens have no shingles and drop from `sigs`, but they also
+    # have no bands, hence no cluster membership — the survivor join
+    # only ever looks up clustered docs, so the result set is identical
+    # (value-equality witnessed at sf0.1, oracle green at 3 SFs).
+    dq = quality_features(d, "text", _STOPWORDS)
+    sigs = minhash_signatures(
+        dq, "doc_id", "text", carry_cols=("n_chars", "passes_quality")
+    ).localCheckpoint()
     bands = lsh_bands(sigs, "doc_id")
     membership = bands.select(
         "doc_id",
@@ -205,9 +220,7 @@ def cluster_survivor_selection_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cluster_size"))
         .where(F.col("cluster_size") >= 2)
     )
-    q = quality_features(d, "text", _STOPWORDS).select(
-        "doc_id", "n_chars", "passes_quality"
-    )
+    q = sigs.select("doc_id", "n_chars", "passes_quality")
     scored = clusters.join(sizes, "cluster_id").join(q, "doc_id")
     w = W.partitionBy("cluster_id").orderBy(
         F.desc("passes_quality"), F.desc("n_chars"), "doc_id"
